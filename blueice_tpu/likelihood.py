@@ -1,0 +1,977 @@
+"""Log-likelihood constructors: the heart of blueice_tpu.
+
+Role parity with the reference likelihood layer (reference: blueice/likelihood.py),
+re-designed template-first:
+
+* ``prepare()`` builds one Model per shape-parameter anchor combination (serially
+  or via the content-addressed task/cache machinery) and *stacks the payloads into
+  dense anchor tensors*: expected rates (*grid, n_sources), PMF grids
+  (*grid, n_sources, *bins), per-event densities (*grid, n_sources, n_events).
+* ``__call__(**kwargs)`` is the host convenience path: plain numpy/float64,
+  reproducing the reference's exact semantics (out-of-bounds -> -inf, unphysical
+  rate policy, livetime scaling rules, arbitrary host priors).
+* :meth:`LogLikelihoodBase.make_logl` (see :mod:`blueice_tpu.compile`) lowers the
+  same likelihood to one pure jax function over the anchor tensors —
+  jit/grad/vmap-able, the unit the TPU inference and batched-toy layers consume.
+"""
+
+from collections import OrderedDict
+from copy import deepcopy
+from functools import wraps
+
+import numpy as np
+from scipy import stats
+from scipy.special import gammaln, xlogy
+
+from .exceptions import (NotPreparedException, InvalidParameterSpecification,
+                         InvalidParameter)
+from .models import Model
+from .morphers import MORPHERS
+from .ops.hist import Hist
+from .priors import NormalPrior
+from .utils import combine_dicts, inherit_docstring_from
+
+__all__ = ['LogLikelihoodBase', 'BinnedLogLikelihood', 'UnbinnedLogLikelihood',
+           'LogLikelihoodSum', 'LogLikelihoodReParam', 'LogAncillaryLikelihood',
+           'extended_loglikelihood', 'beeston_barlow_root1',
+           'beeston_barlow_root2', 'beeston_barlow_roots']
+
+
+##
+# Decorators for methods which have to run after prepare() or set_data()
+##
+
+def _needs_preparation(f):
+    @wraps(f)
+    def wrapper(self, *args, **kwargs):
+        if not self.is_prepared:
+            if not len(self.shape_parameters):
+                # Preparation is trivial without shape parameters: just do it
+                self.prepare()
+            else:
+                raise NotPreparedException(
+                    "%s requires you to first prepare the likelihood function "
+                    "using prepare()" % f.__name__)
+        return f(self, *args, **kwargs)
+    return wrapper
+
+
+def _needs_data(f):
+    @wraps(f)
+    def wrapper(self, *args, **kwargs):
+        if not self.is_data_set:
+            raise NotPreparedException(
+                "%s requires you to first set the data using set_data()"
+                % f.__name__)
+        return f(self, *args, **kwargs)
+    return wrapper
+
+
+class LogLikelihoodBase:
+    """Log likelihood function with rate and/or shape nuisance parameters.
+
+    likelihood_config options:
+        morpher (default 'GridInterpolator'), morpher_config,
+        unphysical_behaviour ('error' to raise instead of returning -inf),
+        outlier_likelihood (unbinned density floor, default 1e-12),
+        model_statistical_uncertainty_handling / bb_single_source (binned).
+    """
+
+    def __init__(self, pdf_base_config, likelihood_config=None, **kwargs):
+        """
+        :param pdf_base_config: config dict passed to the Model.
+        :param likelihood_config: options for the likelihood itself.
+        :param kwargs: overrides for pdf_base_config (not likelihood_config).
+        """
+        self.pdf_base_config = combine_dicts(pdf_base_config, kwargs,
+                                             deep_copy=True)
+        self.config = likelihood_config if likelihood_config is not None else {}
+        self.config.setdefault('morpher', 'GridInterpolator')
+        self.source_wise_interpolation = self.pdf_base_config.get(
+            'source_wise_interpolation', False)
+
+        # Base model: no variation of any setting
+        self.base_model = Model(self.pdf_base_config)
+        self.source_name_list = [s.name for s in self.base_model.sources]
+        self.source_allowed_negative = [
+            s.config.get('allow_negative', False)
+            for s in self.base_model.sources]
+        self.source_apply_efficiency = np.array([
+            s.config.get('apply_efficiency', False)
+            for s in self.base_model.sources])
+        self.source_efficiency_names = np.array([
+            s.config.get('efficiency_name', 'efficiency')
+            for s in self.base_model.sources])
+
+        # sourcename -> log prior on its rate multiplier
+        self.rate_parameters = OrderedDict()
+        # settingname -> (anchors {z: setting}, log_prior, base_z)
+        self.shape_parameters = OrderedDict()
+
+        self.is_prepared = False
+        self.is_data_set = False
+        self._has_non_numeric = False
+
+        # Without shape parameters:
+        self.ps = None                    # data scores / pmf grids
+        self.n_model_events = None
+
+        # With shape parameters:
+        self.anchor_models = OrderedDict()    # zs tuple -> Model
+        self.anchor_sources = OrderedDict()   # source name -> zs tuple -> Source
+        self.mus_interpolator = None
+        self.ps_interpolator = None
+        self.n_model_events_interpolator = lambda zs: None
+
+        # Stacked anchor tensors for the fused jax path (set by prepare/set_data):
+        #   dict payload_name -> ('global', morpher, tensor)
+        #                      | ('source_wise', OrderedDict sn -> (morpher|None, tensor))
+        #                      | ('constant', array)
+        self._builds = {}
+
+    # -- source-wise bookkeeping ------------------------------------------------
+
+    @property
+    def source_shape_parameters(self):
+        """OrderedDict: source name -> OrderedDict of the shape parameters that
+        source actually depends on (its dont_hash_settings are the oracle for
+        independence; an applied efficiency parameter always counts)."""
+        result = OrderedDict()
+        for sn, source, apply_eff, eff_name in zip(
+                self.source_name_list, self.base_model.sources,
+                self.source_apply_efficiency, self.source_efficiency_names):
+            ignore = set(source.config['dont_hash_settings'])
+            if apply_eff:
+                ignore.discard(eff_name)
+            sps = OrderedDict((k, v) for k, v in self.shape_parameters.items()
+                              if k not in ignore)
+            if sps:
+                result[sn] = sps
+        return result
+
+    def _get_shape_indices(self, source_name):
+        """Indices (into the full shape-parameter list) used by source_name."""
+        shape_keys = self.source_shape_parameters[source_name].keys()
+        return [i for i, k in enumerate(self.shape_parameters.keys())
+                if k in shape_keys]
+
+    def _get_model_anchor(self, anchor, source_name):
+        """Full-model anchor tuple from a single source's anchor tuple; parameters
+        the source does not use are None."""
+        model_anchor = [None] * len(self.shape_parameters)
+        for i, idx in enumerate(self._get_shape_indices(source_name)):
+            model_anchor[idx] = anchor[i]
+        return tuple(model_anchor)
+
+    # -- preparation ---------------------------------------------------------------
+
+    def prepare(self, n_cores=1, ipp_client=None):
+        """Build the anchor models for every shape-parameter anchor combination
+        and stack their rate payloads into the mus anchor tensor.
+
+        :param n_cores: >1 fans the template computations out over a process pool
+          via content-addressed task files (reference: blueice/parallel.py:47-67).
+        :param ipp_client: optional ipyparallel client for cluster fan-out.
+        """
+        if len(self.shape_parameters):
+            if self.source_wise_interpolation:
+                zs_list = self._prepare_source_wise_anchors()
+            else:
+                self.morpher = MORPHERS[self.config['morpher']](
+                    self.config.get('morpher_config', {}), self.shape_parameters)
+                zs_list = self.morpher.get_anchor_points(bounds=self.get_bounds())
+
+            configs = []
+            for zs in zs_list:
+                config = deepcopy(self.pdf_base_config)
+                for i, (setting_name, (anchors, _, _)) in enumerate(
+                        self.shape_parameters.items()):
+                    if zs[i] is not None:
+                        config[setting_name] = anchors[zs[i]]
+                if ipp_client is None and n_cores != 1:
+                    # Parallel computation requires delayed template computation
+                    config['delay_pdf_computation'] = True
+                configs.append(config)
+
+            models = self._build_models(configs, n_cores, ipp_client)
+
+            if self.source_wise_interpolation:
+                self._finalize_source_wise(zs_list, models)
+            else:
+                for zs, model in zip(zs_list, models):
+                    self.anchor_models[tuple(zs)] = model
+                self.mus_interpolator, mus_tensor = self._interp_and_tensor(
+                    self.morpher, f=lambda m: m.expected_events(),
+                    extra_dims=[len(self.source_name_list)],
+                    anchor_models=self.anchor_models)
+                self._builds['mus'] = ('global', self.morpher, mus_tensor)
+
+        self.is_data_set = False
+        self.is_prepared = True
+
+    def _prepare_source_wise_anchors(self):
+        """Create per-source morphers; return the union of model anchor tuples."""
+        self.source_morphers = OrderedDict()
+        for sn, shape_pars in self.source_shape_parameters.items():
+            self.source_morphers[sn] = MORPHERS[self.config['morpher']](
+                self.config.get('morpher_config', {}), shape_pars)
+        zs_set = set()
+        for sn, morpher in self.source_morphers.items():
+            for anchor in morpher.get_anchor_points(bounds=None):
+                zs_set.add(self._get_model_anchor(anchor, sn))
+        return list(zs_set)
+
+    def _build_models(self, configs, n_cores, ipp_client):
+        if ipp_client is not None:
+            from .parallel import create_models_ipyparallel
+            return create_models_ipyparallel(
+                configs, ipp_client,
+                block=self.config.get('block_during_paralellization', False))
+        if n_cores == 1:
+            return [Model(c) for c in configs]
+        # Pass 1 writes task files; workers compute; pass 2 loads from cache
+        from .parallel import compute_many
+        models = [Model(c) for c in configs]
+        hashes = set(s.hash for m in models for s in m.sources)
+        task_dirs = set(s.config['task_dir'] for m in models for s in m.sources)
+        cache_dirs = set(s.config['cache_dir'] for m in models for s in m.sources)
+        compute_many(hashes, n_cores,
+                     task_dir=task_dirs.pop(), result_dir=cache_dirs.pop())
+        return [Model(c) for c in configs]
+
+    def _finalize_source_wise(self, zs_list, models):
+        """Collect per-source anchor sources and build the composed mus
+        interpolator (reference: blueice/likelihood.py:210-240)."""
+        for sn, morpher in self.source_morphers.items():
+            self.anchor_sources[sn] = OrderedDict()
+            source_index = self.source_name_list.index(sn)
+            for anchor in morpher.get_anchor_points(bounds=None):
+                model_anchor = self._get_model_anchor(anchor, sn)
+                model_index = zs_list.index(model_anchor)
+                self.anchor_sources[sn][anchor] = \
+                    models[model_index].sources[source_index]
+
+        sw_builds = OrderedDict()
+        for sn, base_source in zip(self.source_name_list,
+                                   self.base_model.sources):
+            if sn in self.source_morphers:
+                morpher = self.source_morphers[sn]
+                tensor = np.asarray(morpher.build_tensor(
+                    f=lambda s: s.expected_events, extra_dims=[],
+                    anchor_models=self.anchor_sources[sn]))
+                sw_builds[sn] = (morpher, tensor)
+            else:
+                sw_builds[sn] = (None, np.float64(base_source.expected_events))
+        self._builds['mus'] = ('source_wise', sw_builds)
+
+        def mus_interpolator(zs):
+            zs = np.asarray(zs)
+            mus = []
+            for sn in self.source_name_list:
+                morpher, tensor = sw_builds[sn]
+                if morpher is None:
+                    mus.append(float(tensor))
+                else:
+                    these = zs[self._get_shape_indices(sn)]
+                    mus.append(float(morpher.host_eval(tensor, these)))
+            return np.array(mus)
+        self.mus_interpolator = mus_interpolator
+
+    @staticmethod
+    def _interp_and_tensor(morpher, f, extra_dims, anchor_models):
+        """Build the stacked anchor tensor once; return (host interpolator, tensor)."""
+        tensor = np.asarray(morpher.build_tensor(f, extra_dims, anchor_models))
+
+        def interpolator(zs):
+            return np.asarray(morpher.host_eval(tensor, np.asarray(zs)))
+        return interpolator, tensor
+
+    # -- data ------------------------------------------------------------------------
+
+    @_needs_preparation
+    def set_data(self, d):
+        """Bind the dataset d for likelihood evaluation.
+        :param d: indexable by analysis dimension name (numpy record array, dict of
+          arrays or DataFrame): d['x'] etc. give per-event coordinates.
+        """
+        self._data = d
+        self.is_data_set = True
+
+    # -- parameter registry ------------------------------------------------------------
+
+    def add_rate_parameter(self, source_name, log_prior=None):
+        """Add parameter source_name + "_rate_multiplier" which MULTIPLIES the
+        expected rate of that source (shape parameters can also change rates).
+        :param log_prior: log-prior pdf on the multiplier (not the rate itself).
+        """
+        self.rate_parameters[source_name] = log_prior
+
+    def add_shape_parameter(self, setting_name, anchors, log_prior=None,
+                            base_value=None):
+        """Add a shape parameter that varies the config setting setting_name.
+        :param anchors: list/tuple/array of numeric setting values, OR a dict
+          {representative z: setting value} for non-numeric settings.
+        :param base_value: for non-numeric settings, the z representing the base
+          model's setting.
+        """
+        is_numeric = isinstance(self.pdf_base_config.get(setting_name),
+                                (float, int))
+        if not isinstance(anchors, dict):
+            if not is_numeric:
+                raise InvalidParameterSpecification(
+                    "When specifying anchors only by setting values, the base "
+                    "setting must have a numerical default.")
+            anchors = {z: z for z in anchors}
+
+        if not is_numeric:
+            self._has_non_numeric = True
+            if base_value is None:
+                raise InvalidParameterSpecification(
+                    "For non-numeric settings, you must specify which number "
+                    "represents the default (base model) setting")
+        if is_numeric and base_value is not None:
+            raise InvalidParameterSpecification(
+                "For numeric settings, base_value is an unnecessary argument.")
+
+        self.shape_parameters[setting_name] = (anchors, log_prior, base_value)
+
+    def add_rate_uncertainty(self, source_name, fractional_uncertainty):
+        """Rate parameter with a Gaussian prior around 1."""
+        self.add_rate_parameter(source_name,
+                                log_prior=NormalPrior(1, fractional_uncertainty))
+
+    def add_shape_uncertainty(self, setting_name, fractional_uncertainty,
+                              anchor_zs=(-2, -1, 0, 1, 2), base_value=None):
+        """Shape parameter with a Gaussian prior around the default value.
+        :param fractional_uncertainty: relative uncertainty on the default value.
+        """
+        self.add_shape_parameter(setting_name, anchor_zs, base_value=base_value)
+        anchors, _, base_value = self.shape_parameters[setting_name]
+        if base_value is None:
+            center = self.pdf_base_config.get(setting_name)
+        else:
+            center = base_value
+        self.shape_parameters[setting_name] = (
+            anchors, NormalPrior(center, center * fractional_uncertainty),
+            base_value)
+
+    def get_bounds(self, parameter_name=None):
+        """Bounds of parameter_name (all shape parameters if None)."""
+        if parameter_name is None:
+            return [self.get_bounds(p) for p in self.shape_parameters.keys()]
+        if parameter_name in self.shape_parameters:
+            anchor_settings = list(self.shape_parameters[parameter_name][0].keys())
+            return min(anchor_settings), max(anchor_settings)
+        elif parameter_name.endswith('_rate_multiplier'):
+            for source_name, allow_negative in zip(self.source_name_list,
+                                                   self.source_allowed_negative):
+                if parameter_name.startswith(source_name) and allow_negative:
+                    return float('-inf'), float('inf')
+            return 0, float('inf')
+        raise InvalidParameter("Non-existing parameter %s" % parameter_name)
+
+    # -- evaluation (host path) ------------------------------------------------------
+
+    @_needs_data
+    def __call__(self, livetime_days=None, compute_pdf=False, full_output=False,
+                 **kwargs):
+        """Evaluate the log likelihood. Parameters not passed take their base
+        values; rate uncertainties are passed as sourcename_rate_multiplier.
+        :param livetime_days: exposure to evaluate at (scales all rates).
+        :param compute_pdf: build a fresh model at the exact parameter point
+          instead of interpolating between anchors.
+        :param full_output: also return the adjusted mus and ps.
+        """
+        result = 0
+        rate_multipliers, shape_settings = self._kwargs_to_settings(**kwargs)
+
+        if len(self.shape_parameters):
+            if compute_pdf:
+                if self._has_non_numeric:
+                    raise NotImplementedError(
+                        "compute_pdf only works for numerical values")
+                mus, ps, n_model_events = self._compute_single_pdf(**kwargs)
+            else:
+                zs = []
+                for setting_name, (_, log_prior, _) in \
+                        self.shape_parameters.items():
+                    z = shape_settings[setting_name]
+                    zs.append(z)
+                    minbound, maxbound = self.get_bounds(setting_name)
+                    if not minbound <= z <= maxbound:
+                        # Cannot extrapolate beyond the anchor range
+                        return -float('inf')
+                    if log_prior is not None:
+                        result += float(log_prior(z))
+                zs = np.asarray(zs, dtype=float)
+                mus = np.array(self.mus_interpolator(zs), dtype=float)
+                ps = self.ps_interpolator(zs)
+                n_model_events = self.n_model_events_interpolator(zs)
+        else:
+            mus = np.array(self.base_model.expected_events(), dtype=float)
+            ps = self.ps
+            n_model_events = self.n_model_events
+
+        # Rate multipliers (and their priors)
+        for source_i, source_name in enumerate(self.source_name_list):
+            mult = rate_multipliers[source_i]
+            mus[source_i] *= mult
+            log_prior = self.rate_parameters.get(source_name, None)
+            if log_prior is not None:
+                result += float(log_prior(mult))
+
+        # Livetime scaling
+        if livetime_days is not None:
+            if 'livetime_days' not in self.pdf_base_config:
+                raise ValueError("Cannot scale live-time, base value absent")
+            if self.pdf_base_config['livetime_days'] == 0:
+                if livetime_days != 0:
+                    raise ValueError("Cannot scale from 0 to non-0 livetime")
+                assert np.all(mus == 0), "Got non-0 mus with 0 livetime?!"
+            else:
+                mus = mus * (livetime_days / self.pdf_base_config['livetime_days'])
+
+        # Per-source efficiencies
+        if True in self.source_apply_efficiency:
+            effs = [shape_settings.get(sen, 1)
+                    for sae, sen in zip(self.source_apply_efficiency,
+                                        self.source_efficiency_names) if sae]
+            mus[self.source_apply_efficiency] *= np.array(effs)
+
+        # Unphysical rate policy
+        bad = self._unphysical(mus)
+        if bad:
+            if self.config.get('unphysical_behaviour') == 'error':
+                raise ValueError("Unphysical rates: %s" % str(mus))
+            return -float('inf')
+
+        # Finite-MC-statistics adjustment (analytic Beeston-Barlow for binned)
+        mus, ps = self.adjust_expectations(mus, ps, n_model_events)
+
+        result += self._compute_likelihood(mus, ps)
+
+        if full_output:
+            return result, mus, ps
+        return result
+
+    def _unphysical(self, mus):
+        """True if the expected-rate vector violates the physicality policy."""
+        if not any(self.source_allowed_negative):
+            return not np.all((mus >= 0) & (mus < float('inf')))
+        # Some sources may go negative: all-infinite or negative-total is still bad
+        if (not any(mus < float('inf'))) or (np.sum(mus) < 0):
+            return True
+        return any(not (0 <= mu) and not allowed
+                   for mu, allowed in zip(mus, self.source_allowed_negative))
+
+    def adjust_expectations(self, mus, ps, n_model_events):
+        """Adjust uncertain (mus, pmfs) for the observed data: hook for the
+        analytic Beeston-Barlow profile of finite-MC templates (binned only)."""
+        return mus, ps
+
+    def _kwargs_to_settings(self, **kwargs):
+        """Validate kwargs; return (rate_multipliers list per source,
+        {shape setting name: z})."""
+        for k in kwargs.keys():
+            if k in self.shape_parameters:
+                continue
+            if k.endswith('_rate_multiplier') \
+                    and k[:-len('_rate_multiplier')] in self.source_name_list:
+                continue
+            raise InvalidParameter(
+                "%s is not a known shape or rate parameter!" % k)
+
+        shape_settings = dict()
+        for setting_name, (_, _, base_value) in self.shape_parameters.items():
+            z = kwargs.get(setting_name)
+            if z is None:
+                base_setting = self.pdf_base_config.get(setting_name)
+                if isinstance(base_setting, (float, int)):
+                    assert base_value is None
+                    z = base_setting
+                else:
+                    z = base_value
+            if not isinstance(z, (int, float)):
+                raise ValueError("Arguments to likelihood function must be "
+                                 "numeric, not %s" % type(z))
+            shape_settings[setting_name] = z
+
+        rate_multipliers = [kwargs.get(sn + '_rate_multiplier', 1)
+                            for sn in self.source_name_list]
+        return rate_multipliers, shape_settings
+
+    # -- exact (non-interpolated) evaluation -------------------------------------------
+
+    def _compute_single_model(self, **kwargs):
+        """A Model built from the base config with kwargs as exact overrides."""
+        _, shape_settings = self._kwargs_to_settings(**kwargs)
+        config = combine_dicts(self.pdf_base_config, shape_settings,
+                               deep_copy=True)
+        config['never_save_to_cache'] = True
+        return Model(config)
+
+    def _compute_single_pdf(self, **kwargs):
+        """(mus, ps, n_model_events) from a freshly computed model at the exact
+        parameter point."""
+        raise NotImplementedError
+
+    def _compute_likelihood(self, mus, ps):
+        raise NotImplementedError
+
+    # -- fused jax path ------------------------------------------------------------------
+
+    def make_logl(self, **opts):
+        """Lower this likelihood to one pure jax function
+        ``logl(params: dict) -> scalar`` over the anchor tensors.
+        See :func:`blueice_tpu.compile.build_logl` for options.
+        """
+        from .compile import build_logl
+        return build_logl(self, **opts)
+
+
+class UnbinnedLogLikelihood(LogLikelihoodBase):
+    """Extended unbinned log likelihood: per-event densities interpolated between
+    anchors (the per-event tensor is rebuilt on every set_data)."""
+
+    @inherit_docstring_from(LogLikelihoodBase)
+    def set_data(self, d):
+        LogLikelihoodBase.set_data(self, d)
+        if len(self.shape_parameters):
+            if self.source_wise_interpolation:
+                self._set_data_source_wise(d)
+            else:
+                self.ps_interpolator, ps_tensor = self._interp_and_tensor(
+                    self.morpher, f=lambda m: m.score_events(d),
+                    extra_dims=[len(self.source_name_list), len(d)],
+                    anchor_models=self.anchor_models)
+                self._builds['ps'] = ('global', self.morpher, ps_tensor)
+        else:
+            self.ps = self.base_model.score_events(d)
+            self._builds['ps'] = ('constant', self.ps)
+
+    def _set_data_source_wise(self, d):
+        dims = self.base_model.to_analysis_dimensions(d)
+        sw_builds = OrderedDict()
+        for sn, base_source in zip(self.source_name_list,
+                                   self.base_model.sources):
+            if sn in self.source_morphers:
+                morpher = self.source_morphers[sn]
+                tensor = np.asarray(morpher.build_tensor(
+                    f=lambda s: s.pdf(*dims), extra_dims=[len(d)],
+                    anchor_models=self.anchor_sources[sn]))
+                sw_builds[sn] = (morpher, tensor)
+            else:
+                sw_builds[sn] = (None, np.asarray(base_source.pdf(*dims)))
+        self._builds['ps'] = ('source_wise', sw_builds)
+
+        def ps_interpolator(zs):
+            zs = np.asarray(zs)
+            ps = np.zeros((len(self.source_name_list), len(d)))
+            for i, sn in enumerate(self.source_name_list):
+                morpher, tensor = sw_builds[sn]
+                if morpher is None:
+                    ps[i] = tensor
+                else:
+                    ps[i] = morpher.host_eval(
+                        tensor, zs[self._get_shape_indices(sn)])
+            return ps
+        self.ps_interpolator = ps_interpolator
+
+    @inherit_docstring_from(LogLikelihoodBase)
+    def _compute_single_pdf(self, **kwargs):
+        model = self._compute_single_model(**kwargs)
+        return model.expected_events(), model.score_events(self._data), None
+
+    def _compute_likelihood(self, mus, pdf_values_at_events):
+        return extended_loglikelihood(
+            mus, np.asarray(pdf_values_at_events),
+            outlier_likelihood=self.config.get('outlier_likelihood', 1e-12))
+
+
+class BinnedLogLikelihood(LogLikelihoodBase):
+    """Binned Poisson log likelihood over the analysis-space bins, with optional
+    analytic Beeston-Barlow handling of finite-MC templates.
+
+    Note: unlike the reference (blueice/likelihood.py:580), we do not mutate the
+    caller's pdf_base_config dict — that mutation never affected the already-built
+    base model and only leaked 'piecewise' into later, unrelated likelihoods.
+    """
+
+    def __init__(self, pdf_base_config, likelihood_config=None, **kwargs):
+        LogLikelihoodBase.__init__(self, pdf_base_config, likelihood_config,
+                                   **kwargs)
+        self.model_statistical_uncertainty_handling = \
+            self.config.get('model_statistical_uncertainty_handling')
+
+    @inherit_docstring_from(LogLikelihoodBase)
+    def prepare(self, n_cores=1, ipp_client=None):
+        LogLikelihoodBase.prepare(self, n_cores, ipp_client)
+        self.ps, self.n_model_events = self.base_model.pmf_grids()
+
+        if len(self.shape_parameters):
+            if self.source_wise_interpolation:
+                raise NotImplementedError(
+                    "Source-wise interpolation is not implemented for binned "
+                    "likelihoods")
+            self.ps_interpolator, pmf_tensor = self._interp_and_tensor(
+                self.morpher, f=lambda m: m.pmf_grids()[0],
+                extra_dims=list(self.ps.shape),
+                anchor_models=self.anchor_models)
+            self._builds['ps'] = ('global', self.morpher, pmf_tensor)
+
+            if self.model_statistical_uncertainty_handling is not None:
+                self.n_model_events_interpolator, nme_tensor = \
+                    self._interp_and_tensor(
+                        self.morpher, f=lambda m: m.pmf_grids()[1],
+                        extra_dims=list(self.ps.shape),
+                        anchor_models=self.anchor_models)
+                self._builds['n_model_events'] = \
+                    ('global', self.morpher, nme_tensor)
+        else:
+            self._builds['ps'] = ('constant', self.ps)
+            self._builds['n_model_events'] = ('constant', self.n_model_events)
+
+    @inherit_docstring_from(LogLikelihoodBase)
+    def set_data(self, d):
+        LogLikelihoodBase.set_data(self, d)
+        self.data_events_per_bin = Hist.from_analysis_space(
+            self.base_model.config['analysis_space'])
+        self.data_events_per_bin.add(*self.base_model.to_analysis_dimensions(d))
+
+    @inherit_docstring_from(LogLikelihoodBase)
+    def _compute_single_pdf(self, **kwargs):
+        model = self._compute_single_model(**kwargs)
+        ps, n_model_events = model.pmf_grids()
+        return model.expected_events(), ps, n_model_events
+
+    @_needs_data
+    @inherit_docstring_from(LogLikelihoodBase)
+    def adjust_expectations(self, mus, pmfs, n_model_events):
+        mus = np.array(mus, dtype=float)
+        pmfs = np.array(pmfs, dtype=float)
+
+        if self.model_statistical_uncertainty_handling == 'bb_single':
+            source_i = self.config.get('bb_single_source')
+            if source_i is None:
+                raise ValueError("You need to specify bb_single_source to use "
+                                 "bb_single expectation adjustment")
+            source_i = self.base_model.get_source_i(source_i)
+            assert pmfs.shape == n_model_events.shape
+
+            # Expected counts per bin from the sources we will NOT adjust
+            other_mus = mus.copy()
+            other_mus[source_i] = 0.0
+            u_bins = np.tensordot(other_mus, pmfs, axes=(0, 0))
+
+            a_bins = np.asarray(n_model_events[source_i], dtype=float)
+            n_mc_total = a_bins.sum()
+            p_calibration = mus[source_i] / n_mc_total
+            w_calibration = pmfs[source_i] / a_bins * n_mc_total
+
+            observed = self.data_events_per_bin.values
+            A_bins_1, A_bins_2 = beeston_barlow_roots(
+                a_bins, w_calibration * p_calibration, u_bins, observed)
+            assert np.all(A_bins_1 <= 0)   # first root is the unphysical one
+
+            # U == 0 bins: the general solution is singular, use the special case
+            A_special = (observed + a_bins) / (1.0 + p_calibration)
+            A_bins = np.where(u_bins == 0, A_special, A_bins_2)
+            assert np.all(0 <= A_bins)
+
+            raw = A_bins * w_calibration
+            pmfs[source_i] = raw / raw.sum()
+            mus[source_i] = raw.sum() * p_calibration
+
+        return mus, pmfs
+
+    def _compute_likelihood(self, mus, pmfs):
+        """Sum over bins of Poisson logpmf(observed; sum_s mu_s pmf_s)."""
+        expected = np.tensordot(np.asarray(mus, dtype=float),
+                                np.asarray(pmfs, dtype=float), axes=(0, 0))
+        observed = self.data_events_per_bin.values
+        return float(np.sum(xlogy(observed, expected) - expected
+                            - gammaln(observed + 1.0)))
+
+
+##
+# Host (numpy, float64) likelihood reductions — the reference-parity path.
+# The jax twins live in blueice_tpu.ops (poisson.py / beeston_barlow.py).
+##
+
+def extended_loglikelihood(mu, ps, outlier_likelihood=0.0):
+    """Extended unbinned log likelihood (host path).
+    :param mu: (n_sources,) expected event counts.
+    :param ps: (n_sources, n_events) density per source per event.
+    :param outlier_likelihood: density for events whose summed density is not a
+      positive number, so one pathological event cannot -inf the whole fit.
+    """
+    mu = np.asarray(mu, dtype=float)
+    ps = np.asarray(ps, dtype=float)
+    p_events = np.nansum(mu[:, np.newaxis] * ps, axis=0)
+    if outlier_likelihood != 0:
+        p_events = np.where(p_events > 0, p_events, outlier_likelihood)
+    return -mu.sum() + np.sum(np.log(p_events))
+
+
+def _bb_discriminant(a, p, U, d):
+    return (U**2 * p**2 + 2 * U**2 * p + U**2 + 2 * U * a * p**2 + 2 * U * a * p
+            - 2 * U * d * p**2 - 2 * U * d * p + a**2 * p**2 + 2 * a * d * p**2
+            + d**2 * p**2)
+
+
+def beeston_barlow_root1(a, p, U, d):
+    """Unphysical root of the per-bin Beeston-Barlow quadratic (kept only for
+    regression checking, like the reference)."""
+    return ((-U * p - U + a * p + d * p - np.sqrt(_bb_discriminant(a, p, U, d)))
+            / (2 * p * (p + 1)))
+
+
+def beeston_barlow_root2(a, p, U, d):
+    """Physical root of the per-bin Beeston-Barlow quadratic: profiled per-bin MC
+    expectation for one finite-statistics source among infinite-statistics ones."""
+    return ((-U * p - U + a * p + d * p + np.sqrt(_bb_discriminant(a, p, U, d)))
+            / (2 * p * (p + 1)))
+
+
+def beeston_barlow_roots(a, p, U, d):
+    return beeston_barlow_root1(a, p, U, d), beeston_barlow_root2(a, p, U, d)
+
+
+class LogLikelihoodSum:
+    """Sum of likelihoods minimized together, exposing the same evaluation and
+    inference interface. Parameters are routed to children by name; optional
+    per-likelihood weights de-weight e.g. constraint terms shared between
+    sub-volume likelihoods."""
+
+    def __init__(self, likelihood_list, likelihood_weights=None):
+        self.likelihood_list = list(likelihood_list)
+        self.rate_parameters = dict()
+        self.shape_parameters = dict()
+        self.source_list = []
+        self.pdf_base_config = {}   # guesses only; last likelihood wins
+
+        if likelihood_weights is None:
+            likelihood_weights = [1 for _ in self.likelihood_list]
+        self.likelihood_weights = likelihood_weights
+
+        self.likelihood_parameters = []
+        for ll in self.likelihood_list:
+            self.rate_parameters.update(ll.rate_parameters)
+            self.shape_parameters.update(ll.shape_parameters)
+            parameter_names = []
+            for rate_parameter_name in ll.rate_parameters.keys():
+                parameter_names.append(rate_parameter_name + '_rate_multiplier')
+                base_value = ll.pdf_base_config.get(rate_parameter_name)
+                if base_value is not None:
+                    self.pdf_base_config[rate_parameter_name] = base_value
+            for shape_parameter_name in ll.shape_parameters.keys():
+                parameter_names.append(shape_parameter_name)
+                base_value = ll.pdf_base_config.get(shape_parameter_name)
+                if base_value is not None:
+                    self.pdf_base_config[shape_parameter_name] = base_value
+            self.likelihood_parameters.append(parameter_names)
+
+    def __call__(self, compute_pdf=False, livetime_days=None, **kwargs):
+        ret = 0.
+        for i, (ll, parameter_names, weight) in enumerate(zip(
+                self.likelihood_list, self.likelihood_parameters,
+                self.likelihood_weights)):
+            pass_kwargs = {k: v for k, v in kwargs.items()
+                           if k in parameter_names}
+            livetime = livetime_days
+            if isinstance(livetime_days, list):
+                livetime = livetime_days[i]
+            ret += weight * ll(compute_pdf=compute_pdf, livetime_days=livetime,
+                               **pass_kwargs)
+        return ret
+
+    def split_results(self, result_dict):
+        """Split a fit-result dict into per-child dicts."""
+        return [{k: v for k, v in result_dict.items() if k in parameter_names}
+                for parameter_names in self.likelihood_parameters]
+
+    def get_bounds(self, parameter_name=None):
+        """Bounds: intersection over the children that know the parameter."""
+        if parameter_name is None:
+            return [self.get_bounds(p) for p in self.shape_parameters]
+        if parameter_name in self.shape_parameters.keys():
+            bounds = np.array([ll.get_bounds(parameter_name)
+                               for ll in self.likelihood_list
+                               if parameter_name in ll.shape_parameters.keys()])
+            ret = np.max(bounds[:, 0]), np.min(bounds[:, 1])
+            if ret[1] <= ret[0]:
+                raise InvalidParameterSpecification(
+                    "lower bound %s higher than upper bound!" % parameter_name)
+            return ret
+        elif parameter_name.endswith('_rate_multiplier'):
+            return 0, float('inf')
+        raise InvalidParameter("Non-existing parameter %s" % parameter_name)
+
+
+class LogLikelihoodReParam:
+    """Reparameterize a likelihood: new parameters map onto the wrapped
+    likelihood's rate multipliers through user functions normalized at the base
+    values (e.g. EFT couplings whose event rates are quadratic/bilinear in the
+    couplings). conv_config format:
+        {'op0_rate_multiplier': {'params': ['np0'], 'func': lambda np0: np0**2},
+         'np0': (anchors, log_prior, base_value), ...}
+    """
+
+    def __init__(self, likelihood, conv_config):
+        self._likelihood = likelihood
+        self.conv_config = conv_config
+        self.pdf_base_config = likelihood.pdf_base_config
+        self.check_conv_config()
+
+    def __call__(self, compute_pdf=False, livetime_days=None, **kwargs):
+        kwargs = deepcopy(self._parameter_converter(**kwargs))
+        return self._likelihood(compute_pdf=compute_pdf,
+                                livetime_days=livetime_days, **kwargs)
+
+    def check_conv_config(self):
+        """Validate the new parameters: consistent inside conv_config, and all
+        present in the model config."""
+        new_params = [k for k in self.conv_config.keys()
+                      if not k.endswith("_rate_multiplier")]
+        used_params = []
+        for k, v in self.conv_config.items():
+            if isinstance(v, dict):
+                for p in v["params"]:
+                    if p not in used_params:
+                        used_params.append(p)
+        assert set(new_params) == set(used_params), \
+            "New parameters are not consistent, double check conv_config..."
+
+        missing = [p for p in new_params
+                   if not self.base_model.config.get(p, False)]
+        assert not missing, "%s are missing in the config" % ", ".join(missing)
+
+    @property
+    def rate_parameters(self):
+        """The wrapped rate parameters, minus those now derived from new shape
+        parameters."""
+        rate_parameters = deepcopy(self._likelihood.rate_parameters)
+        for k in self._likelihood.rate_parameters.keys():
+            if k + "_rate_multiplier" in self.conv_config.keys():
+                rate_parameters.pop(k)
+        return rate_parameters
+
+    @property
+    def shape_parameters(self):
+        """The wrapped shape parameters plus the new ones from conv_config."""
+        shape_parameters = deepcopy(self._likelihood.shape_parameters)
+        for k, v in self.conv_config.items():
+            if not k.endswith("_rate_multiplier"):
+                anchors = {z: z for z in v[0]}
+                shape_parameters[k] = (anchors, v[1], v[2])
+        return shape_parameters
+
+    @property
+    def base_model(self):
+        model = deepcopy(self._likelihood.base_model)
+        model.simulate = self._simulate
+        return model
+
+    def set_data(self, d):
+        self._likelihood.set_data(d)
+
+    def get_bounds(self, parameter_name=None):
+        if parameter_name is None:
+            return [self.get_bounds(p) for p in self.shape_parameters.keys()]
+        elif parameter_name in (list(self._likelihood.rate_parameters.keys())
+                                + list(self._likelihood.shape_parameters.keys())):
+            return self._likelihood.get_bounds(parameter_name)
+        else:
+            anchor_settings = list(self.shape_parameters[parameter_name][0].keys())
+            return min(anchor_settings), max(anchor_settings)
+
+    def _simulate(self, kwargs=None, livetime_days=None):
+        """Simulate with the new (coupling) parameters routed through the
+        converter to per-source rate multipliers."""
+        if kwargs is None:
+            kwargs = dict()
+        kwargs = deepcopy(self._parameter_converter(with_suffix=False, **kwargs))
+        rate_multipliers = {k: v for k, v in kwargs.items()
+                            if k in self._likelihood.rate_parameters.keys()}
+        return self._likelihood.base_model.simulate(
+            rate_multipliers=rate_multipliers, livetime_days=livetime_days)
+
+    def _parameter_converter(self, with_suffix=True, **kwargs):
+        """Convert new parameters to the wrapped likelihood's parameters:
+        rate_multiplier = func(*params) / func(*base_values)."""
+        if not with_suffix:
+            kwargs = {
+                (k + "_rate_multiplier"
+                 if k in self._likelihood.rate_parameters.keys() else k): v
+                for k, v in kwargs.items()}
+
+        removed_params = []
+        pass_kwargs = OrderedDict()
+        for k, v in self.conv_config.items():
+            if k.endswith("_rate_multiplier"):
+                base_values = [self.pdf_base_config.get(p) for p in v["params"]]
+                params = [kwargs.get(p, b) for p, b in zip(v["params"],
+                                                           base_values)]
+                pass_kwargs[k] = v["func"](*params) / v["func"](*base_values)
+                for p in v["params"]:
+                    if p not in removed_params:
+                        removed_params.append(p)
+
+        for k, v in kwargs.items():
+            if k not in removed_params:
+                pass_kwargs[k] = v
+
+        if not with_suffix:
+            pass_kwargs = OrderedDict(
+                (k.split("_rate_multiplier")[0], v)
+                for k, v in pass_kwargs.items())
+        return pass_kwargs
+
+
+class LogAncillaryLikelihood:
+    """Ancillary (constraint) analytical likelihood term: an arbitrary function of
+    named parameters, exposed with the standard likelihood interface so it can be
+    combined via LogLikelihoodSum."""
+
+    def __init__(self, func, parameter_list, config=None, func_kwargs=None):
+        """
+        :param func: function taking an OrderedDict of named parameter values,
+          plus func_kwargs: func({name: value}, **func_kwargs).
+        :param parameter_list: names of parameters pulled from the config.
+        :param config: default values for the parameters.
+        :param func_kwargs: extra keyword arguments for func.
+        """
+        if config is None:
+            config = dict()
+        if func_kwargs is None:
+            func_kwargs = dict()
+
+        self.rate_parameters = dict()
+        self.shape_parameters = OrderedDict(
+            (p, (None, None, None)) for p in parameter_list)
+        self.source_list = []
+        self.pdf_base_config = config
+        self.func = func
+        self.func_kwargs = func_kwargs
+
+    def get_bounds(self, parameter_name=None):
+        if parameter_name is None:
+            return [self.get_bounds(p) for p in self.shape_parameters]
+        if parameter_name in self.shape_parameters.keys():
+            # Other likelihoods in a sum can be more constrictive
+            return -np.inf, np.inf
+        raise InvalidParameter("Non-existing parameter %s" % parameter_name)
+
+    def __call__(self, **kwargs):
+        pass_kwargs = OrderedDict(
+            (p, self.pdf_base_config[p]) for p in self.shape_parameters)
+        pass_kwargs.update(kwargs)
+        return self.func(pass_kwargs, **self.func_kwargs)
+
+
+# Graft the inference helpers as methods onto the likelihood classes
+from . import inference   # noqa: E402  (at bottom to break the import cycle)
+for _methodname in inference.__all__:
+    for _q in (LogLikelihoodBase, LogLikelihoodSum, LogAncillaryLikelihood,
+               LogLikelihoodReParam):
+        setattr(_q, _methodname, getattr(inference, _methodname))

@@ -1,0 +1,320 @@
+"""Source base classes, in order of increasing functionality:
+
+* :class:`Source` — config normalization, content-addressed template caching,
+  delayed computation via task files. Use directly for analytic PDFs.
+* :class:`HistogramPdfSource` — PDF backed by a dense N-dim histogram template.
+* :class:`DensityEstimatingSource` — builds that template by binning sample events.
+* :class:`MonteCarloSource` — gets the sample from its own ``simulate()``.
+
+Role parity with the reference class ladder (reference: blueice/source.py:33-348),
+re-designed template-first: a source's PDF is a dense array payload (the thing a
+TPU consumes), host code only builds/caches it. The content-addressed cache
+(sha1 of the pdf-relevant config, two tiers: per-process dict + on-disk pickle,
+atomic writes) mirrors reference blueice/source.py:97-126; the template payload is
+what checkpoint/resume means in this framework (SURVEY.md §5).
+"""
+
+import os
+
+import numpy as np
+
+from .. import utils
+from ..exceptions import PDFNotComputedException
+from ..ops.hist import Hist
+from ..ops.interp import interp_at_points_np
+from ..utils.data_reading import read_files_in
+
+__all__ = ['Source', 'HistogramPdfSource', 'DensityEstimatingSource',
+           'MonteCarloSource']
+
+# Settings that never influence the PDF itself and are therefore excluded from the
+# content hash (reference: blueice/source.py:77-80)
+_ALWAYS_DONT_HASH = ['hash', 'rate_multiplier', 'force_recalculation',
+                     'never_save_to_cache', 'dont_hash_settings', 'label', 'color',
+                     'extra_dont_hash_settings', 'delay_pdf_computation',
+                     'cache_dir', 'task_dir']
+
+
+def _merge_unique(*lists):
+    """Concatenate lists, keeping first occurrence of each item, in order."""
+    out = []
+    for lst in lists:
+        for x in lst:
+            if x not in out:
+                out.append(x)
+    return out
+
+
+class Source:
+    """Base class for a source of events."""
+
+    # Process-level second cache tier: hash -> dict of cached attributes
+    _data_cache = dict()
+
+    #: Config defaults; child classes extend via their own `defaults`.
+    defaults = dict(
+        name='unnamed_source',
+        label='Unnamed source',
+        color='black',                 # color to use in plots
+        events_per_day=0,              # events/day this source produces (detected or not)
+        rate_multiplier=1,             # per-source rate multiplier (model-level, not LL-level)
+        fraction_in_range=1,           # fraction of simulated events inside analysis space
+        cache_attributes=[],           # attribute names persisted in the template cache
+        delay_pdf_computation=False,   # write a task file instead of computing now
+        dont_hash_settings=[],         # settings with no impact on the pdf
+        extra_dont_hash_settings=[],
+        force_recalculation=False,     # never *read* the cache (writing still happens)
+        never_save_to_cache=False,     # never *write* the cache (reading still happens)
+        cache_dir='pdf_cache',
+        task_dir='pdf_tasks',
+    )
+
+    def __repr__(self):
+        return "%s[%s]" % (self.name, getattr(self, 'hash', 'nohashknown'))
+
+    def __init__(self, config, *args, **kwargs):
+        defaults = self._gather_defaults()
+        c = utils.combine_dicts(defaults, config)
+        # List-valued bookkeeping settings append (class ladder + user config)
+        # rather than override, as in the reference's per-class chaining.
+        c['cache_attributes'] = _merge_unique(
+            defaults['cache_attributes'], config.get('cache_attributes', ()),
+            ['fraction_in_range', 'events_per_day', 'pdf_has_been_computed'])
+        c['dont_hash_settings'] = _merge_unique(
+            defaults['dont_hash_settings'], config.get('dont_hash_settings', ()),
+            _ALWAYS_DONT_HASH, c['extra_dont_hash_settings'])
+        del c['extra_dont_hash_settings']
+
+        self.name = c.pop('name')
+        self.events_per_day = c['events_per_day']
+        self.fraction_in_range = c['fraction_in_range']
+        self.pdf_has_been_computed = False
+
+        # Content address: hash of the pdf-relevant config
+        if 'hash' in c:
+            self.hash = c['hash']
+        else:
+            hash_config = utils.combine_dicts(c, exclude=c['dont_hash_settings'])
+            self.hash = c['hash'] = utils.deterministic_hash(hash_config)
+
+        os.makedirs(c['cache_dir'], exist_ok=True)
+        self._cache_filename = os.path.join(c['cache_dir'], self.hash)
+
+        self.from_cache = False
+        if not c['force_recalculation'] and os.path.exists(self._cache_filename):
+            self.from_cache = True
+            if self.hash in self._data_cache:
+                stuff = self._data_cache[self.hash]
+            else:
+                stuff = self._data_cache[self.hash] = \
+                    utils.read_pickle(self._cache_filename)
+            for k, v in stuff.items():
+                if k not in c['cache_attributes']:
+                    raise ValueError(
+                        "%s found in cached file, but you only wanted %s from "
+                        "cache. Old cache?" % (k, c['cache_attributes']))
+                setattr(self, k, v)
+
+        # Replace filename-valued settings with the file contents
+        c = read_files_in(c, config.get('data_dirs', tuple('.')))
+        self.config = c
+
+        if self.from_cache:
+            assert self.pdf_has_been_computed
+        elif self.config['delay_pdf_computation']:
+            self.prepare_task()
+        else:
+            self.compute_pdf()
+
+    @classmethod
+    def _gather_defaults(cls):
+        """Merge the `defaults` dicts along the class MRO (base first). The
+        list-valued bookkeeping keys accumulate across the ladder instead of
+        overriding."""
+        from copy import deepcopy
+        result = {}
+        for klass in reversed(cls.__mro__):
+            d = klass.__dict__.get('defaults')
+            if not d:
+                continue
+            for k, v in d.items():
+                if k in ('cache_attributes', 'dont_hash_settings') and k in result:
+                    result[k] = _merge_unique(result[k], v)
+                else:
+                    result[k] = deepcopy(v)
+        return result
+
+    # -- template computation and caching -------------------------------------
+
+    def compute_pdf(self):
+        """Compute the PDF template. Called after config init, only when the source
+        was not loaded from cache. Child classes do their work, then call super().
+        """
+        if self.pdf_has_been_computed:
+            raise RuntimeError("compute_pdf called twice on a source!")
+        self.pdf_has_been_computed = True
+        self.save_to_cache()
+
+    def save_to_cache(self):
+        """Persist the attributes named in config['cache_attributes']."""
+        if not self.from_cache and not self.config['never_save_to_cache']:
+            utils.save_pickle(
+                {k: getattr(self, k) for k in self.config['cache_attributes']},
+                self._cache_filename)
+        return self._cache_filename
+
+    def prepare_task(self):
+        """Write a task file for delayed/remote computation (reference:
+        blueice/source.py:162-165)."""
+        os.makedirs(self.config['task_dir'], exist_ok=True)
+        task_filename = os.path.join(self.config['task_dir'], self.hash)
+        utils.save_pickle((self.__class__, self.config), task_filename)
+
+    # -- interface -------------------------------------------------------------
+
+    def pdf(self, *args):
+        """PDF values at the given per-dimension coordinate arrays."""
+        raise NotImplementedError
+
+    def get_pmf_grid(self):
+        """Return (pmf_grid, n_events):
+        - pmf_grid: probability mass per analysis-space bin;
+        - n_events: events per bin behind the density estimate (inf for exact pdfs).
+        Used by binned likelihoods.
+        """
+        raise NotImplementedError
+
+    def simulate(self, n_events):
+        """Simulate n_events from this source (may return fewer)."""
+        raise NotImplementedError
+
+    @property
+    def expected_events(self):
+        """Total number of events expected in the analysis range."""
+        return (self.events_per_day * self.config['livetime_days']
+                * self.fraction_in_range * self.config['rate_multiplier'])
+
+
+class HistogramPdfSource(Source):
+    """A source whose PDF is a dense histogram template.
+
+    The payload (`_pdf_histogram`, `_n_events_histogram`, `_bin_volumes`) is the
+    device-ready template: per-bin density values plus the MC counts behind them.
+    """
+    _pdf_histogram = None
+    _bin_volumes = None
+    _n_events_histogram = None
+
+    defaults = dict(pdf_sampling_multiplier=1,
+                    pdf_interpolation_method='linear',
+                    cache_attributes=['_pdf_histogram', '_n_events_histogram',
+                                      '_bin_volumes'])
+
+    def build_histogram(self):
+        """Set the _pdf_histogram (Hist), _n_events_histogram (Hist) and
+        _bin_volumes (ndarray) attributes."""
+        raise NotImplementedError
+
+    def compute_pdf(self):
+        self.build_histogram()
+        Source.compute_pdf(self)
+
+    def pdf(self, *args):
+        if not self.pdf_has_been_computed:
+            raise PDFNotComputedException(
+                "%s: attempt to call a PDF that has not been computed" % self)
+
+        method = self.config['pdf_interpolation_method']
+        h = self._pdf_histogram
+
+        if method == 'linear':
+            # Multilinear interpolation between bin centers; coordinates beyond
+            # the outermost centers clip (constant density in boundary half-bins).
+            coords = np.stack([np.asarray(a, dtype=float).ravel() for a in args],
+                              axis=-1)
+            return interp_at_points_np(h.values, h.bin_centers(), coords)
+        elif method == 'piecewise':
+            return h.lookup(*args)
+        else:
+            raise NotImplementedError(
+                "PDF interpolation method %s not implemented" % method)
+
+    def simulate(self, n_events):
+        """Simulate n_events from the PDF template (host path; the device path is
+        ops.sampling.sample_from_template)."""
+        if not self.pdf_has_been_computed:
+            raise PDFNotComputedException(
+                "%s: attempt to simulate events from a PDF that has not been "
+                "computed" % self)
+        n_events = int(n_events)
+        events_per_bin = self._pdf_histogram * self._bin_volumes
+        q = events_per_bin.get_random(n_events)
+        d = np.zeros(n_events,
+                     dtype=[('source', int)] + [(x[0], float)
+                                                for x in self.config['analysis_space']])
+        for i, x in enumerate(self.config['analysis_space']):
+            d[x[0]] = q[:, i]
+        return d
+
+    def get_pmf_grid(self):
+        return (self._pdf_histogram.values * self._bin_volumes,
+                self._n_events_histogram.values)
+
+
+class DensityEstimatingSource(HistogramPdfSource):
+    """A source that estimates its PDF template from events you feed it.
+
+    Child classes implement get_events_for_density_estimate (returning, or
+    yielding in batches, (events, n_simulated)).
+    """
+
+    defaults = dict(n_events_for_pdf=1e6)
+
+    def build_histogram(self):
+        mh = Hist.from_analysis_space(self.config['analysis_space'])
+
+        get = self.get_events_for_density_estimate
+        import inspect
+        if not inspect.isgeneratorfunction(get):
+            def get():
+                return [self.get_events_for_density_estimate()]
+
+        n_events = 0
+        for events, n_simulated in get():
+            n_events += n_simulated
+            mh.add(*utils.events_to_analysis_dimensions(
+                events, self.config['analysis_space']))
+
+        self.fraction_in_range = mh.n / n_events
+
+        # counts -> density: divide by in-range count and bin volumes
+        self._bin_volumes = mh.bin_volumes()
+        self._pdf_histogram = mh.similar_blank()
+        self._pdf_histogram.values = (mh.values.astype(float) / mh.n
+                                      / self._bin_volumes)
+        self._n_events_histogram = mh
+        return mh
+
+    def get_events_for_density_estimate(self):
+        """Return (or yield in batches) (events, n_simulated). The count is needed
+        because simulators may already have cut some events."""
+        raise NotImplementedError
+
+
+class MonteCarloSource(DensityEstimatingSource):
+    """A DensityEstimatingSource fed by its own simulate() method."""
+
+    defaults = dict(n_events_for_pdf=1e6,
+                    pdf_sampling_multiplier=1,
+                    pdf_sampling_batch_size=1e6,
+                    dont_hash_settings=['pdf_sampling_batch_size'])
+
+    def get_events_for_density_estimate(self):
+        # Simulate in batches to bound memory (reference: blueice/source.py:338-348)
+        n_events = (self.config['n_events_for_pdf']
+                    * self.config['pdf_sampling_multiplier'])
+        batch_size = self.config['pdf_sampling_batch_size']
+        if n_events <= batch_size:
+            batch_size = n_events
+        for _ in range(int(n_events // batch_size)):
+            yield self.simulate(n_events=int(batch_size)), int(batch_size)

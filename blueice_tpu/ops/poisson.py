@@ -1,0 +1,58 @@
+"""Likelihood reduction ops: Poisson bin sums and the extended unbinned LL.
+
+Role parity with the reference's ``_compute_likelihood`` implementations and
+``extended_loglikelihood`` (reference: blueice/likelihood.py:571-573, 662-690).
+Written as pure jnp so jit/grad/vmap compose; the masked variants support the
+padded static-shape event batches of the vmapped toy-fit pipeline (where the
+reference looped over variable-length numpy arrays).
+"""
+
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, xlogy
+
+__all__ = ['poisson_logpmf', 'binned_poisson_logl', 'extended_logl']
+
+
+def poisson_logpmf(k, mu):
+    """log PMF of Poisson(mu) at counts k. mu == 0 gives 0 at k == 0, -inf else
+    (matching scipy.stats.poisson.logpmf)."""
+    k = jnp.asarray(k)
+    mu = jnp.asarray(mu)
+    return xlogy(k, mu) - mu - gammaln(k + 1.0)
+
+
+def binned_poisson_logl(mus, pmfs, observed):
+    """Binned Poisson log likelihood.
+
+    :param mus: (n_sources,) expected event counts per source.
+    :param pmfs: (n_sources, *bins) per-source PMF over the analysis-space bins.
+    :param observed: (*bins,) observed counts.
+    :return: scalar log likelihood: sum over bins of Poisson(sum_s mu_s pmf_s).
+    """
+    mus = jnp.asarray(mus)
+    pmfs = jnp.asarray(pmfs)
+    expected = jnp.tensordot(mus, pmfs, axes=(0, 0))
+    return jnp.sum(poisson_logpmf(jnp.asarray(observed), expected))
+
+
+def extended_logl(mus, ps, outlier_likelihood=0.0, mask=None):
+    """Extended unbinned log likelihood.
+
+    :param mus: (n_sources,) expected number of events per source.
+    :param ps: (n_sources, n_events) PDF value for each source at each event.
+    :param outlier_likelihood: density assigned to events where the summed density
+      is not a positive number (0, negative, or nan) — prevents a single
+      zero-density event from sinking the whole likelihood.
+    :param mask: optional (n_events,) boolean; False entries are padding and
+      contribute nothing (for static-shape batched toys).
+    :return: scalar: -sum(mus) + sum_events log(sum_s mu_s p_s(event)).
+    """
+    mus = jnp.asarray(mus)
+    ps = jnp.asarray(ps)
+    p_events = jnp.nansum(mus[:, None] * ps, axis=0)
+    if outlier_likelihood != 0:
+        p_events = jnp.where(p_events > 0, p_events, outlier_likelihood)
+    log_terms = jnp.log(p_events)
+    if mask is not None:
+        log_terms = jnp.where(mask, log_terms, 0.0)
+    return -jnp.sum(mus) + jnp.sum(log_terms)

@@ -1,0 +1,86 @@
+"""Delayed / multi-process / cluster computation of source PDF templates.
+
+Role parity with the reference (reference: blueice/parallel.py): content-addressed
+task files written by ``Source.prepare_task`` are consumed by workers
+(``compute_single``), fanned out over a process pool (``compute_many``) or a whole
+directory (``compute_all``, the CLI entry point). The protocol is restartable and
+idempotent: finished hashes are skipped, task files are only deleted after the
+result exists, and cache writes are atomic — a killed precompute run simply
+resumes.
+
+On TPU this machinery only feeds the *host-side* template build; the per-anchor
+fan-out that motivated it in the reference is complemented by the vmapped/sharded
+device paths in :mod:`blueice_tpu.parallel.toys`.
+"""
+
+import logging
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+from ..utils import read_pickle
+
+__all__ = ['create_models_ipyparallel', 'compute_single', 'compute_many',
+           'compute_all']
+log = logging.getLogger('blueice_tpu.parallel')
+
+
+def compute_single(hash, task_dir='pdf_tasks', result_dir='pdf_cache'):
+    """Compute one source PDF template from its saved task file."""
+    result_filename = os.path.join(result_dir, hash)
+    if os.path.exists(result_filename):
+        log.debug("Task %s already computed, nothing done.", hash)
+        return
+
+    task_filename = os.path.join(task_dir, hash)
+    if not os.path.exists(task_filename):
+        raise ValueError("Hash %s does not correspond to a task or result" % hash)
+
+    source_class, source_config = read_pickle(task_filename)
+    source_config['cache_dir'] = result_dir
+    source_config['delay_pdf_computation'] = False
+    s = source_class(source_config)
+
+    os.remove(task_filename)
+    assert os.path.exists(result_filename)
+    if s.hash != hash:
+        raise ValueError("source hash changed somehow??")
+
+
+def compute_many(hashes, n_cpus=1, *args, **kwargs):
+    """Compute several task files, optionally on a process pool."""
+    hashes = list(hashes)
+    if n_cpus != 1:
+        with ProcessPoolExecutor(max_workers=n_cpus) as pool:
+            futures = [pool.submit(compute_single, h, *args, **kwargs)
+                       for h in hashes]
+            for f in futures:
+                f.result()   # re-raise worker exceptions on the driver
+    else:
+        for h in hashes:
+            compute_single(h, *args, **kwargs)
+
+
+def compute_all(input_dir='./pdf_tasks', *args, **kwargs):
+    """Compute every pending task file in input_dir."""
+    if not os.path.exists(input_dir):
+        raise FileNotFoundError("Input directory %s does not exist" % input_dir)
+    compute_many(os.listdir(input_dir), *args, **kwargs)
+
+
+def create_models_ipyparallel(configs, ipp_client=None, block=False):
+    """Build a Model per config on an ipyparallel cluster (serial fallback if no
+    client is given). Engines must run in the same working directory."""
+    from ..models import Model
+
+    if ipp_client is None:
+        return [Model(conf) for conf in configs]
+
+    ipp_client[:].use_dill()
+
+    def compute_model(conf):
+        from blueice_tpu.models import Model
+        return Model(conf)
+
+    asyncresult = ipp_client.load_balanced_view().map(
+        compute_model, configs, ordered=True, block=block)
+    return list(asyncresult)

@@ -1,0 +1,54 @@
+"""Prior log-pdf objects usable on both the host and the jit/grad/vmap path.
+
+The reference attaches arbitrary host callables (usually ``scipy.stats.norm(...)
+.logpdf``) as priors (reference: blueice/likelihood.py:488-504). Those work on the
+host evaluation path here too, but cannot be traced by XLA. These classes are the
+jax-compatible equivalents: plain callables built from jnp ops, so a likelihood
+carrying them can be compiled end-to-end.
+"""
+
+import math
+
+import jax.numpy as jnp
+
+__all__ = ['NormalPrior', 'UniformPrior']
+
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+class NormalPrior:
+    """Gaussian log-prior: callable, jax-traceable, picklable, hashable by value."""
+
+    def __init__(self, mu, sigma):
+        self.mu = float(mu)
+        self.sigma = float(sigma)
+
+    def __call__(self, x):
+        z = (jnp.asarray(x) - self.mu) / self.sigma
+        return -0.5 * z * z - math.log(self.sigma) - _LOG_SQRT_2PI
+
+    def __repr__(self):
+        return "NormalPrior(mu=%r, sigma=%r)" % (self.mu, self.sigma)
+
+    def __eq__(self, other):
+        return (isinstance(other, NormalPrior)
+                and (self.mu, self.sigma) == (other.mu, other.sigma))
+
+    def __hash__(self):
+        return hash(('NormalPrior', self.mu, self.sigma))
+
+
+class UniformPrior:
+    """Flat log-prior inside [lo, hi], -inf outside."""
+
+    def __init__(self, lo, hi):
+        self.lo = float(lo)
+        self.hi = float(hi)
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        inside = (x >= self.lo) & (x <= self.hi)
+        return jnp.where(inside, 0.0, -jnp.inf)
+
+    def __repr__(self):
+        return "UniformPrior(lo=%r, hi=%r)" % (self.lo, self.hi)

@@ -1,0 +1,137 @@
+"""Unit tests of the device-side ops against numpy/scipy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy import stats
+from scipy.interpolate import RegularGridInterpolator
+
+from blueice_tpu.ops import (Hist, morph_templates, morph_templates_np,
+                             interp_at_points, interp_at_points_np,
+                             piecewise_lookup, poisson_logpmf,
+                             binned_poisson_logl, extended_logl,
+                             sample_from_template)
+
+
+def test_hist_basics():
+    h = Hist([[0, 1, 5], [0, 1, 4]])
+    h.add(np.array([0.5, 1.5, 0.5]), np.array([0.5, 0.5, 2.0]))
+    assert h.n == 3
+    np.testing.assert_array_equal(h.values, [[1, 1], [1, 0]])
+    np.testing.assert_array_equal(h.bin_volumes(), [[1, 3], [4, 12]])
+    np.testing.assert_array_equal(h.bin_centers(0), [0.5, 3.0])
+    # lookup: clipping and edge conventions
+    np.testing.assert_array_equal(
+        h.lookup(np.array([0.5, 1.5, 100.0]), np.array([0.5, 3.0, 100.0])),
+        [1, 0, 0])
+    # left-edge inclusive: x=1 goes in the second bin
+    assert h.lookup(np.array([1.0]), np.array([0.5]))[0] == 1
+    blank = h.similar_blank()
+    assert blank.n == 0 and blank.shape == h.shape
+
+
+def test_hist_get_random():
+    h = Hist([[0, 1, 2]])
+    h.values = np.array([1.0, 3.0])
+    pts = h.get_random(10000, rng=42)
+    assert pts.shape == (10000, 1)
+    frac_hi = (pts[:, 0] > 1).mean()
+    assert abs(frac_hi - 0.75) < 0.02
+
+
+def test_morph_matches_scipy_rgi():
+    rng = np.random.default_rng(0)
+    axes = [np.array([0.0, 1.0, 2.5]), np.array([-1.0, 0.5])]
+    tensor = rng.normal(size=(3, 2, 4, 5))   # payload shape (4, 5)
+    rgi = RegularGridInterpolator(axes, tensor)
+    for zs in ([0.3, -0.2], [1.0, 0.5], [2.5, -1.0], [2.0, 0.0]):
+        expected = rgi(np.array(zs))[0]
+        got_np = morph_templates_np(tensor, axes, np.array(zs))
+        got_jax = np.asarray(morph_templates(jnp.asarray(tensor), axes,
+                                             jnp.asarray(zs)))
+        np.testing.assert_allclose(got_np, expected, rtol=1e-12)
+        np.testing.assert_allclose(got_jax, expected, rtol=1e-12)
+
+
+def test_morph_exact_at_anchors():
+    axes = [np.array([0.5, 1.0, 2.0, 4.0])]
+    tensor = np.arange(4 * 3, dtype=float).reshape(4, 3)
+    for i, z in enumerate(axes[0]):
+        np.testing.assert_array_equal(
+            morph_templates_np(tensor, axes, np.array([z])), tensor[i])
+        np.testing.assert_array_equal(
+            np.asarray(morph_templates(tensor, axes, jnp.asarray([z]))),
+            tensor[i])
+
+
+def test_interp_at_points_matches_scipy():
+    rng = np.random.default_rng(1)
+    points = [np.linspace(-1, 1, 7), np.array([0.0, 2.0, 3.0])]
+    values = rng.normal(size=(7, 3))
+    rgi = RegularGridInterpolator(points, values)
+    coords = np.stack([rng.uniform(-1, 1, 50), rng.uniform(0, 3, 50)], axis=-1)
+    expected = rgi(coords)
+    np.testing.assert_allclose(interp_at_points_np(values, points, coords),
+                               expected, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(interp_at_points(values, points,
+                                                           coords)),
+                               expected, rtol=1e-10)
+    # Out of range: constant extrapolation (clip)
+    far = np.array([[5.0, -7.0]])
+    np.testing.assert_allclose(interp_at_points_np(values, points, far),
+                               rgi([[1.0, 0.0]]), rtol=1e-10)
+
+
+def test_piecewise_lookup_matches_host():
+    h = Hist([[0, 1, 5], [0, 1, 4]])
+    h.values = np.arange(4.0).reshape(2, 2)
+    coords = np.array([[0.5, 0.5], [1.0, 2.0], [4.9, 3.9], [-3, 99]])
+    got = np.asarray(piecewise_lookup(h.values, h.edges, coords))
+    expected = h.lookup(coords[:, 0], coords[:, 1])
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_poisson_logpmf():
+    k = np.array([0, 1, 5, 100])
+    mu = np.array([0.0, 2.5, 5.0, 80.0])
+    expected = stats.poisson(mu).logpmf(k)
+    np.testing.assert_allclose(np.asarray(poisson_logpmf(k, mu)), expected,
+                               rtol=1e-10)
+    assert np.asarray(poisson_logpmf(0, 0.0)) == 0.0
+
+
+def test_binned_poisson_logl():
+    mus = np.array([10.0, 5.0])
+    pmfs = np.array([[[0.5, 0.5]], [[0.2, 0.8]]])
+    observed = np.array([[4.0, 9.0]])
+    expected_counts = 10 * np.array([0.5, 0.5]) + 5 * np.array([0.2, 0.8])
+    oracle = stats.poisson(expected_counts).logpmf([4, 9]).sum()
+    got = float(binned_poisson_logl(mus, pmfs, observed))
+    np.testing.assert_allclose(got, oracle, rtol=1e-12)
+
+
+def test_extended_logl():
+    mus = np.array([2.0, 3.0])
+    ps = np.array([[0.1, 0.0], [0.3, 0.0]])
+    # second event has zero density -> outlier floor
+    oracle = -5.0 + np.log(2 * 0.1 + 3 * 0.3) + np.log(1e-12)
+    got = float(extended_logl(mus, ps, outlier_likelihood=1e-12))
+    np.testing.assert_allclose(got, oracle, rtol=1e-12)
+    # mask drops padded events entirely
+    got_masked = float(extended_logl(mus, ps, outlier_likelihood=1e-12,
+                                     mask=np.array([True, False])))
+    np.testing.assert_allclose(got_masked, -5.0 + np.log(2 * 0.1 + 3 * 0.3),
+                               rtol=1e-12)
+
+
+def test_sample_from_template():
+    import jax
+    key = jax.random.PRNGKey(0)
+    weights = jnp.asarray([1.0, 0.0, 3.0])
+    edges = [np.array([0.0, 1.0, 2.0, 3.0])]
+    pts = np.asarray(sample_from_template(key, weights, edges, 8000))
+    assert pts.shape == (8000, 1)
+    assert ((pts >= 0) & (pts <= 3)).all()
+    # No mass in the middle bin; 3:1 ratio between last and first
+    assert ((pts[:, 0] >= 1) & (pts[:, 0] < 2)).sum() == 0
+    frac_hi = (pts[:, 0] >= 2).mean()
+    assert abs(frac_hi - 0.75) < 0.02

@@ -1,0 +1,95 @@
+from copy import deepcopy
+
+import numpy as np
+import pytest
+from scipy import stats
+
+from blueice_tpu.test_helpers import conf_for_reparam_test, BASE_CONV_CONFIG
+from blueice_tpu.likelihood import UnbinnedLogLikelihood, LogLikelihoodReParam
+
+
+def _make_old_lf(config):
+    lf_old = UnbinnedLogLikelihood(config)
+    lf_old.add_rate_parameter("op0")
+    lf_old.add_rate_parameter("op1")
+    lf_old.add_rate_parameter("op2")
+    lf_old.prepare()
+    return lf_old
+
+
+def test_likelihood_value():
+    """Closed-form check of the reparameterized likelihood."""
+    config = conf_for_reparam_test(events_per_day=1)
+    conv_config = deepcopy(BASE_CONV_CONFIG)
+    lf_old = _make_old_lf(config)
+    lf_reparam = LogLikelihoodReParam(lf_old, conv_config)
+
+    d = np.zeros(3, dtype=[('x', float), ('source', int)])
+    lf_reparam.set_data(d)
+
+    def compute_lf(np0=1, np1=1):
+        op0 = np0 ** 2
+        op1 = np1 ** 2
+        op2 = np0 * np1
+        sum_s = op0 + op1 + op2
+        return -sum_s + 3 * np.log(sum_s) + 3 * stats.norm.logpdf(0)
+
+    for np0, np1 in zip([1, 2, 3], [1, 2, 3]):
+        assert np.isclose(lf_reparam(np0=np0, np1=np1),
+                          compute_lf(np0=np0, np1=np1), atol=1e-08)
+
+
+def test_likelihoods_before_after_reparam():
+    config = conf_for_reparam_test(events_per_day=1)
+    conv_config = deepcopy(BASE_CONV_CONFIG)
+    lf_old = _make_old_lf(config)
+    lf_reparam = LogLikelihoodReParam(lf_old, conv_config)
+
+    d = lf_reparam.base_model.simulate()
+    lf_reparam.set_data(d)
+    lf_old.set_data(d)
+
+    assert np.isclose(lf_reparam(), lf_old())
+    assert np.isclose(lf_reparam(np0=2),
+                      lf_old(op0_rate_multiplier=4, op2_rate_multiplier=2))
+    assert np.isclose(lf_reparam(np1=2),
+                      lf_old(op1_rate_multiplier=4, op2_rate_multiplier=2))
+    assert np.isclose(lf_reparam(np0=2, np1=2),
+                      lf_old(op0_rate_multiplier=4, op1_rate_multiplier=4,
+                             op2_rate_multiplier=4))
+
+
+@pytest.mark.parametrize("wrong_config,wrong_conv", [(True, False),
+                                                     (False, True)])
+def test_consistency_new_params(wrong_config, wrong_conv):
+    """Inconsistent new parameters (in config or conv_config) are rejected."""
+    config = conf_for_reparam_test(events_per_day=1)
+    conv_config = deepcopy(BASE_CONV_CONFIG)
+
+    if wrong_config:
+        config.pop("np0")
+        config.pop("np1")
+    if wrong_conv:
+        conv_config["np2"] = (np.linspace(1e-12, 10, 2), None, None)
+
+    lf_old = _make_old_lf(config)
+    with pytest.raises(AssertionError):
+        LogLikelihoodReParam(lf_old, conv_config)
+
+
+def test_reparam_parameters_and_bounds():
+    config = conf_for_reparam_test(events_per_day=1)
+    conv_config = deepcopy(BASE_CONV_CONFIG)
+    lf_old = _make_old_lf(config)
+    lf_reparam = LogLikelihoodReParam(lf_old, conv_config)
+
+    # Converted rate parameters disappear; new shape parameters appear
+    assert set(lf_reparam.rate_parameters.keys()) == set()
+    assert {'np0', 'np1'} <= set(lf_reparam.shape_parameters.keys())
+    lo, hi = lf_reparam.get_bounds('np0')
+    assert lo == pytest.approx(1e-12)
+    assert hi == pytest.approx(10)
+
+    # Simulation through the reparameterized model works
+    d = lf_reparam.base_model.simulate(kwargs=dict(np0=2))
+    assert len(d) > 0

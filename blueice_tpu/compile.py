@@ -1,0 +1,319 @@
+"""Lower a prepared likelihood to one pure jax function.
+
+This is the TPU-native inversion of the reference's evaluation path (reference:
+blueice/likelihood.py:318-427, which is host-side numpy + scipy interpolator
+objects called hundreds of times per fit): everything the host ``__call__`` does —
+anchor morphing, rate multipliers, priors, livetime scaling, efficiencies,
+physicality masking, Beeston-Barlow adjustment, the Poisson/extended reduction —
+becomes a single XLA computation over the dense anchor tensors built by
+``prepare()``/``set_data()``. The result composes with jit / grad / hessian /
+vmap, which is what the gradient fitter (:mod:`blueice_tpu.parallel.fitter`) and
+the mesh-sharded toy ensembles (:mod:`blueice_tpu.parallel.toys`) consume.
+
+Out-of-bounds and unphysical parameter points return -inf exactly like the host
+path, but are computed with the clamped-input/`where`-mask pattern so gradients
+stay finite for the optimizer.
+"""
+
+from collections import OrderedDict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops.beeston_barlow import bb_single_adjust
+from .ops.poisson import binned_poisson_logl, extended_logl
+
+__all__ = ['CompiledLogLikelihood', 'build_logl']
+
+
+class CompiledLogLikelihood:
+    """A pure-jax log likelihood plus its parameter metadata.
+
+    Attributes:
+      logl: function params_dict -> scalar loglikelihood (jit/grad/vmap-able).
+      logl_with_data: function (params_dict, data) -> scalar, where ``data`` is
+        the observed-counts tensor (binned) or a (n_sources, n_events) ps tensor
+        plus event mask (unbinned) — the entry point for batched toys.
+      param_names: all parameter names, rates first then shapes
+        (+ 'livetime_days' if included).
+      defaults / bounds: per-parameter base values and (lo, hi) tuples.
+    """
+
+    def __init__(self, logl, logl_with_data, param_names, defaults, bounds,
+                 data, source_likelihood):
+        self.logl = logl
+        self.logl_with_data = logl_with_data
+        self.param_names = list(param_names)
+        self.defaults = dict(defaults)
+        self.bounds = dict(bounds)
+        self.data = data
+        self.lf = source_likelihood
+
+    def params_from_kwargs(self, **kwargs):
+        """Full params dict: defaults overridden by kwargs."""
+        unknown = set(kwargs) - set(self.param_names)
+        if unknown:
+            raise ValueError("Unknown parameters: %s" % sorted(unknown))
+        p = dict(self.defaults)
+        p.update(kwargs)
+        return p
+
+    def __call__(self, **kwargs):
+        return self.logl(self.params_from_kwargs(**kwargs))
+
+
+def _check_prior_traceable(name, prior):
+    try:
+        jax.eval_shape(prior, jnp.zeros(()))
+    except Exception as e:
+        raise TypeError(
+            "The log prior of parameter %r (%r) is not jax-traceable, so the "
+            "likelihood cannot be compiled. Use blueice_tpu.NormalPrior / "
+            "UniformPrior or any jnp-built callable instead of e.g. "
+            "scipy.stats frozen logpdfs (the host __call__ path still accepts "
+            "those)." % (name, prior)) from e
+
+
+def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
+    """Compile the prepared (and, for unbinned, data-bound) likelihood ``lf``.
+
+    :param dtype: cast the anchor tensors (float32 recommended on TPU;
+      None keeps the build dtype).
+    :param include_livetime: expose 'livetime_days' as a parameter (requires a
+      nonzero base livetime in the config).
+    :param with_priors: include rate/shape log-prior terms (they must be
+      jax-traceable callables).
+    :return: :class:`CompiledLogLikelihood`.
+    """
+    from .likelihood import BinnedLogLikelihood, UnbinnedLogLikelihood
+
+    if not lf.is_prepared:
+        if len(lf.shape_parameters):
+            raise RuntimeError("Call prepare() before compiling the likelihood")
+        lf.prepare()
+
+    is_binned = isinstance(lf, BinnedLogLikelihood)
+    if not is_binned and not isinstance(lf, UnbinnedLogLikelihood):
+        raise TypeError("Can only compile Binned/Unbinned log likelihoods")
+
+    source_names = list(lf.source_name_list)
+    n_sources = len(source_names)
+    shape_names = list(lf.shape_parameters.keys())
+    rate_names = [sn + '_rate_multiplier' for sn in source_names]
+
+    # -- parameter metadata ----------------------------------------------------
+    defaults = OrderedDict()
+    bounds = OrderedDict()
+    for rn, sn in zip(rate_names, source_names):
+        defaults[rn] = 1.0
+        bounds[rn] = lf.get_bounds(rn)
+    shape_bounds_lo, shape_bounds_hi = [], []
+    for sp, (anchors, _, base_value) in lf.shape_parameters.items():
+        base_setting = lf.pdf_base_config.get(sp)
+        defaults[sp] = float(base_setting
+                             if isinstance(base_setting, (int, float))
+                             else base_value)
+        lo, hi = lf.get_bounds(sp)
+        bounds[sp] = (lo, hi)
+        shape_bounds_lo.append(lo)
+        shape_bounds_hi.append(hi)
+    shape_bounds_lo = jnp.asarray(np.array(shape_bounds_lo, dtype=float))
+    shape_bounds_hi = jnp.asarray(np.array(shape_bounds_hi, dtype=float))
+
+    base_livetime = lf.pdf_base_config.get('livetime_days', None)
+    param_names = rate_names + shape_names
+    if include_livetime:
+        if not base_livetime:
+            raise ValueError("Cannot expose livetime_days: base livetime is "
+                             "absent or zero")
+        defaults['livetime_days'] = float(base_livetime)
+        bounds['livetime_days'] = (0.0, float('inf'))
+        param_names = param_names + ['livetime_days']
+
+    # -- priors ------------------------------------------------------------------
+    prior_terms = []   # list of (param_name, callable)
+    if with_priors:
+        for sn in source_names:
+            prior = lf.rate_parameters.get(sn)
+            if prior is not None:
+                _check_prior_traceable(sn + '_rate_multiplier', prior)
+                prior_terms.append((sn + '_rate_multiplier', prior))
+        for sp, (_, prior, _) in lf.shape_parameters.items():
+            if prior is not None:
+                _check_prior_traceable(sp, prior)
+                prior_terms.append((sp, prior))
+
+    # -- payload tensors -----------------------------------------------------------
+    def _as_dev(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if dtype is not None else x
+
+    def _compile_build(build, base_constant):
+        """Return a pure function zs_vector -> payload array."""
+        if build is None:
+            const = _as_dev(base_constant)
+            return lambda zs: const
+        kind = build[0]
+        if kind == 'constant':
+            const = _as_dev(build[1])
+            return lambda zs: const
+        if kind == 'global':
+            morpher, tensor = build[1], build[2]
+            tensor = _as_dev(tensor)
+            return lambda zs: morpher.jax_eval(tensor, zs)
+        if kind == 'source_wise':
+            sw = build[1]
+            items = []
+            for sn in source_names:
+                morpher, tensor = sw[sn]
+                items.append((morpher, _as_dev(tensor),
+                              None if morpher is None
+                              else tuple(lf._get_shape_indices(sn))))
+
+            def eval_sw(zs):
+                outs = []
+                for morpher, tensor, idx in items:
+                    if morpher is None:
+                        outs.append(tensor)
+                    else:
+                        outs.append(morpher.jax_eval(
+                            tensor, jnp.stack([zs[i] for i in idx])))
+                return jnp.stack(outs)
+            return eval_sw
+        raise ValueError("Unknown build kind %r" % kind)
+
+    mus_fn = _compile_build(lf._builds.get('mus'),
+                            lf.base_model.expected_events())
+    if 'ps' not in lf._builds:
+        raise RuntimeError(
+            "No density payload available to compile: call set_data() first "
+            "(unbinned) or prepare() (binned)")
+    ps_fn = _compile_build(lf._builds['ps'], None)
+    nme_fn = None
+    if lf._builds.get('n_model_events') is not None:
+        nme_fn = _compile_build(lf._builds['n_model_events'], None)
+
+    # Morpher for externally supplied (toy) per-event ps tensors
+    ps_build_kind = lf._builds['ps'][0]
+    if ps_build_kind == 'global':
+        _ps_morpher = lf._builds['ps'][1]
+
+        def ps_override_fn(tensor, zs):
+            return _ps_morpher.jax_eval(tensor, zs)
+    elif ps_build_kind == 'constant':
+        def ps_override_fn(tensor, zs):
+            return tensor
+    else:
+        def ps_override_fn(tensor, zs):
+            raise NotImplementedError(
+                "Toy-data override is not supported with source-wise "
+                "interpolation yet")
+
+    # -- evaluation-time constants -----------------------------------------------
+    allowed_negative = np.asarray(lf.source_allowed_negative, dtype=bool)
+    any_allowed_negative = bool(allowed_negative.any())
+    apply_eff = np.asarray(lf.source_apply_efficiency, dtype=bool)
+    eff_names = list(lf.source_efficiency_names)
+    outlier_likelihood = lf.config.get('outlier_likelihood', 1e-12)
+
+    bb_source_i = None
+    if is_binned and getattr(lf, 'model_statistical_uncertainty_handling',
+                             None) == 'bb_single':
+        bb_source_i = lf.base_model.get_source_i(lf.config['bb_single_source'])
+
+    if is_binned:
+        observed_data = (_as_dev(lf.data_events_per_bin.values)
+                         if lf.is_data_set else None)
+        event_mask = None
+    else:
+        if not lf.is_data_set:
+            raise RuntimeError("Unbinned likelihoods must have data bound "
+                               "(set_data) before compiling")
+        observed_data = None
+        event_mask = None   # closed-over ps tensors already match the data
+
+    # -- the pure function ------------------------------------------------------------
+    def core(params, data, mask):
+        zs = None
+        penalty = jnp.zeros(())
+        oob = jnp.zeros((), dtype=bool)
+        if shape_names:
+            zs_raw = jnp.stack([jnp.asarray(params[sp]) for sp in shape_names])
+            lo = shape_bounds_lo.astype(zs_raw.dtype)
+            hi = shape_bounds_hi.astype(zs_raw.dtype)
+            oob = jnp.any((zs_raw < lo) | (zs_raw > hi))
+            # Clamp for the interpolation so gradients stay finite; the -inf is
+            # applied through the `where` at the end.
+            zs = jnp.clip(zs_raw, lo, hi)
+
+        mus = mus_fn(zs)
+        if is_binned or data is None:
+            ps = ps_fn(zs)
+        else:
+            # Toy path: `data` is an anchor-ps tensor with the same anchor-grid
+            # layout as the build; morph it at zs.
+            ps = ps_override_fn(data, zs)
+        n_model_events = nme_fn(zs) if nme_fn is not None else None
+
+        mults = jnp.stack([jnp.asarray(params[rn]) for rn in rate_names])
+        mus = mus * mults.astype(mus.dtype)
+
+        if include_livetime:
+            mus = mus * (jnp.asarray(params['livetime_days'])
+                         / base_livetime).astype(mus.dtype)
+
+        if apply_eff.any():
+            effs = []
+            for i, sn in enumerate(source_names):
+                if apply_eff[i] and eff_names[i] in shape_names:
+                    effs.append(jnp.asarray(params[eff_names[i]]))
+                else:
+                    effs.append(jnp.ones(()))
+            mus = jnp.where(jnp.asarray(apply_eff),
+                            mus * jnp.stack(effs).astype(mus.dtype), mus)
+
+        # Physicality policy (reference: blueice/likelihood.py:395-415)
+        finite = jnp.all(mus < jnp.inf)
+        if not any_allowed_negative:
+            unphysical = ~(jnp.all(mus >= 0) & finite)
+        else:
+            per_source_bad = jnp.any((mus < 0)
+                                     & ~jnp.asarray(allowed_negative))
+            unphysical = (~finite) | (jnp.sum(mus) < 0) | per_source_bad
+        # Clamp for downstream math; masked to -inf at the end
+        mus_safe = (mus if any_allowed_negative
+                    else jnp.maximum(mus, 0.0))
+
+        if with_priors:
+            for pname, prior in prior_terms:
+                penalty = penalty + prior(jnp.asarray(params[pname]))
+
+        if is_binned:
+            pmfs = ps
+            if bb_source_i is not None:
+                mus_safe, pmfs = bb_single_adjust(
+                    mus_safe, pmfs, n_model_events, data, bb_source_i)
+            ll = binned_poisson_logl(mus_safe, pmfs, data)
+        else:
+            ll = extended_logl(mus_safe, ps,
+                               outlier_likelihood=outlier_likelihood,
+                               mask=mask)
+
+        ll = ll + penalty
+        bad = oob | unphysical
+        return jnp.where(bad, -jnp.inf, ll)
+
+    if is_binned and observed_data is None:
+        def logl(params):
+            raise RuntimeError("No data bound: call set_data() before "
+                               "compiling, or use logl_with_data")
+    else:
+        def logl(params):
+            return core(params, observed_data, event_mask)
+
+    def logl_with_data(params, data, mask=None):
+        return core(params, data, mask)
+
+    return CompiledLogLikelihood(logl, logl_with_data, param_names, defaults,
+                                 bounds, observed_data, lf)

@@ -671,7 +671,9 @@ class BinnedLogLikelihood(LogLikelihoodBase):
             observed = self.data_events_per_bin.values
             A_bins_1, A_bins_2 = beeston_barlow_roots(
                 a_bins, w_calibration * p_calibration, u_bins, observed)
-            assert np.all(A_bins_1 <= 0)   # first root is the unphysical one
+            # First root must be the unphysical one (tolerance: sqrt rounding
+            # can leave it at +epsilon instead of exactly 0 when U == 0)
+            assert np.all(A_bins_1 <= 1e-6 * np.maximum(1.0, np.abs(A_bins_2)))
 
             # U == 0 bins: the general solution is singular, use the special case
             A_special = (observed + a_bins) / (1.0 + p_calibration)

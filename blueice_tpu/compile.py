@@ -185,20 +185,31 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
 
     mus_fn = _compile_build(lf._builds.get('mus'),
                             lf.base_model.expected_events())
-    if 'ps' not in lf._builds:
+    if 'ps' in lf._builds:
+        ps_fn = _compile_build(lf._builds['ps'], None)
+        ps_build_kind = lf._builds['ps'][0]
+        _ps_morpher = (lf._builds['ps'][1]
+                       if ps_build_kind == 'global' else None)
+    elif not is_binned and not lf.is_data_set:
+        # Data-free unbinned compile (for toy ensembles): densities will always
+        # be supplied through logl_with_data.
+        ps_fn = None
+        if shape_names and not lf.source_wise_interpolation:
+            ps_build_kind, _ps_morpher = 'global', lf.morpher
+        elif not shape_names:
+            ps_build_kind, _ps_morpher = 'constant', None
+        else:
+            ps_build_kind, _ps_morpher = 'source_wise', None
+    else:
         raise RuntimeError(
             "No density payload available to compile: call set_data() first "
             "(unbinned) or prepare() (binned)")
-    ps_fn = _compile_build(lf._builds['ps'], None)
     nme_fn = None
     if lf._builds.get('n_model_events') is not None:
         nme_fn = _compile_build(lf._builds['n_model_events'], None)
 
     # Morpher for externally supplied (toy) per-event ps tensors
-    ps_build_kind = lf._builds['ps'][0]
     if ps_build_kind == 'global':
-        _ps_morpher = lf._builds['ps'][1]
-
         def ps_override_fn(tensor, zs):
             return _ps_morpher.jax_eval(tensor, zs)
     elif ps_build_kind == 'constant':
@@ -227,9 +238,6 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
                          if lf.is_data_set else None)
         event_mask = None
     else:
-        if not lf.is_data_set:
-            raise RuntimeError("Unbinned likelihoods must have data bound "
-                               "(set_data) before compiling")
         observed_data = None
         event_mask = None   # closed-over ps tensors already match the data
 
@@ -304,7 +312,7 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
         bad = oob | unphysical
         return jnp.where(bad, -jnp.inf, ll)
 
-    if is_binned and observed_data is None:
+    if (is_binned and observed_data is None) or (not is_binned and ps_fn is None):
         def logl(params):
             raise RuntimeError("No data bound: call set_data() before "
                                "compiling, or use logl_with_data")
@@ -315,5 +323,45 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
     def logl_with_data(params, data, mask=None):
         return core(params, data, mask)
 
-    return CompiledLogLikelihood(logl, logl_with_data, param_names, defaults,
-                                 bounds, observed_data, lf)
+    def rates(params):
+        """Per-source expected counts at params (after multipliers / livetime /
+        efficiencies, before any Beeston-Barlow adjustment)."""
+        zs = None
+        if shape_names:
+            zs = jnp.stack([jnp.asarray(params[sp]) for sp in shape_names])
+            zs = jnp.clip(zs, shape_bounds_lo.astype(zs.dtype),
+                          shape_bounds_hi.astype(zs.dtype))
+        mus = mus_fn(zs)
+        mults = jnp.stack([jnp.asarray(params[rn]) for rn in rate_names])
+        mus = mus * mults.astype(mus.dtype)
+        if include_livetime:
+            mus = mus * (jnp.asarray(params['livetime_days'])
+                         / base_livetime).astype(mus.dtype)
+        if apply_eff.any():
+            effs = [jnp.asarray(params[eff_names[i]])
+                    if apply_eff[i] and eff_names[i] in shape_names
+                    else jnp.ones(()) for i in range(n_sources)]
+            mus = jnp.where(jnp.asarray(apply_eff),
+                            mus * jnp.stack(effs).astype(mus.dtype), mus)
+        return mus
+
+    def densities(params):
+        """The morphed density payload at params: PMF grids
+        (n_sources, *bins) for binned, per-event ps for unbinned."""
+        if ps_fn is None:
+            raise RuntimeError("No density payload bound (data-free unbinned "
+                               "compile)")
+        zs = None
+        if shape_names:
+            zs = jnp.stack([jnp.asarray(params[sp]) for sp in shape_names])
+            zs = jnp.clip(zs, shape_bounds_lo.astype(zs.dtype),
+                          shape_bounds_hi.astype(zs.dtype))
+        return ps_fn(zs)
+
+    compiled = CompiledLogLikelihood(logl, logl_with_data, param_names,
+                                     defaults, bounds, observed_data, lf)
+    compiled.rates = rates
+    compiled.densities = densities
+    compiled.is_binned = is_binned
+    compiled.dtype = dtype
+    return compiled

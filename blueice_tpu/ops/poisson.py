@@ -28,11 +28,20 @@ def binned_poisson_logl(mus, pmfs, observed):
     :param pmfs: (n_sources, *bins) per-source PMF over the analysis-space bins.
     :param observed: (*bins,) observed counts.
     :return: scalar log likelihood: sum over bins of Poisson(sum_s mu_s pmf_s).
+
+    Zero-expectation bins are floored at the dtype's smallest normal inside the
+    log: an observed count there contributes k*log(tiny) (hugely negative but
+    finite) instead of -inf, which keeps gradients finite for the optimizer —
+    in float32, template tails underflow to exactly 0 and xlogy's derivative
+    0/0 would otherwise poison the whole fit with NaNs.
     """
     mus = jnp.asarray(mus)
     pmfs = jnp.asarray(pmfs)
+    observed = jnp.asarray(observed)
     expected = jnp.tensordot(mus, pmfs, axes=(0, 0))
-    return jnp.sum(poisson_logpmf(jnp.asarray(observed), expected))
+    tiny = jnp.finfo(expected.dtype).tiny
+    return jnp.sum(xlogy(observed, jnp.maximum(expected, tiny)) - expected
+                   - gammaln(observed + 1.0))
 
 
 def extended_logl(mus, ps, outlier_likelihood=0.0, mask=None):

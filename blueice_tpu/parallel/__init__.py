@@ -1,2 +1,6 @@
 from .tasks import (compute_single, compute_many, compute_all,
                     create_models_ipyparallel)
+from .fitter import (fit_single, make_toy_fitter, make_batch_fitter,
+                     minimize_newton)
+from .toys import (make_mesh, shard_toys, BinnedToyStudy, UnbinnedToyStudy,
+                   ToyResults)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ['Transform', 'make_transform', 'minimize_newton', 'fit_single',
-           'make_batch_fitter']
+           'make_toy_fitter', 'make_batch_fitter']
 
 
 class Transform:
@@ -73,15 +73,23 @@ def make_transform(bounds_list):
     return Transform(np.array(kinds), np.array(los), np.array(his))
 
 
-def minimize_newton(f, u0, max_iter=60, tol=1e-8, init_damping=1e-3):
+def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
+                    init_damping=1e-3):
     """Minimize f (smooth scalar function of a small vector) with
     Levenberg-damped Newton steps. Pure jax: jit/vmap-compatible.
+
+    Stops on gradient inf-norm < tol, OR on an accepted step whose relative
+    f-decrease falls below ftol (default: dtype eps^(2/3) — the practical noise
+    floor; without this, float32 fits would spin at max_iter against gradient
+    noise they can never push below a tight tol).
 
     :return: (u_min, f_min, grad_norm, n_iters)
     """
     u0 = jnp.asarray(u0)
     n = u0.shape[0]
     eye = jnp.eye(n, dtype=u0.dtype)
+    if ftol is None:
+        ftol = float(jnp.finfo(u0.dtype).eps) ** (2.0 / 3.0)
 
     grad_f = jax.grad(f)
     hess_f = jax.hessian(f)
@@ -112,7 +120,11 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, init_damping=1e-3):
 
         gnorm = jnp.max(jnp.abs(g))
         step = jnp.max(jnp.abs(u_new - u))
-        done_new = (gnorm < tol) | (accept & (step < 1e-14))
+        fdelta = fval - f_new
+        done_new = ((gnorm < tol)
+                    | (accept & (step < 1e-14))
+                    | (accept & (fdelta <= ftol * (jnp.abs(f_new) + 1.0))
+                       & (it > 3)))
         return (u_new, f_new, lam_new, it + 1, done_new)
 
     f0 = f(u0)
@@ -193,16 +205,26 @@ def fit_single(compiled, fixed=None, guess=None, return_errors=True,
     return results, float(-fval)
 
 
-def make_batch_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
-                      unbinned=False):
-    """Build a jit-able batched fitter over toy datasets.
-
-    :return: fit(data_batch, mask_batch=None) -> (x_batch (n_toys, n_floating),
-      max_ll_batch (n_toys,), n_iter_batch), plus the floating names list.
-    The returned function vmaps the full Newton fit per toy; shard the leading
-    (toys) axis across a device mesh for multi-chip ensembles.
+def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8):
+    """Build the per-toy fit function fit_one(data, mask) ->
+    (x (n_floating,), max_ll, n_iter). Pure jax: compose with vmap/jit/shard.
+    :return: (fit_one, floating names list)
     """
-    names, fixed, transform, x0 = _floating_setup(compiled, fixed, guess)
+    from ..exceptions import NoOpimizationNecessary
+    try:
+        names, fixed, transform, x0 = _floating_setup(compiled, fixed, guess)
+    except NoOpimizationNecessary:
+        # Everything fixed (e.g. the conditional fit of a 1-parameter model):
+        # just evaluate the likelihood at the fixed point.
+        fixed = dict(fixed or {})
+        params = dict(compiled.defaults)
+        params.update(fixed)
+
+        def fit_one(data, mask=None):
+            ll = compiled.logl_with_data(params, data, mask)
+            return (jnp.zeros((0,)), ll, jnp.zeros((), dtype=jnp.int32))
+        return fit_one, []
+
     u0 = transform.to_u(jnp.asarray(x0))
 
     def params_of_u(u):
@@ -213,12 +235,25 @@ def make_batch_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             p[name] = x[i]
         return p
 
-    def fit_one(data, mask):
+    def fit_one(data, mask=None):
         def neg_logl_u(u):
             return -compiled.logl_with_data(params_of_u(u), data, mask)
         u, fval, gnorm, it = minimize_newton(neg_logl_u, u0,
                                              max_iter=max_iter, tol=tol)
         return transform.to_x(u), -fval, it
+
+    return fit_one, names
+
+
+def make_batch_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8):
+    """Build a jit-able batched fitter over toy datasets.
+
+    :return: fit(data_batch, mask_batch=None) -> (x_batch (n_toys, n_floating),
+      max_ll_batch (n_toys,), n_iter_batch), plus the floating names list.
+    The returned function vmaps the full Newton fit per toy; shard the leading
+    (toys) axis across a device mesh for multi-chip ensembles.
+    """
+    fit_one, names = make_toy_fitter(compiled, fixed, guess, max_iter, tol)
 
     def fit(data_batch, mask_batch=None):
         if mask_batch is None:

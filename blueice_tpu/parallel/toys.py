@@ -1,0 +1,350 @@
+"""Batched toy-MC studies: simulate -> fit, vmapped over toys, sharded over a
+TPU mesh.
+
+This is the TPU-native re-imagination of the reference's parallelism layer
+(reference: blueice/parallel.py + the user-side "simulate, set_data, fit, repeat
+10k times" loop described in SURVEY.md §3.5): instead of farming independent
+host fits to worker processes through the filesystem, the *entire* toy pipeline
+— Poisson sampling of datasets, anchor morphing, likelihood evaluation, the full
+Newton fit, the profile-likelihood test statistic — is one XLA program, vmapped
+over the toy axis and partitioned across devices with ``jax.sharding`` (data
+parallelism over toys rides ICI; no host round-trips).
+
+Binned studies are the fast path: the sufficient statistic of a binned
+likelihood is the per-bin count, so toys are Poisson draws over the expected
+count tensor — no event-level simulation at all. Unbinned studies sample padded
+fixed-size event sets from the (source, bin) expectation tensor and score them
+against the anchor templates on device.
+"""
+
+from collections import OrderedDict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..compile import build_logl
+from ..ops.interp import interp_at_points, piecewise_lookup
+from .fitter import make_toy_fitter
+
+__all__ = ['make_mesh', 'shard_toys', 'BinnedToyStudy', 'UnbinnedToyStudy',
+           'ToyResults']
+
+
+def make_mesh(devices=None, axis_name='toys'):
+    """A 1-d device mesh for toy-level data parallelism."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_toys(mesh, tree, axis_name='toys'):
+    """Place each array in ``tree`` with its leading (toys) axis sharded over
+    the mesh. XLA then partitions every vmapped fit across devices."""
+    def put(x):
+        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, tree)
+
+
+class ToyResults:
+    """Results of a batched toy study: parameter arrays keyed by name, the
+    maximum log likelihoods, and Newton iteration counts."""
+
+    def __init__(self, names, x, max_ll, n_iter):
+        self.names = list(names)
+        self.x = np.asarray(x)
+        self.max_ll = np.asarray(max_ll)
+        self.n_iter = np.asarray(n_iter)
+
+    def __getitem__(self, name):
+        return self.x[:, self.names.index(name)]
+
+    def as_dict(self):
+        d = OrderedDict((n, self[n]) for n in self.names)
+        d['max_ll'] = self.max_ll
+        return d
+
+    def __repr__(self):
+        return "ToyResults(n_toys=%d, params=%s)" % (len(self.max_ll),
+                                                     self.names)
+
+
+class BinnedToyStudy:
+    """Batched binned-likelihood toy fits.
+
+    :param lf: a prepared (data not required) BinnedLogLikelihood.
+    :param dtype: device dtype for the anchor tensors (float32 on TPU).
+    """
+
+    def __init__(self, lf, dtype=None, max_iter=60, tol=1e-8):
+        self.lf = lf
+        self.compiled = build_logl(lf, dtype=dtype)
+        if not self.compiled.is_binned:
+            raise TypeError("BinnedToyStudy needs a BinnedLogLikelihood")
+        self.max_iter = max_iter
+        self.tol = tol
+        # jit caches (keyed by frozen fixed/target specs): the fit programs
+        # compile once and are reused across run()/profile_ts() invocations
+        self._fit_cache = {}
+        self._profile_cache = {}
+
+    @staticmethod
+    def _freeze(d):
+        return tuple(sorted((d or {}).items()))
+
+    def expected_counts(self, **truth):
+        """Expected counts per analysis-space bin at the truth parameters."""
+        p = self.compiled.params_from_kwargs(**truth)
+        mus = self.compiled.rates(p)
+        pmfs = self.compiled.densities(p)
+        return jnp.tensordot(mus, pmfs, axes=(0, 0))
+
+    def simulate(self, key, n_toys, truth=None, mesh=None):
+        """(n_toys, *bins) Poisson count tensors at the truth parameters."""
+        expected = self.expected_counts(**(truth or {}))
+        counts = jax.random.poisson(
+            key, expected, shape=(n_toys,) + expected.shape)
+        counts = counts.astype(expected.dtype)
+        if mesh is not None:
+            counts = shard_toys(mesh, counts)
+        return counts
+
+    def fit_toys(self, counts, fixed=None, guess=None):
+        """Fit every toy dataset; returns ToyResults."""
+        key = (self._freeze(fixed), self._freeze(guess))
+        if key not in self._fit_cache:
+            fit_one, names = make_toy_fitter(
+                self.compiled, fixed=fixed, guess=guess,
+                max_iter=self.max_iter, tol=self.tol)
+            self._fit_cache[key] = (jax.jit(jax.vmap(fit_one)), names)
+        fit, names = self._fit_cache[key]
+        x, ll, it = fit(counts)
+        return ToyResults(names, x, ll, it)
+
+    def run(self, key, n_toys, truth=None, fixed=None, mesh=None):
+        """Simulate and fit n_toys datasets in one go."""
+        counts = self.simulate(key, n_toys, truth, mesh)
+        return self.fit_toys(counts, fixed=fixed)
+
+    def profile_ts(self, key, n_toys, target, hypothesis, truth=None,
+                   mesh=None, fixed=None):
+        """Profile-likelihood-ratio test statistic t = 2(LL_free - LL_cond) for
+        each toy, with the conditional fit fixing ``target=hypothesis``.
+        This is the batched engine behind toy-based (Neyman) interval
+        construction.
+        :return: (t array (n_toys,), free ToyResults, conditional ToyResults)
+        """
+        counts = self.simulate(key, n_toys, truth, mesh)
+        fixed = dict(fixed or {})
+        cache_key = (target, float(hypothesis), self._freeze(fixed))
+        if cache_key not in self._profile_cache:
+            fit_free, names_free = make_toy_fitter(
+                self.compiled, fixed=fixed, max_iter=self.max_iter,
+                tol=self.tol)
+            fit_cond, names_cond = make_toy_fitter(
+                self.compiled, fixed={**fixed, target: hypothesis},
+                max_iter=self.max_iter, tol=self.tol)
+
+            @jax.jit
+            def both(counts):
+                xf, llf, itf = jax.vmap(fit_free)(counts)
+                xc, llc, itc = jax.vmap(fit_cond)(counts)
+                t = jnp.maximum(2.0 * (llf - llc), 0.0)
+                return t, (xf, llf, itf), (xc, llc, itc)
+            self._profile_cache[cache_key] = (both, names_free, names_cond)
+
+        both, names_free, names_cond = self._profile_cache[cache_key]
+        t, free, cond = both(counts)
+        return (np.asarray(t), ToyResults(names_free, *free),
+                ToyResults(names_cond, *cond))
+
+
+class UnbinnedToyStudy:
+    """Batched unbinned-likelihood toy fits.
+
+    Toy events are drawn from the (source, bin) expectation tensor at the truth
+    point (uniform within a bin) and scored on-device against the anchor pdf
+    templates — the same interpolation the host sources use
+    (HistogramPdfSource.pdf, reference blueice/source.py:219-246). Analytic
+    sources are represented by their pdf evaluated on the bin-center grid.
+
+    Event sets are padded to ``n_max`` with a validity mask so shapes stay
+    static across the vmapped ensemble.
+    """
+
+    def __init__(self, lf, n_max=None, dtype=None, max_iter=60, tol=1e-8):
+        self.lf = lf
+        self.compiled = build_logl(lf, dtype=dtype)
+        if self.compiled.is_binned:
+            raise TypeError("UnbinnedToyStudy needs an UnbinnedLogLikelihood")
+        self.max_iter = max_iter
+        self.tol = tol
+
+        space = lf.base_model.config['analysis_space']
+        self.edges = [np.asarray(e, dtype=float) for _, e in space]
+        self.centers = [0.5 * (e[1:] + e[:-1]) for e in self.edges]
+        from functools import reduce
+        self.bin_volumes = reduce(np.multiply,
+                                  np.ix_(*[np.diff(e) for e in self.edges]))
+        self.ndim = len(self.edges)
+
+        # Anchor pdf-value templates: (*grid, n_sources, *bins)
+        self._pdf_tensor = jnp.asarray(self._build_pdf_tensor(),
+                                       dtype=dtype)
+        self._method = lf.base_model.sources[0].config.get(
+            'pdf_interpolation_method', 'linear')
+
+        if n_max is None:
+            # Default: mean + 6 sqrt(mean) of the base-model total
+            mu_tot = float(np.sum(lf.base_model.expected_events()))
+            n_max = int(mu_tot + 6 * np.sqrt(mu_tot + 1) + 10)
+        self.n_max = n_max
+        self._fit_cache = {}
+        self._profile_cache = {}
+
+    @staticmethod
+    def _freeze(d):
+        return tuple(sorted((d or {}).items()))
+
+    # -- host-side template construction ------------------------------------------
+
+    def _source_pdf_grid(self, source):
+        """pdf values of one source on the bin-center grid."""
+        h = getattr(source, '_pdf_histogram', None)
+        if h is not None:
+            return np.asarray(h.values, dtype=float)
+        mesh = np.meshgrid(*self.centers, indexing='ij')
+        vals = source.pdf(*[m.ravel() for m in mesh])
+        return np.asarray(vals, dtype=float).reshape(mesh[0].shape)
+
+    def _build_pdf_tensor(self):
+        lf = self.lf
+        if len(lf.shape_parameters):
+            if lf.source_wise_interpolation:
+                raise NotImplementedError(
+                    "Unbinned toy studies with source-wise interpolation are "
+                    "not supported yet")
+            anchor_models = lf.anchor_models
+            grid_shape = tuple(len(a) for a in lf.morpher.anchor_z_arrays)
+            first = next(iter(anchor_models.values()))
+            bins_shape = self._source_pdf_grid(first.sources[0]).shape
+            tensor = np.zeros(grid_shape + (len(lf.source_name_list),)
+                              + bins_shape)
+            for idx, zs in zip(np.ndindex(*grid_shape),
+                               lf.morpher.get_anchor_points()):
+                m = anchor_models[tuple(zs)]
+                for si, s in enumerate(m.sources):
+                    tensor[idx + (si,)] = self._source_pdf_grid(s)
+            return tensor
+        return np.stack([self._source_pdf_grid(s)
+                         for s in lf.base_model.sources])
+
+    # -- device-side pipeline ------------------------------------------------------
+
+    def _sample_one(self, key, weights_sb):
+        """Sample up to n_max events from per-(source, bin) weights.
+        :return: (coords (n_max, ndim), mask (n_max,))"""
+        k_n, k_bin, k_uni = jax.random.split(key, 3)
+        mu_tot = jnp.sum(weights_sb)
+        n = jnp.minimum(jax.random.poisson(k_n, mu_tot), self.n_max)
+        mask = jnp.arange(self.n_max) < n
+
+        flat = weights_sb.reshape(-1)
+        logits = jnp.log(jnp.where(flat > 0, flat, 0.0))
+        choice = jax.random.categorical(k_bin, logits, shape=(self.n_max,))
+        bin_flat = choice % int(np.prod(weights_sb.shape[1:]))
+        multi = jnp.unravel_index(bin_flat, weights_sb.shape[1:])
+        u = jax.random.uniform(k_uni, (self.n_max, self.ndim),
+                               dtype=flat.dtype)
+        cols = []
+        for d, e in enumerate(self.edges):
+            e = jnp.asarray(e)
+            lo, hi = e[multi[d]], e[multi[d] + 1]
+            cols.append(lo + u[:, d] * (hi - lo))
+        return jnp.stack(cols, axis=-1), mask
+
+    def _score_events(self, coords):
+        """Anchor ps tensor for given events: (*grid, n_sources, n_max)."""
+        tensor = self._pdf_tensor
+        lead = tensor.shape[:-self.ndim]       # (*grid, n_sources)
+        flat = tensor.reshape((-1,) + tensor.shape[-self.ndim:])
+        if self._method == 'piecewise':
+            score = jax.vmap(lambda v: piecewise_lookup(v, self.edges, coords))
+        else:
+            score = jax.vmap(
+                lambda v: interp_at_points(v, self.centers, coords))
+        return score(flat).reshape(lead + (coords.shape[0],))
+
+    def expected_weights(self, **truth):
+        """(n_sources, *bins) expected counts per source and bin at truth."""
+        p = self.compiled.params_from_kwargs(**truth)
+        mus = self.compiled.rates(p)
+        pdfs = self._morph_pdf(p)
+        pmf = pdfs * jnp.asarray(self.bin_volumes, dtype=pdfs.dtype)
+        return mus[(...,) + (None,) * self.ndim] * pmf
+
+    def _morph_pdf(self, params):
+        lf = self.lf
+        if len(lf.shape_parameters):
+            zs = jnp.stack([jnp.asarray(params[sp])
+                            for sp in lf.shape_parameters])
+            return lf.morpher.jax_eval(self._pdf_tensor, zs)
+        return self._pdf_tensor
+
+    def run(self, key, n_toys, truth=None, fixed=None, mesh=None):
+        """Simulate and fit n_toys unbinned datasets in one jit program."""
+        weights = self.expected_weights(**(truth or {}))
+        cache_key = self._freeze(fixed)
+        if cache_key not in self._fit_cache:
+            fit_one, names = make_toy_fitter(
+                self.compiled, fixed=fixed, max_iter=self.max_iter,
+                tol=self.tol)
+
+            def one(key, weights):
+                coords, mask = self._sample_one(key, weights)
+                ps_anchor = self._score_events(coords)
+                return fit_one(ps_anchor, mask)
+            self._fit_cache[cache_key] = (
+                jax.jit(jax.vmap(one, in_axes=(0, None))), names)
+
+        run_fn, names = self._fit_cache[cache_key]
+        keys = jax.random.split(key, n_toys)
+        if mesh is not None:
+            keys = shard_toys(mesh, keys)
+        x, ll, it = run_fn(keys, weights)
+        return ToyResults(names, x, ll, it)
+
+    def profile_ts(self, key, n_toys, target, hypothesis, truth=None,
+                   fixed=None, mesh=None):
+        """Batched profile-likelihood test statistic (see
+        BinnedToyStudy.profile_ts)."""
+        weights = self.expected_weights(**(truth or {}))
+        fixed = dict(fixed or {})
+        cache_key = (target, float(hypothesis), self._freeze(fixed))
+        if cache_key not in self._profile_cache:
+            fit_free, names_free = make_toy_fitter(
+                self.compiled, fixed=fixed, max_iter=self.max_iter,
+                tol=self.tol)
+            fit_cond, names_cond = make_toy_fitter(
+                self.compiled, fixed={**fixed, target: hypothesis},
+                max_iter=self.max_iter, tol=self.tol)
+
+            def one(key, weights):
+                coords, mask = self._sample_one(key, weights)
+                ps_anchor = self._score_events(coords)
+                xf, llf, itf = fit_free(ps_anchor, mask)
+                xc, llc, itc = fit_cond(ps_anchor, mask)
+                t = jnp.maximum(2.0 * (llf - llc), 0.0)
+                return t, (xf, llf, itf), (xc, llc, itc)
+            self._profile_cache[cache_key] = (
+                jax.jit(jax.vmap(one, in_axes=(0, None))),
+                names_free, names_cond)
+
+        run_fn, names_free, names_cond = self._profile_cache[cache_key]
+        keys = jax.random.split(key, n_toys)
+        if mesh is not None:
+            keys = shard_toys(mesh, keys)
+        t, free, cond = run_fn(keys, weights)
+        return (np.asarray(t), ToyResults(names_free, *free),
+                ToyResults(names_cond, *cond))

@@ -77,7 +77,7 @@ def test_limit():
     lf = LogLikelihood(conf_for_test(n_sources=2))
     lf.add_rate_parameter('s0')
     lf.prepare()
-    lf.set_data(lf.base_model.simulate())
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(11)))
 
     ul = one_parameter_interval(lf, target='s0_rate_multiplier', kind='upper',
                                 bound=40)

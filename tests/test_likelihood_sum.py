@@ -1,0 +1,122 @@
+"""LogLikelihoodSum and LogAncillaryLikelihood composition tests."""
+
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+from scipy import stats
+
+from blueice_tpu.test_helpers import conf_for_test, almost_equal
+from blueice_tpu.likelihood import (UnbinnedLogLikelihood, LogLikelihoodSum,
+                                    LogAncillaryLikelihood)
+from blueice_tpu.exceptions import InvalidParameter
+from blueice_tpu.inference import bestfit_scipy
+
+
+def _lf(seed, **kw):
+    lf = UnbinnedLogLikelihood(conf_for_test(**kw))
+    lf.add_rate_parameter('s0')
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(seed)))
+    return lf
+
+
+def test_sum_is_sum():
+    lf1 = _lf(1)
+    lf2 = _lf(2, events_per_day=500.)
+    s = LogLikelihoodSum([lf1, lf2])
+    assert s() == lf1() + lf2()
+    assert s(s0_rate_multiplier=2) == lf1(s0_rate_multiplier=2) \
+        + lf2(s0_rate_multiplier=2)
+
+
+def test_sum_weights():
+    lf1 = _lf(1)
+    lf2 = _lf(2)
+    s = LogLikelihoodSum([lf1, lf2], likelihood_weights=[1.0, 0.5])
+    assert s() == lf1() + 0.5 * lf2()
+
+
+def test_sum_parameter_routing():
+    """Parameters only reach the children that declare them."""
+    lf1 = _lf(1)
+    lf2 = UnbinnedLogLikelihood(conf_for_test())
+    lf2.add_shape_parameter('some_multiplier', (0.5, 1, 2))
+    lf2.prepare()
+    lf2.set_data(lf2.base_model.simulate(rng=np.random.default_rng(3)))
+
+    s = LogLikelihoodSum([lf1, lf2])
+    assert s(some_multiplier=2) == lf1() + lf2(some_multiplier=2)
+    assert s(s0_rate_multiplier=2, some_multiplier=2) == \
+        lf1(s0_rate_multiplier=2) + lf2(some_multiplier=2)
+
+    # livetime list routes per child
+    conf = conf_for_test()
+    conf['livetime_days'] = 1
+    lf3 = UnbinnedLogLikelihood(conf)
+    lf3.add_rate_parameter('s0')
+    lf3.prepare()
+    lf3.set_data(lf3.base_model.simulate(rng=np.random.default_rng(4)))
+    s2 = LogLikelihoodSum([lf3, lf3])
+    assert s2(livetime_days=[2, 3]) == lf3(livetime_days=2) \
+        + lf3(livetime_days=3)
+
+
+def test_sum_bounds_and_split():
+    lf1 = UnbinnedLogLikelihood(conf_for_test())
+    lf1.add_shape_parameter('some_multiplier', (0.5, 1, 2))
+    lf1.prepare()
+    lf1.set_data(lf1.base_model.simulate())
+    lf2 = _lf(5)
+
+    s = LogLikelihoodSum([lf1, lf2])
+    assert s.get_bounds('some_multiplier') == (0.5, 2)
+    assert s.get_bounds('s0_rate_multiplier') == (0, float('inf'))
+    with pytest.raises(InvalidParameter):
+        s.get_bounds('nope')
+
+    split = s.split_results({'some_multiplier': 1.5,
+                             's0_rate_multiplier': 2.0})
+    assert split[0] == {'some_multiplier': 1.5}
+    assert split[1] == {'s0_rate_multiplier': 2.0}
+
+
+def test_sum_fit():
+    lf1 = _lf(1)
+    s = LogLikelihoodSum([lf1])
+    fit, ll = bestfit_scipy(s)
+    assert 's0_rate_multiplier' in fit
+
+
+def test_ancillary_likelihood():
+    def constraint(params):
+        return stats.norm(1, 0.1).logpdf(params['efficiency'])
+
+    anc = LogAncillaryLikelihood(constraint, ['efficiency'],
+                                 config={'efficiency': 1.0})
+    assert anc() == stats.norm(1, 0.1).logpdf(1.0)
+    assert anc(efficiency=1.2) == stats.norm(1, 0.1).logpdf(1.2)
+    assert anc.get_bounds('efficiency') == (-np.inf, np.inf)
+
+    # Composes with a real likelihood through LogLikelihoodSum: the constraint
+    # pulls the shared parameter
+    lf = UnbinnedLogLikelihood(conf_for_test())
+    lf.add_rate_parameter('s0')
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(7)))
+    s = LogLikelihoodSum([lf, anc])
+    assert s(efficiency=1.1) == lf() + anc(efficiency=1.1)
+    fit, ll = bestfit_scipy(s)
+    assert 'efficiency' in fit
+    assert abs(fit['efficiency'] - 1.0) < 0.05
+
+
+def test_ancillary_func_kwargs_and_order():
+    seen = {}
+
+    def f(params, scale=1.0):
+        seen['order'] = list(params.keys())
+        return -scale * sum((v - 1) ** 2 for v in params.values())
+
+    anc = LogAncillaryLikelihood(f, ['a', 'b'], config={'a': 1.0, 'b': 2.0},
+                                 func_kwargs={'scale': 3.0})
+    assert anc() == -3.0 * ((1 - 1) ** 2 + (2 - 1) ** 2)
+    assert seen['order'] == ['a', 'b']   # declared parameter order preserved

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from .ops.beeston_barlow import bb_single_adjust
-from .ops.poisson import binned_poisson_logl, extended_logl
+from .ops.poisson import (binned_poisson_logl, binned_poisson_logl_constant,
+                          extended_logl)
 
 __all__ = ['CompiledLogLikelihood', 'build_logl']
 
@@ -242,7 +243,7 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
         event_mask = None   # closed-over ps tensors already match the data
 
     # -- the pure function ------------------------------------------------------------
-    def core(params, data, mask):
+    def core(params, data, mask, include_constant=True):
         zs = None
         penalty = jnp.zeros(())
         oob = jnp.zeros((), dtype=bool)
@@ -302,7 +303,8 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
             if bb_source_i is not None:
                 mus_safe, pmfs = bb_single_adjust(
                     mus_safe, pmfs, n_model_events, data, bb_source_i)
-            ll = binned_poisson_logl(mus_safe, pmfs, data)
+            ll = binned_poisson_logl(mus_safe, pmfs, data,
+                                     include_constant=include_constant)
         else:
             ll = extended_logl(mus_safe, ps,
                                outlier_likelihood=outlier_likelihood,
@@ -320,8 +322,15 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
         def logl(params):
             return core(params, observed_data, event_mask)
 
-    def logl_with_data(params, data, mask=None):
-        return core(params, data, mask)
+    def logl_with_data(params, data, mask=None, include_constant=True):
+        return core(params, data, mask, include_constant)
+
+    def data_constant(data):
+        """The parameter-independent part of logl(data): optimizers drop it
+        inside their loops (loop-invariant) and add it back once."""
+        if is_binned:
+            return binned_poisson_logl_constant(data)
+        return jnp.zeros(())
 
     def rates(params):
         """Per-source expected counts at params (after multipliers / livetime /
@@ -362,6 +371,7 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
                                      defaults, bounds, observed_data, lf)
     compiled.rates = rates
     compiled.densities = densities
+    compiled.data_constant = data_constant
     compiled.is_binned = is_binned
     compiled.dtype = dtype
     return compiled

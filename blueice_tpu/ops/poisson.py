@@ -10,7 +10,8 @@ reference looped over variable-length numpy arrays).
 import jax.numpy as jnp
 from jax.scipy.special import gammaln, xlogy
 
-__all__ = ['poisson_logpmf', 'binned_poisson_logl', 'extended_logl']
+__all__ = ['poisson_logpmf', 'binned_poisson_logl',
+           'binned_poisson_logl_constant', 'extended_logl']
 
 
 def poisson_logpmf(k, mu):
@@ -21,12 +22,16 @@ def poisson_logpmf(k, mu):
     return xlogy(k, mu) - mu - gammaln(k + 1.0)
 
 
-def binned_poisson_logl(mus, pmfs, observed):
+def binned_poisson_logl(mus, pmfs, observed, include_constant=True):
     """Binned Poisson log likelihood.
 
     :param mus: (n_sources,) expected event counts per source.
     :param pmfs: (n_sources, *bins) per-source PMF over the analysis-space bins.
     :param observed: (*bins,) observed counts.
+    :param include_constant: include the parameter-independent -gammaln(k+1)
+      term. Optimizers can drop it (it cancels in every likelihood ratio and is
+      loop-invariant, so recomputing it inside a fit loop is pure waste) and add
+      :func:`binned_poisson_logl_constant` back once.
     :return: scalar log likelihood: sum over bins of Poisson(sum_s mu_s pmf_s).
 
     Zero-expectation bins are floored at the dtype's smallest normal inside the
@@ -40,8 +45,16 @@ def binned_poisson_logl(mus, pmfs, observed):
     observed = jnp.asarray(observed)
     expected = jnp.tensordot(mus, pmfs, axes=(0, 0))
     tiny = jnp.finfo(expected.dtype).tiny
-    return jnp.sum(xlogy(observed, jnp.maximum(expected, tiny)) - expected
-                   - gammaln(observed + 1.0))
+    ll = jnp.sum(xlogy(observed, jnp.maximum(expected, tiny)) - expected)
+    if include_constant:
+        ll = ll + binned_poisson_logl_constant(observed)
+    return ll
+
+
+def binned_poisson_logl_constant(observed):
+    """The parameter-independent term of the binned Poisson log likelihood."""
+    observed = jnp.asarray(observed)
+    return -jnp.sum(gammaln(observed + 1.0))
 
 
 def extended_logl(mus, ps, outlier_likelihood=0.0, mask=None):

@@ -73,15 +73,48 @@ def make_transform(bounds_list):
     return Transform(np.array(kinds), np.array(los), np.array(his))
 
 
+def _solve_spd_small(A, b):
+    """Solve A x = b for tiny symmetric systems with closed forms (n <= 3);
+    falls back to LU for larger n. The batched LU path costs more than the
+    whole likelihood evaluation at these sizes, so this matters inside the
+    vmapped Newton loop."""
+    n = A.shape[0]
+    if n == 1:
+        return b / A[0, 0:1]
+    if n == 2:
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        x0 = (A[1, 1] * b[0] - A[0, 1] * b[1]) / det
+        x1 = (A[0, 0] * b[1] - A[1, 0] * b[0]) / det
+        return jnp.stack([x0, x1])
+    if n == 3:
+        c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
+        c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
+        c02 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
+        det = A[0, 0] * c00 + A[0, 1] * c01 + A[0, 2] * c02
+        c10 = A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2]
+        c11 = A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0]
+        c12 = A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1]
+        c20 = A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]
+        c21 = A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]
+        c22 = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        x0 = (c00 * b[0] + c10 * b[1] + c20 * b[2]) / det
+        x1 = (c01 * b[0] + c11 * b[1] + c21 * b[2]) / det
+        x2 = (c02 * b[0] + c12 * b[1] + c22 * b[2]) / det
+        return jnp.stack([x0, x1, x2])
+    return jnp.linalg.solve(A, b)
+
+
 def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
                     init_damping=1e-3):
     """Minimize f (smooth scalar function of a small vector) with
     Levenberg-damped Newton steps. Pure jax: jit/vmap-compatible.
 
-    Stops on gradient inf-norm < tol, OR on an accepted step whose relative
-    f-decrease falls below ftol (default: dtype eps^(2/3) — the practical noise
-    floor; without this, float32 fits would spin at max_iter against gradient
-    noise they can never push below a tight tol).
+    Stops on gradient inf-norm < tol, OR on an accepted undamped-Newton step
+    whose *absolute* f-decrease falls below ftol (default: 1e-3 in float32,
+    1e-10 in float64 — log-likelihood units, i.e. well below the 0.5/2.71
+    critical values that matter for intervals; without this, float32 fits would
+    spin at max_iter against gradient noise they can never push below a tight
+    tol).
 
     :return: (u_min, f_min, grad_norm, n_iters)
     """
@@ -89,10 +122,19 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
     n = u0.shape[0]
     eye = jnp.eye(n, dtype=u0.dtype)
     if ftol is None:
-        ftol = float(jnp.finfo(u0.dtype).eps) ** (2.0 / 3.0)
+        ftol = 1e-3 if u0.dtype == jnp.float32 else 1e-10
 
     grad_f = jax.grad(f)
-    hess_f = jax.hessian(f)
+    vg_f = jax.value_and_grad(f)
+
+    def val_grad_hess(u):
+        # One primal + n forward-over-reverse passes: value, gradient and the
+        # full Hessian share the primal/reverse computation (vs 3 separate
+        # evaluations with jax.grad + jax.hessian + f)
+        basis = jnp.eye(n, dtype=u.dtype)
+        (vs, gs), (_, Hrows) = jax.vmap(
+            lambda e: jax.jvp(vg_f, (u,), (e,)))(basis)
+        return vs[0], gs[0], Hrows
 
     def cond(carry):
         u, fval, lam, it, done = carry
@@ -100,12 +142,11 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
 
     def body(carry):
         u, fval, lam, it, done = carry
-        g = grad_f(u)
-        H = hess_f(u)
+        _, g, H = val_grad_hess(u)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         H = jnp.where(jnp.isfinite(H), H, 0.0)
 
-        du = -jnp.linalg.solve(H + lam * eye, g)
+        du = -_solve_spd_small(H + lam * eye, g)
         # Fall back to (scaled) steepest descent if the solve went bad
         du = jnp.where(jnp.all(jnp.isfinite(du)), du,
                        -g / jnp.maximum(lam, 1.0))
@@ -121,10 +162,15 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         gnorm = jnp.max(jnp.abs(g))
         step = jnp.max(jnp.abs(u_new - u))
         fdelta = fval - f_new
+        # Only trust a small f-decrease as convergence when the step was a
+        # (nearly) undamped Newton step — a heavily damped crawl can stall
+        # while still far from the optimum
         done_new = ((gnorm < tol)
                     | (accept & (step < 1e-14))
-                    | (accept & (fdelta <= ftol * (jnp.abs(f_new) + 1.0))
-                       & (it > 3)))
+                    | (accept & (fdelta <= ftol) & (lam < 1e-2) & (it > 3))
+                    # Repeated rejections inflated the damping: no step of any
+                    # size improves f — we are at the precision noise floor
+                    | (lam_new > 1e5))
         return (u_new, f_new, lam_new, it + 1, done_new)
 
     f0 = f(u0)
@@ -181,13 +227,21 @@ def fit_single(compiled, fixed=None, guess=None, return_errors=True,
             p[name] = x[i]
         return p
 
+    data = compiled.data
+    const = (float(compiled.data_constant(data)) if data is not None else 0.0)
+
     def neg_logl_u(u):
-        return -compiled.logl(params_of_x(transform.to_x(u)))
+        params = params_of_x(transform.to_x(u))
+        if data is not None:
+            return -compiled.logl_with_data(params, data,
+                                            include_constant=False)
+        return -compiled.logl(params)
 
     u0 = transform.to_u(jnp.asarray(x0))
     run = jax.jit(partial(minimize_newton, neg_logl_u,
                           max_iter=max_iter, tol=tol))
     u, fval, gnorm, it = run(u0)
+    fval = float(fval) - const
     x = np.asarray(transform.to_x(u))
 
     results = OrderedDict((name, float(x[i])) for i, name in enumerate(names))
@@ -236,11 +290,16 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8):
         return p
 
     def fit_one(data, mask=None):
+        # The data-only constant is loop-invariant: keep it out of the
+        # minimized objective, add it back to the reported maximum
+        const = compiled.data_constant(data)
+
         def neg_logl_u(u):
-            return -compiled.logl_with_data(params_of_u(u), data, mask)
+            return -compiled.logl_with_data(params_of_u(u), data, mask,
+                                            include_constant=False)
         u, fval, gnorm, it = minimize_newton(neg_logl_u, u0,
                                              max_iter=max_iter, tol=tol)
-        return transform.to_x(u), -fval, it
+        return transform.to_x(u), -fval + const, it
 
     return fit_one, names
 

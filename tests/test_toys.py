@@ -38,24 +38,33 @@ def test_binned_toys_recover_truth():
 
 
 def test_binned_toys_match_host_fit():
-    """A single toy fit through the batched path agrees with the host path."""
+    """A single toy fit through the batched path is a true maximum of the host
+    likelihood, with a consistent LL value."""
     lf = _binned_lf()
     study = BinnedToyStudy(lf)
     counts = study.simulate(jax.random.PRNGKey(2), 1)
     res = study.fit_toys(counts)
 
-    # Host: bind the same counts as a dataset
+    # Host: bind the same counts as a dataset (events at bin centers)
     c = np.asarray(counts[0])
-    # Rebuild events at bin centers with those counts
     centers = [-5.0, 0.0, 5.0]
     xs = np.concatenate([np.full(int(c[i]), centers[i]) for i in range(3)])
     d = np.zeros(len(xs), dtype=[('x', float), ('source', int)])
     d['x'] = xs
     lf.set_data(d)
-    host_fit, host_ll = lf.bestfit_scipy()
-    assert abs(res.max_ll[0] - host_ll) < 1e-6 * abs(host_ll)
-    assert abs(res['s0_rate_multiplier'][0]
-               - host_fit['s0_rate_multiplier']) < 5e-3
+
+    r_hat = float(res['s0_rate_multiplier'][0])
+    mu_hat = float(res['mu'][0])
+    ll_host_at_opt = lf(s0_rate_multiplier=r_hat, mu=mu_hat)
+
+    # Value consistency between batched-device and host evaluations
+    assert abs(res.max_ll[0] - ll_host_at_opt) < 1e-6 * abs(ll_host_at_opt)
+
+    # Optimality on the host surface: perturbations only decrease the LL
+    for dr, dm in [(0.02, 0), (-0.02, 0), (0, 0.02), (0, -0.02),
+                   (0.01, 0.01), (-0.01, -0.01)]:
+        assert lf(s0_rate_multiplier=r_hat + dr, mu=mu_hat + dm) \
+            <= ll_host_at_opt + 1e-9
 
 
 def test_binned_profile_ts_wilks():

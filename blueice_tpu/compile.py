@@ -374,4 +374,20 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
     compiled.data_constant = data_constant
     compiled.is_binned = is_binned
     compiled.dtype = dtype
+    # Metadata for the analytic (closed-form derivative) fit engine
+    compiled.shape_names = shape_names
+    compiled.rate_names = rate_names
+    compiled.has_bb = bb_source_i is not None
+    compiled.prior_terms = prior_terms
+    if ('ps' in lf._builds and ps_build_kind == 'global'
+            and hasattr(_ps_morpher, 'anchor_z_arrays')):
+        compiled.ps_tensor = _as_dev(lf._builds['ps'][2])
+        compiled.anchor_arrays = [np.asarray(a, dtype=float)
+                                  for a in _ps_morpher.anchor_z_arrays]
+    elif ps_build_kind == 'constant' and 'ps' in lf._builds:
+        compiled.ps_tensor = _as_dev(lf._builds['ps'][1])
+        compiled.anchor_arrays = []
+    else:
+        compiled.ps_tensor = None
+        compiled.anchor_arrays = None
     return compiled

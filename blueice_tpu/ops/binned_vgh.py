@@ -1,0 +1,156 @@
+"""Analytic value+gradient+Hessian of the binned Poisson likelihood in the
+(morph-weight, rate) parameterization — one fused pass instead of separate
+autodiff value/grad/Hessian evaluations.
+
+The morphed template is multilinear in the per-axis lerp weights t and linear
+in the per-source rates m, so every derivative of
+
+    ll(m, t) = sum_n [ k_n log(lambda_n / k_n) - (lambda_n - k_n) ],
+    lambda_n = sum_s m_s * P_{s,n}(t),
+    P(t)     = sum_{c in {0,1}^K} w_c(t) * C_c            (corner templates)
+
+has a closed form in the corner templates: dP/dt_d lerps the corner
+*differences* along axis d, d2P/dt_d dt_e lerps double differences, and
+d2P/dt_d^2 = 0. The likelihood curvature follows from
+
+    g_p    = sum_n r_n dlam/dp,            r = k/lambda - 1
+    H_pq   = sum_n [ -q_n dlam/dp dlam/dq + r_n d2lam/dpdq ],  q = k/lambda^2.
+
+This is the hot inner loop of every Newton fit over the anchor grid; the
+jnp implementation here is the reference/XLA engine, and the Pallas TPU kernel
+in :mod:`blueice_tpu.ops.fused` computes the same contract with the anchor
+tensor resident in VMEM.
+"""
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ['corner_weight_tables', 'binned_vgh']
+
+
+def corner_weight_tables(t):
+    """Weights of the 2^K corners and their first/second t-derivatives.
+
+    :param t: (K,) lerp weights in [0, 1].
+    :return: (w (2^K,), wd (K, 2^K), wx (K, K, 2^K)) where
+      w_c = prod_d (c_d ? t_d : 1-t_d), wd[d] = dw/dt_d, wx[d,e] = d2w/dt_d dt_e
+      (zero on the diagonal — multilinearity).
+    """
+    K = t.shape[0]
+    if K == 0:
+        return (jnp.ones(1, dtype=t.dtype),
+                jnp.zeros((0, 1), dtype=t.dtype),
+                jnp.zeros((0, 0, 1), dtype=t.dtype))
+    corners = list(itertools.product((0, 1), repeat=K))
+    w_list, wd_list, wx_list = [], [], []
+    for c in corners:
+        factors = [t[d] if c[d] else 1.0 - t[d] for d in range(K)]
+        dfactors = [1.0 if c[d] else -1.0 for d in range(K)]
+
+        def prod_except(skip):
+            out = jnp.ones((), dtype=t.dtype)
+            for d in range(K):
+                if d not in skip:
+                    out = out * factors[d]
+            return out
+
+        w_list.append(prod_except(()))
+        wd_list.append([dfactors[d] * prod_except((d,)) for d in range(K)])
+        wx_list.append([[(dfactors[d] * dfactors[e] * prod_except((d, e)))
+                         if d != e else jnp.zeros((), dtype=t.dtype)
+                         for e in range(K)] for d in range(K)])
+    w = jnp.stack(w_list)                                    # (2^K,)
+    wd = jnp.stack([jnp.stack(x) for x in wd_list], axis=1)  # (K, 2^K)
+    wx = jnp.stack([jnp.stack([jnp.stack(r) for r in x])
+                    for x in wx_list], axis=2)               # (K, K, 2^K)
+    return w, wd, wx
+
+
+def binned_vgh(corners, m, t, observed):
+    """Deviance-form LL, gradient and Hessian w.r.t. (m, t) for one dataset.
+
+    :param corners: (2^K, S, N) corner templates around the query point
+      (flattened over the K anchor axes in C order; K inferred from t).
+    :param m: (S,) per-source expected counts.
+    :param t: (K,) per-axis lerp weights.
+    :param observed: (N,) observed counts.
+    :return: (ll, g (S+K,), H (S+K, S+K)), parameter order [m_1..S, t_1..K].
+      ll excludes the saturated-model constant (see
+      ops.poisson.binned_poisson_logl_constant).
+    """
+    corners = jnp.asarray(corners)
+    m = jnp.asarray(m, dtype=corners.dtype)
+    t = jnp.asarray(t, dtype=corners.dtype)
+    observed = jnp.asarray(observed, dtype=corners.dtype)
+    K = t.shape[0]
+    S = m.shape[0]
+
+    if K > 0:
+        w, wd, wx = corner_weight_tables(t)
+        P = jnp.tensordot(w, corners, axes=(0, 0))            # (S, N)
+        D = jnp.tensordot(wd, corners, axes=(1, 0))           # (K, S, N)
+        X = jnp.tensordot(wx, corners, axes=(2, 0))           # (K, K, S, N)
+    else:
+        P = corners[0]
+        D = jnp.zeros((0,) + P.shape, dtype=corners.dtype)
+        X = jnp.zeros((0, 0) + P.shape, dtype=corners.dtype)
+
+    lam = jnp.tensordot(m, P, axes=(0, 0))                    # (N,)
+    tiny = jnp.finfo(corners.dtype).tiny
+    lam_safe = jnp.maximum(lam, tiny)
+    k_safe = jnp.where(observed > 0, observed, 1.0)
+
+    ll = jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
+    r = observed / lam_safe - 1.0                             # (N,)
+    q = observed / (lam_safe * lam_safe)                      # (N,)
+
+    # Gradient
+    g_m = P @ r                                               # (S,)
+    Dbar = jnp.einsum('s,ksn->kn', m, D)                      # (K, N)
+    g_t = Dbar @ r                                            # (K,)
+
+    # Hessian blocks
+    H_mm = -jnp.einsum('sn,n,zn->sz', P, q, P)                # (S, S)
+    H_mt = (-jnp.einsum('sn,n,kn->sk', P, q, Dbar)
+            + jnp.einsum('ksn,n->sk', D, r))                  # (S, K)
+    Xbar = jnp.einsum('s,kesn->ken', m, X)                    # (K, K, N)
+    H_tt = (-jnp.einsum('kn,n,en->ke', Dbar, q, Dbar)
+            + jnp.einsum('ken,n->ke', Xbar, r))               # (K, K)
+
+    g = jnp.concatenate([g_m, g_t])
+    H = jnp.block([[H_mm, H_mt], [H_mt.T, H_tt]])
+    return ll, g, H
+
+
+def binned_ll(corners, m, t, observed):
+    """Value-only deviance-form LL on the corner block (cheap accept-step
+    evaluation inside the Newton loop)."""
+    corners = jnp.asarray(corners)
+    m = jnp.asarray(m, dtype=corners.dtype)
+    t = jnp.asarray(t, dtype=corners.dtype)
+    observed = jnp.asarray(observed, dtype=corners.dtype)
+    K = t.shape[0]
+    if K > 0:
+        w, _, _ = corner_weight_tables(t)
+        P = jnp.tensordot(w, corners, axes=(0, 0))
+    else:
+        P = corners[0]
+    lam = jnp.tensordot(m, P, axes=(0, 0))
+    lam_safe = jnp.maximum(lam, jnp.finfo(corners.dtype).tiny)
+    k_safe = jnp.where(observed > 0, observed, 1.0)
+    return jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
+
+
+def gather_corners(tensor, idx, K, extra_ndim):
+    """Corner block (2^K, *extra) around integer lower-corner indices ``idx``
+    from a tensor with K leading anchor axes."""
+    tensor = jnp.asarray(tensor)
+    extra_shape = tensor.shape[K:]
+    zero = jnp.zeros((), dtype=jnp.int32)
+    starts = tuple(jnp.asarray(i, jnp.int32) for i in idx) \
+        + (zero,) * len(extra_shape)
+    block = lax.dynamic_slice(tensor, starts, (2,) * K + extra_shape)
+    return block.reshape((2 ** K,) + extra_shape)

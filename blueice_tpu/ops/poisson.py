@@ -45,16 +45,28 @@ def binned_poisson_logl(mus, pmfs, observed, include_constant=True):
     observed = jnp.asarray(observed)
     expected = jnp.tensordot(mus, pmfs, axes=(0, 0))
     tiny = jnp.finfo(expected.dtype).tiny
-    ll = jnp.sum(xlogy(observed, jnp.maximum(expected, tiny)) - expected)
+
+    # Deviance-centered form: per-bin term k*log(lambda/k) - (lambda - k),
+    # exactly 0 at lambda == k and O(residual^2/k) near it. The saturated-model
+    # part k*log k - k - lgamma(k+1) moves into the constant. This keeps the
+    # *parameter-dependent* part of the sum at O(n_dof) magnitude, so float32
+    # resolves likelihood differences (profile-LR statistics need ~0.01) even
+    # when the raw log likelihood is ~1e6 — essential on TPU.
+    k_safe = jnp.where(observed > 0, observed, 1.0)
+    ll = jnp.sum(xlogy(observed, jnp.maximum(expected, tiny) / k_safe)
+                 - (expected - observed))
     if include_constant:
         ll = ll + binned_poisson_logl_constant(observed)
     return ll
 
 
 def binned_poisson_logl_constant(observed):
-    """The parameter-independent term of the binned Poisson log likelihood."""
+    """The parameter-independent (saturated-model) term of the binned Poisson
+    log likelihood: sum of k*log(k) - k - gammaln(k+1)."""
     observed = jnp.asarray(observed)
-    return -jnp.sum(gammaln(observed + 1.0))
+    k_safe = jnp.where(observed > 0, observed, 1.0)
+    return jnp.sum(xlogy(observed, k_safe) - observed
+                   - gammaln(observed + 1.0))
 
 
 def extended_logl(mus, ps, outlier_likelihood=0.0, mask=None):

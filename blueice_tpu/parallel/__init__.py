@@ -4,3 +4,4 @@ from .fitter import (fit_single, make_toy_fitter, make_batch_fitter,
                      minimize_newton)
 from .toys import (make_mesh, shard_toys, BinnedToyStudy, UnbinnedToyStudy,
                    ToyResults)
+from .neyman import NeymanConstruction

@@ -104,8 +104,34 @@ def _solve_spd_small(A, b):
     return jnp.linalg.solve(A, b)
 
 
+def _coordinate_polish(f, u, fval, rounds=1):
+    """Per-coordinate line-search polish: one vmapped candidate batch per
+    coordinate. Rescues optima pinned on the axis-aligned C0 kinks of the
+    anchor grid (where Newton directions keep crossing the kink) and costs
+    only value evaluations."""
+    n = u.shape[0]
+    steps = jnp.asarray([0.3, -0.3, 0.1, -0.1, 0.03, -0.03, 0.01, -0.01,
+                         3e-3, -3e-3, 1e-3, -1e-3, 3e-4, -3e-4],
+                        dtype=u.dtype)
+
+    def per_coord(i, carry):
+        u, fval = carry
+        e = jnp.zeros((n,), dtype=u.dtype).at[i].set(1.0)
+        cands = u[None, :] + steps[:, None] * e[None, :]
+        fs = jax.vmap(f)(cands)
+        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+        best = jnp.argmin(fs)
+        better = fs[best] < fval
+        return (jnp.where(better, cands[best], u),
+                jnp.where(better, fs[best], fval))
+
+    for _ in range(rounds):
+        u, fval = lax.fori_loop(0, n, per_coord, (u, fval))
+    return u, fval
+
+
 def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
-                    init_damping=1e-3):
+                    init_damping=1e-3, vgh=None, polish=1):
     """Minimize f (smooth scalar function of a small vector) with
     Levenberg-damped Newton steps. Pure jax: jit/vmap-compatible.
 
@@ -124,40 +150,71 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
     if ftol is None:
         ftol = 1e-3 if u0.dtype == jnp.float32 else 1e-10
 
-    grad_f = jax.grad(f)
     vg_f = jax.value_and_grad(f)
 
-    def val_grad_hess(u):
-        # One primal + n forward-over-reverse passes: value, gradient and the
-        # full Hessian share the primal/reverse computation (vs 3 separate
-        # evaluations with jax.grad + jax.hessian + f)
-        basis = jnp.eye(n, dtype=u.dtype)
-        (vs, gs), (_, Hrows) = jax.vmap(
-            lambda e: jax.jvp(vg_f, (u,), (e,)))(basis)
-        return vs[0], gs[0], Hrows
+    if vgh is not None:
+        val_grad_hess = vgh
+    else:
+        def val_grad_hess(u):
+            # One primal + n forward-over-reverse passes: value, gradient and
+            # the full Hessian share the primal/reverse computation (vs 3
+            # separate evaluations with jax.grad + jax.hessian + f)
+            basis = jnp.eye(n, dtype=u.dtype)
+            (vs, gs), (_, Hrows) = jax.vmap(
+                lambda e: jax.jvp(vg_f, (u,), (e,)))(basis)
+            return vs[0], gs[0], Hrows
 
     def cond(carry):
-        u, fval, lam, it, done = carry
+        u, fval, lam, nu, it, done = carry
         return (~done) & (it < max_iter)
 
     def body(carry):
-        u, fval, lam, it, done = carry
+        u, fval, lam, nu, it, done = carry
         _, g, H = val_grad_hess(u)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         H = jnp.where(jnp.isfinite(H), H, 0.0)
 
-        du = -_solve_spd_small(H + lam * eye, g)
+        # Marquardt scaling: damp relative to the local curvature scale, so
+        # the same lam schedule works whether Hessian entries are ~1 or ~1e5
+        # (and large lam always yields a scaled steepest-descent step that can
+        # rescue an indefinite H)
+        d = jnp.maximum(jnp.abs(jnp.diag(H)), 1e-10)
+        du = -_solve_spd_small(H + lam * (d * eye), g)
         # Fall back to (scaled) steepest descent if the solve went bad
         du = jnp.where(jnp.all(jnp.isfinite(du)), du,
-                       -g / jnp.maximum(lam, 1.0))
-        u_try = u + du
-        f_try = f(u_try)
+                       -g / (jnp.maximum(lam, 1.0) * d))
+
+        # Backtracking line search along du, evaluated as ONE vmapped batch:
+        # rescues steps across the C0 kinks of the piecewise-multilinear
+        # anchor morphing (where a full Newton step often overshoots) at the
+        # cost of a single extra fused value pass
+        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03], dtype=u.dtype)
+        cands = u[None, :] + alphas[:, None] * du[None, :]
+        fs = jax.vmap(f)(cands)
+        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+        best = jnp.argmin(fs)
+        f_try = fs[best]
+        u_try = cands[best]
+        alpha = alphas[best]
 
         accept = jnp.isfinite(f_try) & (f_try < fval)
+        # Nielsen gain-ratio damping schedule: compare the actual decrease to
+        # the quadratic model's prediction; shrink lam aggressively on good
+        # steps, inflate geometrically on rejections. Far better than a fixed
+        # up/down factor on ridge-shaped (near-degenerate) profiles.
+        predicted = -(alpha * (g @ du)
+                      + 0.5 * alpha * alpha * (du @ (H @ du)))
+        rho = (fval - f_try) / jnp.where(predicted > 0, predicted, 1.0)
+        good = accept & (predicted > 0)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_new = jnp.clip(
+            jnp.where(good, lam * shrink,
+                      jnp.where(accept, lam, lam * nu)),
+            1e-12, 1e10)
+        nu_new = jnp.where(accept, 2.0, jnp.minimum(nu * 2.0, 64.0))
+
         u_new = jnp.where(accept, u_try, u)
         f_new = jnp.where(accept, f_try, fval)
-        lam_new = jnp.clip(jnp.where(accept, lam * 0.25, lam * 8.0),
-                           1e-12, 1e12)
 
         gnorm = jnp.max(jnp.abs(g))
         step = jnp.max(jnp.abs(u_new - u))
@@ -167,17 +224,31 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         # while still far from the optimum
         done_new = ((gnorm < tol)
                     | (accept & (step < 1e-14))
-                    | (accept & (fdelta <= ftol) & (lam < 1e-2) & (it > 3))
-                    # Repeated rejections inflated the damping: no step of any
-                    # size improves f — we are at the precision noise floor
-                    | (lam_new > 1e5))
-        return (u_new, f_new, lam_new, it + 1, done_new)
+                    | (accept & (fdelta <= ftol) & (lam < 1e-2)
+                       & (alpha == 1.0) & (it > 3))
+                    # Damping inflated to where steps are ~1e-8 of a Newton
+                    # step and still nothing improves f: precision noise floor
+                    | (lam_new > 1e8))
+        return (u_new, f_new, lam_new, nu_new, it + 1, done_new)
 
     f0 = f(u0)
     carry = (u0, f0, jnp.asarray(init_damping, dtype=u0.dtype),
+             jnp.asarray(2.0, dtype=u0.dtype),
              jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=bool))
-    u, fval, lam, it, done = lax.while_loop(cond, body, carry)
-    return u, fval, jnp.max(jnp.abs(grad_f(u))), it
+    u, fval, lam, nu, it, done = lax.while_loop(cond, body, carry)
+    if polish:
+        # Polish + (if it moved) one more LM descent + final polish: the
+        # coordinate pass frees fits pinned on anchor-grid kinks, the extra
+        # Newton leg re-converges the remaining smooth directions
+        u1, f1 = _coordinate_polish(f, u, fval, rounds=polish)
+        moved = f1 < fval - 1e-12
+        carry2 = (u1, f1, jnp.asarray(init_damping, dtype=u0.dtype),
+                  jnp.asarray(2.0, dtype=u0.dtype),
+                  jnp.zeros((), dtype=jnp.int32), ~moved)
+        u2, f2, _, _, it2, _ = lax.while_loop(cond, body, carry2)
+        u3, f3 = _coordinate_polish(f, u2, f2, rounds=polish)
+        u, fval, it = u3, f3, it + it2
+    return u, fval, jnp.max(jnp.abs(val_grad_hess(u)[1])), it
 
 
 def _floating_setup(compiled, fixed, guess=None):
@@ -259,27 +330,28 @@ def fit_single(compiled, fixed=None, guess=None, return_errors=True,
     return results, float(-fval)
 
 
-def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8):
-    """Build the per-toy fit function fit_one(data, mask) ->
-    (x (n_floating,), max_ll, n_iter). Pure jax: compose with vmap/jit/shard.
-    :return: (fit_one, floating names list)
-    """
-    from ..exceptions import NoOpimizationNecessary
-    try:
-        names, fixed, transform, x0 = _floating_setup(compiled, fixed, guess)
-    except NoOpimizationNecessary:
-        # Everything fixed (e.g. the conditional fit of a 1-parameter model):
-        # just evaluate the likelihood at the fixed point.
-        fixed = dict(fixed or {})
-        params = dict(compiled.defaults)
-        params.update(fixed)
+def _analytic_supported(compiled):
+    """The closed-form derivative engine covers: binned, no Beeston-Barlow, a
+    dense global anchor grid (or no shape parameters)."""
+    return (compiled.is_binned and not compiled.has_bb
+            and compiled.ps_tensor is not None
+            and compiled.anchor_arrays is not None)
 
-        def fit_one(data, mask=None):
-            ll = compiled.logl_with_data(params, data, mask)
-            return (jnp.zeros((0,)), ll, jnp.zeros((), dtype=jnp.int32))
-        return fit_one, []
 
-    u0 = transform.to_u(jnp.asarray(x0))
+def _make_analytic_parts(compiled, names, fixed, transform):
+    """Build (value_fn(u, data_flat), vgh_fn(u, data_flat)) computing the
+    negated objective from closed-form (m, t)-derivatives + chain rule through
+    the (tiny) parameter graph: transforms, rate morphing, priors."""
+    from ..ops.binned_vgh import binned_vgh, binned_ll, gather_corners
+
+    shape_names = compiled.shape_names
+    K = len(shape_names)
+    S = len(compiled.rate_names)
+    ps_tensor = compiled.ps_tensor
+    # Flatten analysis-space bins: (*grid, S, N)
+    grid_shape = ps_tensor.shape[:K]
+    ps_flat = ps_tensor.reshape(grid_shape + (S, -1))
+    anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
 
     def params_of_u(u):
         x = transform.to_x(u)
@@ -289,7 +361,140 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8):
             p[name] = x[i]
         return p
 
-    def fit_one(data, mask=None):
+    def mt_of_u(u):
+        """Float (m, t) vector — the differentiable tiny graph."""
+        p = params_of_u(u)
+        m = compiled.rates(p)
+        ts = []
+        for d, sp in enumerate(shape_names):
+            arr = anchor_arrays[d]
+            z = jnp.clip(jnp.asarray(p[sp]), arr[0], arr[-1])
+            i = jnp.clip(jnp.searchsorted(arr, z, side='right') - 1,
+                         0, arr.shape[0] - 2)
+            ts.append(jnp.clip((z - arr[i]) / (arr[i + 1] - arr[i]), 0.0, 1.0))
+        t = (jnp.stack(ts) if ts
+             else jnp.zeros((0,), dtype=m.dtype))
+        return jnp.concatenate([m.astype(u.dtype), t.astype(u.dtype)])
+
+    def idx_of_u(u):
+        p = params_of_u(u)
+        idxs = []
+        for d, sp in enumerate(shape_names):
+            arr = anchor_arrays[d]
+            z = jnp.clip(jnp.asarray(p[sp]), arr[0], arr[-1])
+            idxs.append(jnp.clip(
+                jnp.searchsorted(arr, z, side='right') - 1,
+                0, arr.shape[0] - 2))
+        return idxs
+
+    def prior_of_u(u):
+        p = params_of_u(u)
+        out = jnp.zeros(())
+        for pname, prior in compiled.prior_terms:
+            out = out + prior(jnp.asarray(p[pname]))
+        return out
+
+    def _corners(u):
+        if K == 0:
+            return ps_flat[None]
+        return gather_corners(ps_flat, idx_of_u(u), K, 2)
+
+    def value_fn(u, data_flat):
+        mt = mt_of_u(u)
+        ll = binned_ll(_corners(u), mt[:S], mt[S:], data_flat)
+        return -(ll + prior_of_u(u))
+
+    def vgh_fn(u, data_flat):
+        mt = mt_of_u(u)
+        ll, g_mt, H_mt = binned_vgh(_corners(u), mt[:S], mt[S:], data_flat)
+        J = jax.jacfwd(mt_of_u)(u)                       # (S+K, n)
+        Hmap = jax.jacfwd(jax.jacfwd(mt_of_u))(u)        # (S+K, n, n)
+        pv, pg = jax.value_and_grad(prior_of_u)(u)
+        pH = jax.hessian(prior_of_u)(u)
+        val = -(ll + pv)
+        g = -(J.T @ g_mt + pg)
+        H = -(J.T @ H_mt @ J
+              + jnp.tensordot(g_mt, Hmap, axes=(0, 0)) + pH)
+        return val, g, H
+
+    return value_fn, vgh_fn
+
+
+def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
+                    engine='auto', runtime_fixed=()):
+    """Build the per-toy fit function fit_one(data, mask[, fixed_values]) ->
+    (x (n_floating,), max_ll, n_iter). Pure jax: compose with vmap/jit/shard.
+
+    :param engine: 'ad' uses autodiff value/grad/Hessian of the compiled
+      likelihood; 'analytic' uses the closed-form (m, t)-derivative engine
+      (binned, no Beeston-Barlow); 'auto' picks analytic when supported.
+    :param runtime_fixed: parameter names fixed at *call time* — their values
+      arrive as fit_one's third argument (a vector aligned with this list), so
+      e.g. a Neyman hypothesis scan reuses one compiled program instead of
+      recompiling per hypothesis value.
+    :return: (fit_one, floating names list)
+    """
+    from ..exceptions import NoOpimizationNecessary
+    runtime_fixed = list(runtime_fixed)
+    fixed = dict(fixed or {})
+    for rname in runtime_fixed:
+        fixed.setdefault(rname, compiled.defaults[rname])  # placeholder
+
+    try:
+        names, fixed, transform, x0 = _floating_setup(compiled, fixed, guess)
+    except NoOpimizationNecessary:
+        # Everything fixed (e.g. the conditional fit of a 1-parameter model):
+        # just evaluate the likelihood at the fixed point.
+        base_params = dict(compiled.defaults)
+        base_params.update(fixed)
+
+        def fit_one(data, mask=None, fixed_values=()):
+            params = dict(base_params)
+            for i, rname in enumerate(runtime_fixed):
+                params[rname] = fixed_values[i]
+            ll = compiled.logl_with_data(params, data, mask)
+            return (jnp.zeros((0,)), ll, jnp.zeros((), dtype=jnp.int32))
+        return fit_one, []
+
+    u0 = transform.to_u(jnp.asarray(x0))
+
+    use_analytic = (engine == 'analytic'
+                    or (engine == 'auto' and _analytic_supported(compiled)))
+    if engine == 'analytic' and not _analytic_supported(compiled):
+        raise ValueError("The analytic derivative engine supports binned "
+                         "likelihoods without Beeston-Barlow on a dense "
+                         "global anchor grid")
+
+    if use_analytic:
+        def fit_one(data, mask=None, fixed_values=()):
+            run_fixed = dict(fixed)
+            for i, rname in enumerate(runtime_fixed):
+                run_fixed[rname] = fixed_values[i]
+            value_fn, vgh_fn = _make_analytic_parts(compiled, names,
+                                                    run_fixed, transform)
+            const = compiled.data_constant(data)
+            data_flat = jnp.asarray(data).reshape(-1)
+            u, fval, gnorm, it = minimize_newton(
+                lambda u: value_fn(u, data_flat), u0,
+                max_iter=max_iter, tol=tol,
+                vgh=lambda u: vgh_fn(u, data_flat))
+            return transform.to_x(u), -fval + const, it
+
+        return fit_one, names
+
+    def fit_one(data, mask=None, fixed_values=()):
+        run_fixed = dict(fixed)
+        for i, rname in enumerate(runtime_fixed):
+            run_fixed[rname] = fixed_values[i]
+
+        def params_of_u(u):
+            x = transform.to_x(u)
+            p = dict(compiled.defaults)
+            p.update(run_fixed)
+            for i, name in enumerate(names):
+                p[name] = x[i]
+            return p
+
         # The data-only constant is loop-invariant: keep it out of the
         # minimized objective, add it back to the reported maximum
         const = compiled.data_constant(data)

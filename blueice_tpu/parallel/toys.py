@@ -136,28 +136,56 @@ class BinnedToyStudy:
         :return: (t array (n_toys,), free ToyResults, conditional ToyResults)
         """
         counts = self.simulate(key, n_toys, truth, mesh)
+        both, names_free, names_cond = self._profile_fn(target, fixed)
+        t, free, cond = both(counts, jnp.asarray(float(hypothesis)))
+        return (np.asarray(t), ToyResults(names_free, *free),
+                ToyResults(names_cond, *cond))
+
+    def _profile_fn(self, target, fixed):
+        """One compiled free+conditional double fit with the hypothesis as a
+        *runtime* argument: hypothesis scans (Neyman constructions) reuse a
+        single XLA program."""
         fixed = dict(fixed or {})
-        cache_key = (target, float(hypothesis), self._freeze(fixed))
+        cache_key = (target, self._freeze(fixed))
         if cache_key not in self._profile_cache:
             fit_free, names_free = make_toy_fitter(
                 self.compiled, fixed=fixed, max_iter=self.max_iter,
                 tol=self.tol)
             fit_cond, names_cond = make_toy_fitter(
-                self.compiled, fixed={**fixed, target: hypothesis},
+                self.compiled, fixed=fixed, runtime_fixed=[target],
                 max_iter=self.max_iter, tol=self.tol)
 
             @jax.jit
-            def both(counts):
+            def both(counts, hypothesis):
                 xf, llf, itf = jax.vmap(fit_free)(counts)
-                xc, llc, itc = jax.vmap(fit_cond)(counts)
+                xc, llc, itc = jax.vmap(
+                    lambda d: fit_cond(d, None, (hypothesis,)))(counts)
                 t = jnp.maximum(2.0 * (llf - llc), 0.0)
                 return t, (xf, llf, itf), (xc, llc, itc)
             self._profile_cache[cache_key] = (both, names_free, names_cond)
+        return self._profile_cache[cache_key]
 
-        both, names_free, names_cond = self._profile_cache[cache_key]
-        t, free, cond = both(counts)
-        return (np.asarray(t), ToyResults(names_free, *free),
-                ToyResults(names_cond, *cond))
+    def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
+                        mesh=None, truth=None, truth_at_hypothesis=True):
+        """Profile-LR toy distributions across a hypothesis grid (the engine of
+        a Neyman construction). One compiled program serves every hypothesis.
+
+        :param truth_at_hypothesis: simulate each ensemble with the target set
+          to the hypothesis (the standard construction); otherwise use ``truth``
+          for all ensembles.
+        :return: array (n_hypotheses, n_toys) of t values.
+        """
+        both, _, _ = self._profile_fn(target, fixed)
+        out = []
+        for i, h in enumerate(np.asarray(hypotheses, dtype=float)):
+            sim_truth = dict(truth or {})
+            if truth_at_hypothesis:
+                sim_truth[target] = float(h)
+            counts = self.simulate(jax.random.fold_in(key, i), n_toys,
+                                   sim_truth, mesh)
+            t, _, _ = both(counts, jnp.asarray(h))
+            out.append(np.asarray(t))
+        return np.stack(out)
 
 
 class UnbinnedToyStudy:
@@ -320,31 +348,53 @@ class UnbinnedToyStudy:
         """Batched profile-likelihood test statistic (see
         BinnedToyStudy.profile_ts)."""
         weights = self.expected_weights(**(truth or {}))
+        run_fn, names_free, names_cond = self._profile_fn(target, fixed)
+        keys = jax.random.split(key, n_toys)
+        if mesh is not None:
+            keys = shard_toys(mesh, keys)
+        t, free, cond = run_fn(keys, weights, jnp.asarray(float(hypothesis)))
+        return (np.asarray(t), ToyResults(names_free, *free),
+                ToyResults(names_cond, *cond))
+
+    def _profile_fn(self, target, fixed):
+        """Compiled sample->score->double-fit pipeline with the hypothesis as a
+        runtime argument (see BinnedToyStudy._profile_fn)."""
         fixed = dict(fixed or {})
-        cache_key = (target, float(hypothesis), self._freeze(fixed))
+        cache_key = (target, self._freeze(fixed))
         if cache_key not in self._profile_cache:
             fit_free, names_free = make_toy_fitter(
                 self.compiled, fixed=fixed, max_iter=self.max_iter,
                 tol=self.tol)
             fit_cond, names_cond = make_toy_fitter(
-                self.compiled, fixed={**fixed, target: hypothesis},
+                self.compiled, fixed=fixed, runtime_fixed=[target],
                 max_iter=self.max_iter, tol=self.tol)
 
-            def one(key, weights):
+            def one(key, weights, hypothesis):
                 coords, mask = self._sample_one(key, weights)
                 ps_anchor = self._score_events(coords)
                 xf, llf, itf = fit_free(ps_anchor, mask)
-                xc, llc, itc = fit_cond(ps_anchor, mask)
+                xc, llc, itc = fit_cond(ps_anchor, mask, (hypothesis,))
                 t = jnp.maximum(2.0 * (llf - llc), 0.0)
                 return t, (xf, llf, itf), (xc, llc, itc)
             self._profile_cache[cache_key] = (
-                jax.jit(jax.vmap(one, in_axes=(0, None))),
+                jax.jit(jax.vmap(one, in_axes=(0, None, None))),
                 names_free, names_cond)
+        return self._profile_cache[cache_key]
 
-        run_fn, names_free, names_cond = self._profile_cache[cache_key]
-        keys = jax.random.split(key, n_toys)
-        if mesh is not None:
-            keys = shard_toys(mesh, keys)
-        t, free, cond = run_fn(keys, weights)
-        return (np.asarray(t), ToyResults(names_free, *free),
-                ToyResults(names_cond, *cond))
+    def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
+                        mesh=None, truth=None, truth_at_hypothesis=True):
+        """Profile-LR toy distributions across a hypothesis grid (see
+        BinnedToyStudy.profile_ts_scan)."""
+        run_fn, _, _ = self._profile_fn(target, fixed)
+        out = []
+        for i, h in enumerate(np.asarray(hypotheses, dtype=float)):
+            sim_truth = dict(truth or {})
+            if truth_at_hypothesis:
+                sim_truth[target] = float(h)
+            weights = self.expected_weights(**sim_truth)
+            keys = jax.random.split(jax.random.fold_in(key, i), n_toys)
+            if mesh is not None:
+                keys = shard_toys(mesh, keys)
+            t, _, _ = run_fn(keys, weights, jnp.asarray(h))
+            out.append(np.asarray(t))
+        return np.stack(out)

@@ -9,21 +9,33 @@ carrying them can be compiled end-to-end.
 
 import math
 
-import jax.numpy as jnp
+import numpy as np
 
 __all__ = ['NormalPrior', 'UniformPrior']
 
 _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 
 
+def _is_host_value(x):
+    """True for plain python/numpy values: compute with numpy (a jnp call here
+    would dispatch a tiny kernel to the accelerator on every host-path
+    likelihood evaluation — ruinous through a remote-TPU tunnel)."""
+    return isinstance(x, (int, float, np.generic, np.ndarray))
+
+
 class NormalPrior:
-    """Gaussian log-prior: callable, jax-traceable, picklable, hashable by value."""
+    """Gaussian log-prior: callable on host floats (numpy) and on jax tracers
+    (jnp), picklable, hashable by value."""
 
     def __init__(self, mu, sigma):
         self.mu = float(mu)
         self.sigma = float(sigma)
 
     def __call__(self, x):
+        if _is_host_value(x):
+            z = (x - self.mu) / self.sigma
+            return -0.5 * z * z - math.log(self.sigma) - _LOG_SQRT_2PI
+        import jax.numpy as jnp
         z = (jnp.asarray(x) - self.mu) / self.sigma
         return -0.5 * z * z - math.log(self.sigma) - _LOG_SQRT_2PI
 
@@ -46,6 +58,9 @@ class UniformPrior:
         self.hi = float(hi)
 
     def __call__(self, x):
+        if _is_host_value(x):
+            return 0.0 if self.lo <= x <= self.hi else -float('inf')
+        import jax.numpy as jnp
         x = jnp.asarray(x)
         inside = (x >= self.lo) & (x <= self.hi)
         return jnp.where(inside, 0.0, -jnp.inf)

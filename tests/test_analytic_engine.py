@@ -1,0 +1,106 @@
+"""The closed-form (analytic) derivative engine must agree with autodiff."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from blueice_tpu.test_helpers import conf_for_test
+from blueice_tpu.likelihood import BinnedLogLikelihood
+from blueice_tpu.compile import build_logl
+from blueice_tpu.ops.binned_vgh import (binned_vgh, binned_ll,
+                                        corner_weight_tables, gather_corners)
+from blueice_tpu.parallel.fitter import make_toy_fitter
+from blueice_tpu.parallel.toys import BinnedToyStudy
+from blueice_tpu import NormalPrior
+
+
+def test_corner_weight_tables():
+    t = jnp.asarray([0.3, 0.7])
+    w, wd, wx = corner_weight_tables(t)
+    # Weights sum to one; derivative tables match finite structure
+    np.testing.assert_allclose(float(w.sum()), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(w),
+                               [0.7 * 0.3, 0.7 * 0.7, 0.3 * 0.3, 0.3 * 0.7],
+                               rtol=1e-12)
+    # d/dt autodiff check
+    J = jax.jacfwd(lambda t: corner_weight_tables(t)[0])(t)   # (4, 2)
+    np.testing.assert_allclose(np.asarray(J.T), np.asarray(wd), rtol=1e-12)
+    H = jax.jacfwd(jax.jacfwd(lambda t: corner_weight_tables(t)[0]))(t)
+    np.testing.assert_allclose(np.asarray(np.moveaxis(H, 0, -1)),
+                               np.asarray(wx), rtol=1e-12)
+
+
+def test_binned_vgh_matches_autodiff():
+    rng = np.random.default_rng(0)
+    K, S, N = 2, 3, 40
+    corners = jnp.asarray(rng.random((2 ** K, S, N)) + 0.01)
+    m = jnp.asarray([10.0, 5.0, 2.0])
+    t = jnp.asarray([0.3, 0.6])
+    observed = jnp.asarray(rng.poisson(5.0, N).astype(float))
+
+    ll, g, H = binned_vgh(corners, m, t, observed)
+
+    def f(mt):
+        return binned_ll(corners, mt[:S], mt[S:], observed)
+
+    mt = jnp.concatenate([m, t])
+    np.testing.assert_allclose(float(ll), float(f(mt)), rtol=1e-12)
+    g_ad = jax.grad(f)(mt)
+    H_ad = jax.hessian(f)(mt)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_ad), rtol=1e-8,
+                               atol=1e-10)
+
+
+def test_gather_corners():
+    tensor = jnp.arange(3 * 4 * 2 * 5.0).reshape(3, 4, 2, 5)
+    block = gather_corners(tensor, [jnp.asarray(1), jnp.asarray(2)], 2, 2)
+    assert block.shape == (4, 2, 5)
+    np.testing.assert_array_equal(np.asarray(block[0]),
+                                  np.asarray(tensor[1, 2]))
+    np.testing.assert_array_equal(np.asarray(block[3]),
+                                  np.asarray(tensor[2, 3]))
+
+
+def _binned_lf():
+    conf = conf_for_test(mc=True, analysis_space=[['x', [-10, -2, 0, 2, 10]]],
+                         n_events_for_pdf=int(2e5))
+    lf = BinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0', log_prior=NormalPrior(1, 0.2))
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.add_shape_parameter('sigma', (0.8, 1.0, 1.2))
+    lf.prepare()
+    return lf
+
+
+def test_analytic_engine_matches_ad_fits():
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    counts = study.simulate(jax.random.PRNGKey(0), 16)
+
+    fit_ad, names = make_toy_fitter(study.compiled, engine='ad')
+    fit_an, names2 = make_toy_fitter(study.compiled, engine='analytic')
+    assert names == names2
+
+    x_ad, ll_ad, it_ad = jax.jit(jax.vmap(lambda d: fit_ad(d)))(counts)
+    x_an, ll_an, it_an = jax.jit(jax.vmap(lambda d: fit_an(d)))(counts)
+
+    np.testing.assert_allclose(np.asarray(ll_an), np.asarray(ll_ad),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(x_an), np.asarray(x_ad),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_analytic_engine_rejected_when_unsupported():
+    conf = conf_for_test(mc=True, analysis_space=[['x', [-10, 0, 10]]],
+                         n_events_for_pdf=int(1e4))
+    from blueice_tpu.likelihood import UnbinnedLogLikelihood
+    lf = UnbinnedLogLikelihood(conf_for_test(mc=True,
+                                             n_events_for_pdf=int(1e4)))
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(0)))
+    c = build_logl(lf)
+    with pytest.raises(ValueError, match="analytic derivative engine"):
+        make_toy_fitter(c, engine='analytic')

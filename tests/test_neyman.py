@@ -1,0 +1,78 @@
+"""Neyman construction: toy-calibrated critical values feeding the interval
+root-finder."""
+
+import numpy as np
+import jax
+import pytest
+from scipy import stats
+
+from blueice_tpu.test_helpers import conf_for_test
+from blueice_tpu.likelihood import BinnedLogLikelihood
+from blueice_tpu.parallel import BinnedToyStudy, NeymanConstruction
+
+
+def _lf():
+    conf = conf_for_test(mc=True, analysis_space=[['x', [-10, -1, 1, 10]]],
+                         n_events_for_pdf=int(1e5))
+    lf = BinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    return lf
+
+
+def test_neyman_scan_and_ppf():
+    lf = _lf()
+    study = BinnedToyStudy(lf)
+    nc = NeymanConstruction(study, 's0_rate_multiplier')
+    with pytest.raises(RuntimeError):
+        nc.t_ppf(1.0, 0.9)
+
+    nc.scan(jax.random.PRNGKey(0), hypotheses=[0.7, 1.0, 1.3], n_toys=400)
+    assert nc.t_sorted.shape == (3, 400)
+
+    # Wilks regime: the 90% critical value should be near chi2(1).ppf(0.9)
+    wilks = stats.chi2(1).ppf(0.9)
+    for h in (0.7, 1.0, 1.3):
+        crit = nc.t_ppf(h, 0.9)
+        assert 0.5 * wilks < crit < 2.0 * wilks, (h, crit, wilks)
+
+    # ppf interpolates between hypotheses and clamps outside the scan range
+    mid = nc.t_ppf(0.85, 0.9)
+    assert min(nc.t_ppf(0.7, 0.9), nc.t_ppf(1.0, 0.9)) - 1e-9 <= mid \
+        <= max(nc.t_ppf(0.7, 0.9), nc.t_ppf(1.0, 0.9)) + 1e-9
+    assert nc.t_ppf(0.1, 0.9) == nc.t_ppf(0.7, 0.9)
+
+    # By construction ~90% of toys fall below their own critical value
+    cov = nc.coverage_check(0.9)
+    assert np.all(np.abs(cov - 0.9) < 0.05), cov
+
+
+def test_neyman_interval_end_to_end():
+    """Toy-calibrated upper limit lands near the Wilks limit in the asymptotic
+    regime, via the reference t_ppf hook."""
+    lf = _lf()
+    study = BinnedToyStudy(lf)
+    nc = NeymanConstruction(study, 's0_rate_multiplier')
+    nc.scan(jax.random.PRNGKey(1), hypotheses=np.linspace(0.7, 1.6, 4),
+            n_toys=400)
+
+    d = lf.base_model.simulate(rng=np.random.default_rng(5))
+    lf.set_data(d)
+    ul_neyman = lf.one_parameter_interval('s0_rate_multiplier', bound=3,
+                                          kind='upper', confidence_level=0.9,
+                                          t_ppf=nc.t_ppf)
+    ul_wilks = lf.one_parameter_interval('s0_rate_multiplier', bound=3,
+                                         kind='upper', confidence_level=0.9)
+    assert 0.8 * ul_wilks < ul_neyman < 1.25 * ul_wilks
+
+
+def test_profile_scan_shares_compilation():
+    """Scanning hypotheses must reuse one compiled program (runtime
+    hypothesis), not recompile per value."""
+    lf = _lf()
+    study = BinnedToyStudy(lf)
+    ts = study.profile_ts_scan(jax.random.PRNGKey(0), 's0_rate_multiplier',
+                               hypotheses=[0.9, 1.0, 1.1], n_toys=50)
+    assert ts.shape == (3, 50)
+    # the cache holds exactly one compiled profile program
+    assert len(study._profile_cache) == 1

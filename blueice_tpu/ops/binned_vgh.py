@@ -104,8 +104,11 @@ def binned_vgh(corners, m, t, observed):
     k_safe = jnp.where(observed > 0, observed, 1.0)
 
     ll = jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
-    r = observed / lam_safe - 1.0                             # (N,)
-    q = observed / (lam_safe * lam_safe)                      # (N,)
+    # Reciprocal form: lam_safe**2 would underflow to 0 for empty bins
+    # (lam == tiny) and poison q with 0/0
+    inv_lam = 1.0 / lam_safe
+    r = observed * inv_lam - 1.0                              # (N,)
+    q = (observed * inv_lam) * inv_lam                        # (N,)
 
     # Gradient
     g_m = P @ r                                               # (S,)
@@ -120,8 +123,12 @@ def binned_vgh(corners, m, t, observed):
     H_tt = (-jnp.einsum('kn,n,en->ke', Dbar, q, Dbar)
             + jnp.einsum('ken,n->ke', Xbar, r))               # (K, K)
 
+    if K == 0:
+        return ll, g_m, H_mm
     g = jnp.concatenate([g_m, g_t])
-    H = jnp.block([[H_mm, H_mt], [H_mt.T, H_tt]])
+    top = jnp.concatenate([H_mm, H_mt], axis=1)
+    bottom = jnp.concatenate([H_mt.T, H_tt], axis=1)
+    H = jnp.concatenate([top, bottom], axis=0)
     return ll, g, H
 
 

@@ -338,11 +338,18 @@ def _analytic_supported(compiled):
             and compiled.anchor_arrays is not None)
 
 
-def _make_analytic_parts(compiled, names, fixed, transform):
+def _make_analytic_parts(compiled, names, fixed, transform,
+                         use_pallas=False):
     """Build (value_fn(u, data_flat), vgh_fn(u, data_flat)) computing the
     negated objective from closed-form (m, t)-derivatives + chain rule through
-    the (tiny) parameter graph: transforms, rate morphing, priors."""
+    the (tiny) parameter graph: transforms, rate morphing, priors.
+
+    With use_pallas, the heavy (ll, g, H) op runs as the fused Pallas kernel
+    (anchor tensor VMEM-resident); interpret mode is selected automatically on
+    non-TPU backends.
+    """
     from ..ops.binned_vgh import binned_vgh, binned_ll, gather_corners
+    from ..ops import fused
 
     shape_names = compiled.shape_names
     K = len(shape_names)
@@ -352,6 +359,15 @@ def _make_analytic_parts(compiled, names, fixed, transform):
     grid_shape = ps_tensor.shape[:K]
     ps_flat = ps_tensor.reshape(grid_shape + (S, -1))
     anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
+
+    if use_pallas:
+        n_bins = int(np.prod(ps_tensor.shape[K + 1:]))
+        G = int(np.prod(grid_shape)) if K else 1
+        anchor_flat = jnp.asarray(fused.pad_bins(
+            np.asarray(ps_flat).reshape(G, S, n_bins)))
+        n_pad = anchor_flat.shape[-1] - n_bins
+        strides = tuple(int(np.prod(grid_shape[d + 1:])) for d in range(K))
+        interpret = jax.default_backend() != 'tpu'
 
     def params_of_u(u):
         x = transform.to_x(u)
@@ -404,17 +420,26 @@ def _make_analytic_parts(compiled, names, fixed, transform):
         ll = binned_ll(_corners(u), mt[:S], mt[S:], data_flat)
         return -(ll + prior_of_u(u))
 
-    def vgh_fn(u, data_flat):
+    def _raw_vgh(u, data_flat):
         mt = mt_of_u(u)
-        ll, g_mt, H_mt = binned_vgh(_corners(u), mt[:S], mt[S:], data_flat)
+        if use_pallas:
+            data_padded = (jnp.pad(data_flat, (0, n_pad)) if n_pad
+                           else data_flat)
+            return fused.binned_vgh_fused(
+                anchor_flat, strides, idx_of_u(u), mt[S:], mt[:S],
+                data_padded, interpret=interpret)
+        return binned_vgh(_corners(u), mt[:S], mt[S:], data_flat)
+
+    def vgh_fn(u, data_flat):
+        ll, g_mt, H_mt = _raw_vgh(u, data_flat)
         J = jax.jacfwd(mt_of_u)(u)                       # (S+K, n)
         Hmap = jax.jacfwd(jax.jacfwd(mt_of_u))(u)        # (S+K, n, n)
         pv, pg = jax.value_and_grad(prior_of_u)(u)
         pH = jax.hessian(prior_of_u)(u)
         val = -(ll + pv)
-        g = -(J.T @ g_mt + pg)
-        H = -(J.T @ H_mt @ J
-              + jnp.tensordot(g_mt, Hmap, axes=(0, 0)) + pH)
+        g = -(J.T @ g_mt.astype(u.dtype) + pg)
+        H = -(J.T @ H_mt.astype(u.dtype) @ J
+              + jnp.tensordot(g_mt.astype(u.dtype), Hmap, axes=(0, 0)) + pH)
         return val, g, H
 
     return value_fn, vgh_fn
@@ -458,9 +483,10 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
 
     u0 = transform.to_u(jnp.asarray(x0))
 
-    use_analytic = (engine == 'analytic'
+    use_pallas = engine == 'pallas'
+    use_analytic = (engine in ('analytic', 'pallas')
                     or (engine == 'auto' and _analytic_supported(compiled)))
-    if engine == 'analytic' and not _analytic_supported(compiled):
+    if engine in ('analytic', 'pallas') and not _analytic_supported(compiled):
         raise ValueError("The analytic derivative engine supports binned "
                          "likelihoods without Beeston-Barlow on a dense "
                          "global anchor grid")
@@ -471,7 +497,8 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             for i, rname in enumerate(runtime_fixed):
                 run_fixed[rname] = fixed_values[i]
             value_fn, vgh_fn = _make_analytic_parts(compiled, names,
-                                                    run_fixed, transform)
+                                                    run_fixed, transform,
+                                                    use_pallas=use_pallas)
             const = compiled.data_constant(data)
             data_flat = jnp.asarray(data).reshape(-1)
             u, fval, gnorm, it = minimize_newton(

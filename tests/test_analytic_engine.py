@@ -92,6 +92,26 @@ def test_analytic_engine_matches_ad_fits():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_pallas_engine_matches_analytic_fits():
+    """The Pallas-kernel engine (interpret mode on CPU) reproduces the jnp
+    analytic engine's fits."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    counts = study.simulate(jax.random.PRNGKey(1), 4)
+
+    fit_an, names = make_toy_fitter(study.compiled, engine='analytic')
+    fit_pl, names2 = make_toy_fitter(study.compiled, engine='pallas')
+    assert names == names2
+
+    x_an, ll_an, _ = jax.jit(jax.vmap(lambda d: fit_an(d)))(counts)
+    x_pl, ll_pl, _ = jax.jit(jax.vmap(lambda d: fit_pl(d)))(counts)
+
+    np.testing.assert_allclose(np.asarray(ll_pl), np.asarray(ll_an),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_an),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_analytic_engine_rejected_when_unsupported():
     conf = conf_for_test(mc=True, analysis_space=[['x', [-10, 0, 10]]],
                          n_events_for_pdf=int(1e4))

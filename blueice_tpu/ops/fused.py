@@ -3,17 +3,20 @@ Poisson likelihood over anchor templates.
 
 This is the Pallas port of :func:`blueice_tpu.ops.binned_vgh.binned_vgh`, the
 hot inner op of every Newton iteration of every toy fit. The XLA version
-re-reads the 2^K corner templates from HBM on each derivative pass of each
-iteration of each toy; here the whole anchor tensor is pinned in VMEM (it is
-small: anchors x sources x bins, ~6 MB for a XENON1T-style model) and the
-corner gather, multilinear combination, per-bin residual math and all (S+K)^2
-curvature reductions happen in one kernel — the only HBM traffic is the tiny
+re-gathers the 2^K corner templates from HBM for every toy on every derivative
+pass; here the whole anchor tensor (anchors x sources x bins — ~6 MB for a
+XENON1T-style model) is DMA'd **once** into VMEM scratch that persists across
+the sequential grid steps, and every toy's corner gather, multilinear
+combination, per-bin residual math and (S+K)^2 curvature reductions run against
+that resident copy. HBM traffic per toy drops from 2^K templates to the tiny
 per-toy inputs/outputs.
 
 The kernel computes derivatives *analytically* (the morphed template is
 multilinear in the lerp weights and linear in the rates — see
 ops/binned_vgh.py for the math), so no autodiff traces through the
-pallas_call: the fitter consumes (ll, g, H) directly.
+pallas_call. Batching is explicit: the op is wrapped in jax.custom_batching so
+`vmap` (the fitter's toy axis) dispatches one blocked-grid kernel instead of
+naively broadcasting the anchor tensor per toy.
 
 The bin axis must be padded to a multiple of 128 (TPU lane width) with
 all-zero template/data bins — zero bins contribute exactly nothing to the
@@ -31,9 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binned_vgh import corner_weight_tables
 
-__all__ = ['binned_vgh_fused', 'fused_vgh_supported', 'pad_bins']
+__all__ = ['binned_vgh_fused', 'binned_ll_fused_multi', 'fused_vgh_supported',
+           'pad_bins']
 
 LANE = 128
+TOY_BLOCK = 8
 
 
 def _round_up(x, m):
@@ -53,120 +58,371 @@ def pad_bins(arr, axis=-1):
 
 
 def fused_vgh_supported(anchor_flat_shape, dtype=jnp.float32,
-                        vmem_budget=10 * 2 ** 20):
+                        vmem_budget=9 * 2 ** 20):
     """Whether the anchor tensor fits the VMEM-resident kernel."""
     g, s, n = anchor_flat_shape
     n_pad = _round_up(n, LANE)
     return g * s * n_pad * jnp.dtype(dtype).itemsize <= vmem_budget
 
 
-def _vgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, obs_ref, anchor_ref,
-                ll_ref, g_ref, h_ref, *, S, K, C, pairs):
-    """Single-toy kernel body.
+def _vgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, obs_ref, anchor_hbm,
+                ll_ref, g_ref, h_ref, scratch_ref, sem,
+                *, S, K, C, pairs, blk):
+    """Blocked-batch kernel body. Per grid step, ``blk`` toys.
 
-    Shapes: ids (C,) int32 SMEM; w (1, C), wd (K|1, C), wx (n_pairs|1, C),
-    m (1, S), obs (1, N) VMEM; anchor (G, S, N) VMEM (resident);
-    out: ll (1, 1), g (1, P), h (P, P) VMEM, P = S + K.
+    Shapes: ids (blk, C) int32 SMEM; w (blk, C), wd (blk, K|1, C),
+    wx (blk, n_pairs|1, C), m (blk, S), obs (blk, N) VMEM;
+    anchor (G, S, N) in HBM/ANY, copied once into scratch (VMEM, persists
+    across the sequential grid steps); out: ll (blk, 1) SMEM, g (blk, P),
+    h (blk, P, P) VMEM, P = S + K.
     """
-    dtype = anchor_ref.dtype
+    dtype = scratch_ref.dtype
+    n_pairs = len(pairs)
 
-    # Gather + multilinearly combine corner templates (C static: unrolled)
-    P = None
-    D = [None] * K
-    X = [None] * len(pairs)
-    for c in range(C):
-        row = anchor_ref[pl.ds(ids_ref[c], 1)][0]          # (S, N)
-        wc = w_ref[0, c]
-        P = wc * row if P is None else P + wc * row
-        for d in range(K):
-            term = wd_ref[d, c] * row
-            D[d] = term if D[d] is None else D[d] + term
-        for pi in range(len(pairs)):
-            term = wx_ref[pi, c] * row
-            X[pi] = term if X[pi] is None else X[pi] + term
+    @pl.when(pl.program_id(0) == 0)
+    def _load_anchor():
+        dma = pltpu.make_async_copy(anchor_hbm, scratch_ref, sem)
+        dma.start()
+        dma.wait()
 
-    m = m_ref[0, :]                                        # (S,)
-    obs = obs_ref[0, :]                                    # (N,)
+    def one_toy(ti, _):
+        # Gather + multilinearly combine corner templates (C static: unrolled)
+        P = None
+        D = [None] * K
+        X = [None] * n_pairs
+        for c in range(C):
+            row = scratch_ref[pl.ds(ids_ref[ti, c], 1)][0]       # (S, N)
+            wc = w_ref[ti, c]
+            P = wc * row if P is None else P + wc * row
+            for d in range(K):
+                term = wd_ref[ti, d, c] * row
+                D[d] = term if D[d] is None else D[d] + term
+            for pi in range(n_pairs):
+                term = wx_ref[ti, pi, c] * row
+                X[pi] = term if X[pi] is None else X[pi] + term
 
-    lam = jnp.sum(m[:, None] * P, axis=0)                  # (N,)
-    tiny = jnp.finfo(dtype).tiny
-    lam_safe = jnp.maximum(lam, tiny)
-    k_safe = jnp.where(obs > 0, obs, 1.0)
+        m = m_ref[ti, :]                                       # (S,)
+        obs = obs_ref[ti, :]                                   # (N,)
 
-    # Padded bins have obs == 0 and lam == 0: both terms vanish exactly
-    ll_ref[0, 0] = jnp.sum(obs * jnp.log(lam_safe / k_safe) - (lam - obs))
+        lam = jnp.sum(m[:, None] * P, axis=0)                  # (N,)
+        tiny = jnp.finfo(dtype).tiny
+        lam_safe = jnp.maximum(lam, tiny)
+        k_safe = jnp.where(obs > 0, obs, 1.0)
 
-    inv_lam = 1.0 / lam_safe
-    r = obs * inv_lam - 1.0                                # (N,)
-    # r must be 0 (not -1) in padded all-zero bins for the derivative sums
-    r = jnp.where((obs == 0) & (lam == 0), 0.0, r)
-    q = obs * inv_lam * inv_lam                            # (N,)
+        # Padded bins have obs == 0 and lam == 0: both terms vanish exactly
+        ll_ref[ti, 0] = jnp.sum(obs * jnp.log(lam_safe / k_safe)
+                                - (lam - obs))
 
-    # Gradient
-    g_m = jnp.sum(P * r[None, :], axis=1)                  # (S,)
-    if K:
-        Dbar = jnp.stack([jnp.sum(m[:, None] * D[d], axis=0)
-                          for d in range(K)])              # (K, N)
-        g_t = jnp.sum(Dbar * r[None, :], axis=1)           # (K,)
-        g_ref[0, :] = jnp.concatenate([g_m, g_t])
-    else:
-        g_ref[0, :] = g_m
+        inv_lam = 1.0 / lam_safe
+        r = obs * inv_lam - 1.0
+        # r contributes through factors that vanish in all-zero bins, but keep
+        # it clean there anyway
+        r = jnp.where((obs == 0) & (lam == 0), 0.0, r)
+        q = obs * inv_lam * inv_lam
 
-    # Hessian blocks (small matmuls: MXU)
-    Pq = P * q[None, :]                                    # (S, N)
-    H_mm = -jax.lax.dot_general(Pq, P, (((1,), (1,)), ((), ())),
-                                preferred_element_type=dtype)      # (S, S)
-    if K:
-        H_mt = (-jax.lax.dot_general(Pq, Dbar, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=dtype)
-                + jnp.stack([jnp.sum(D[d] * r[None, :], axis=1)
-                             for d in range(K)], axis=1))          # (S, K)
-        Dbq = Dbar * q[None, :]
-        H_tt = -jax.lax.dot_general(Dbq, Dbar, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=dtype)  # (K, K)
-        if pairs:
-            xr = {p: jnp.sum(jnp.sum(m[:, None] * X[pi], axis=0) * r)
-                  for pi, p in enumerate(pairs)}
-            zero = jnp.zeros((), dtype=dtype)
-            # Assemble without scatter (Mosaic-friendly): static K x K stack
-            upd = jnp.stack([
-                jnp.stack([xr.get((min(d, e), max(d, e)), zero)
-                           if d != e else zero for e in range(K)])
-                for d in range(K)])
-            H_tt = H_tt + upd
-        top = jnp.concatenate([H_mm, H_mt], axis=1)
-        bottom = jnp.concatenate([H_mt.T, H_tt], axis=1)
-        h_ref[:, :] = jnp.concatenate([top, bottom], axis=0)
-    else:
-        h_ref[:, :] = H_mm
+        # Gradient
+        g_m = jnp.sum(P * r[None, :], axis=1)                  # (S,)
+        if K:
+            Dbar = jnp.stack([jnp.sum(m[:, None] * D[d], axis=0)
+                              for d in range(K)])              # (K, N)
+            g_t = jnp.sum(Dbar * r[None, :], axis=1)           # (K,)
+            g_ref[pl.ds(ti, 1), :] = jnp.concatenate([g_m, g_t])[None, :]
+        else:
+            g_ref[pl.ds(ti, 1), :] = g_m[None, :]
+
+        # Hessian blocks (small contractions: MXU)
+        Pq = P * q[None, :]                                    # (S, N)
+        H_mm = -jax.lax.dot_general(Pq, P, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=dtype)
+        if K:
+            H_mt = (-jax.lax.dot_general(Pq, Dbar,
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=dtype)
+                    + jnp.stack([jnp.sum(D[d] * r[None, :], axis=1)
+                                 for d in range(K)], axis=1))  # (S, K)
+            Dbq = Dbar * q[None, :]
+            H_tt = -jax.lax.dot_general(Dbq, Dbar,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=dtype)
+            if pairs:
+                xr = {p: jnp.sum(jnp.sum(m[:, None] * X[pi], axis=0) * r)
+                      for pi, p in enumerate(pairs)}
+                zero = jnp.zeros((), dtype=dtype)
+                upd = jnp.stack([
+                    jnp.stack([xr.get((min(d, e), max(d, e)), zero)
+                               if d != e else zero for e in range(K)])
+                    for d in range(K)])
+                H_tt = H_tt + upd
+            top = jnp.concatenate([H_mm, H_mt], axis=1)
+            bottom = jnp.concatenate([H_mt.T, H_tt], axis=1)
+            h_ref[pl.ds(ti, 1)] = jnp.concatenate([top, bottom],
+                                                  axis=0)[None]
+        else:
+            h_ref[pl.ds(ti, 1)] = H_mm[None]
+        return 0
+
+    jax.lax.fori_loop(0, blk, one_toy, 0)
+
+
+def _ll_kernel(ids_ref, w_ref, m_ref, obs_ref, anchor_hbm,
+               ll_ref, scratch_ref, sem, *, S, C, A, blk):
+    """Value-only kernel: per grid step, ``blk`` toys x ``A`` parameter
+    candidates each (the optimizer's line-search/polish batch), sharing the
+    toy's dataset. ids (blk, A, C) SMEM; w (blk, A, C), m (blk, A, S),
+    obs (blk, N) VMEM; out ll (blk, A) SMEM."""
+    dtype = scratch_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_anchor():
+        dma = pltpu.make_async_copy(anchor_hbm, scratch_ref, sem)
+        dma.start()
+        dma.wait()
+
+    def one_toy(ti, _):
+        obs = obs_ref[ti, :]
+        k_safe = jnp.where(obs > 0, obs, 1.0)
+        tiny = jnp.finfo(dtype).tiny
+        for a in range(A):
+            P = None
+            for c in range(C):
+                row = scratch_ref[pl.ds(ids_ref[ti, a, c], 1)][0]
+                wc = w_ref[ti, a, c]
+                P = wc * row if P is None else P + wc * row
+            m = m_ref[ti, a, :]
+            lam = jnp.sum(m[:, None] * P, axis=0)
+            lam_safe = jnp.maximum(lam, tiny)
+            ll_ref[ti, a] = jnp.sum(obs * jnp.log(lam_safe / k_safe)
+                                    - (lam - obs))
+        return 0
+
+    jax.lax.fori_loop(0, blk, one_toy, 0)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(dtype_name, G, S, N, K, interpret):
-    C = 2 ** K
-    pairs = tuple((d, e) for d in range(K) for e in range(d + 1, K))
-    P_dim = S + K
+def _build_ll_call(dtype_name, G, S, N, C, A, B, blk, interpret):
     dtype = jnp.dtype(dtype_name)
-    kern = functools.partial(_vgh_kernel, S=S, K=K, C=C, pairs=pairs)
+    kern = functools.partial(_ll_kernel, S=S, C=C, A=A, blk=blk)
     return pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((1, 1), dtype),
-                   jax.ShapeDtypeStruct((1, P_dim), dtype),
-                   jax.ShapeDtypeStruct((P_dim, P_dim), dtype)),
+        grid=(B // blk,),
+        out_shape=jax.ShapeDtypeStruct((B, A), dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # w
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # wd
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # wx
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # m
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # obs
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # anchor (resident)
+            pl.BlockSpec((blk, A, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),            # ids
+            pl.BlockSpec((blk, A, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # w
+            pl.BlockSpec((blk, A, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # m
+            pl.BlockSpec((blk, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # obs
+            pl.BlockSpec(memory_space=pltpu.ANY),             # anchor (HBM)
         ],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((G, S, N), dtype),
+                        pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
     )
+
+
+def _ll_batched_impl(anchor_flat, ids_b, w_b, m_b, obs_b, interpret):
+    """ids_b (B, A, C) int32, w_b (B, A, C), m_b (B, A, S), obs_b (B, N)
+    -> ll (B, A)."""
+    G, S, N = anchor_flat.shape
+    B, A, C = ids_b.shape
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    if B_pad != B:
+        padn = B_pad - B
+        ids_b = jnp.concatenate([ids_b, jnp.zeros((padn, A, C),
+                                                  ids_b.dtype)])
+        w_b = jnp.concatenate([w_b, jnp.zeros((padn, A, C), w_b.dtype)])
+        m_b = jnp.concatenate([m_b, jnp.zeros((padn, A, S), m_b.dtype)])
+        obs_b = jnp.concatenate([obs_b, jnp.zeros((padn, N), obs_b.dtype)])
+    call = _build_ll_call(str(anchor_flat.dtype), G, S, N, C, A, B_pad, blk,
+                          interpret)
+    return call(ids_b, w_b, m_b, obs_b, anchor_flat)[:B]
+
+
+def _make_ll_custom_op(interpret):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(anchor_flat, ids, w, m, obs):
+        return _ll_batched_impl(anchor_flat, ids[None], w[None], m[None],
+                                obs[None], interpret)[0]
+
+    @op.def_vmap
+    def _op_vmap(axis_size, in_batched, anchor_flat, ids, w, m, obs):
+        if in_batched[0]:
+            anchor_flat = anchor_flat[0]     # cond-batching broadcast
+        per_toy = []
+        for arg, batched in zip((ids, w, m, obs), in_batched[1:]):
+            if not batched:
+                arg = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+            per_toy.append(arg)
+        return _ll_batched_impl(anchor_flat, *per_toy, interpret), True
+
+    return op
+
+
+def _get_ll_op(interpret):
+    key = ('ll', interpret)
+    if key not in _OP_CACHE:
+        _OP_CACHE[key] = _make_ll_custom_op(interpret)
+    return _OP_CACHE[key]
+
+
+def binned_ll_fused_multi(anchor_flat, strides, idx, t, m, observed,
+                          interpret=False):
+    """Deviance-form LL at A parameter candidates sharing one dataset, via the
+    VMEM-resident value kernel.
+
+    :param idx: (A, K) int32 lower corners; t: (A, K) lerp weights;
+      m: (A, S) rates; observed: (N,), N a multiple of 128.
+    :return: (A,) log likelihoods (without the saturated-model constant).
+    """
+    anchor_flat = jnp.asarray(anchor_flat)
+    G, S, N = anchor_flat.shape
+    if N % LANE:
+        raise ValueError("bin axis must be padded to a multiple of %d" % LANE)
+    K = len(strides)
+    C = 2 ** K
+    dt = anchor_flat.dtype
+
+    corners = list(itertools.product((0, 1), repeat=K))
+    if K:
+        offs = jnp.asarray(
+            [sum(int(cc[d]) * int(strides[d]) for d in range(K))
+             for cc in corners], dtype=jnp.int32)
+        base = sum(idx[:, d].astype(jnp.int32) * int(strides[d])
+                   for d in range(K))                          # (A,)
+        ids = base[:, None] + offs[None, :]                    # (A, C)
+        w = jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
+            jnp.asarray(t, dt))                                # (A, C)
+    else:
+        A = m.shape[0]
+        ids = jnp.zeros((A, 1), dtype=jnp.int32)
+        w = jnp.ones((A, 1), dtype=dt)
+
+    op = _get_ll_op(bool(interpret))
+    return op(anchor_flat, ids, w, jnp.asarray(m, dt),
+              jnp.asarray(observed, dt))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_batched_call(dtype_name, G, S, N, K, B, blk, interpret):
+    C = 2 ** K
+    pairs = tuple((d, e) for d in range(K) for e in range(d + 1, K))
+    n_pairs_in = max(len(pairs), 1)
+    wd_dim = max(K, 1)
+    P_dim = S + K
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_vgh_kernel, S=S, K=K, C=C, pairs=pairs,
+                             blk=blk)
+    grid = (B // blk,)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((B, 1), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim, P_dim), dtype)),
+        in_specs=[
+            pl.BlockSpec((blk, C), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),            # ids
+            pl.BlockSpec((blk, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # w
+            pl.BlockSpec((blk, wd_dim, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # wd
+            pl.BlockSpec((blk, n_pairs_in, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # wx
+            pl.BlockSpec((blk, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # m
+            pl.BlockSpec((blk, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # obs
+            pl.BlockSpec(memory_space=pltpu.ANY),             # anchor (HBM)
+        ],
+        out_specs=(pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                                memory_space=pltpu.SMEM),
+                   pl.BlockSpec((blk, P_dim), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((blk, P_dim, P_dim), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((G, S, N), dtype),
+                        pltpu.SemaphoreType.DMA],
+        interpret=bool(interpret),
+    )
+
+
+def _batched_impl(anchor_flat, ids_b, w_b, wd_b, wx_b, m_b, obs_b,
+                  interpret):
+    """ids_b (B, C) int32, w_b (B, C), wd_b (B, K|1, C), wx_b (B, NP|1, C),
+    m_b (B, S), obs_b (B, N) -> (ll (B,), g (B, P), H (B, P, P))."""
+    G, S, N = anchor_flat.shape
+    B, C = ids_b.shape
+    K = int(np.log2(C)) if C > 1 else (wd_b.shape[1] if wd_b.shape[1] else 0)
+    # C == 2^K; recover K robustly from C
+    K = int(round(np.log2(C)))
+
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    if B_pad != B:
+        padn = B_pad - B
+        ids_b = jnp.concatenate([ids_b, jnp.zeros((padn, C), ids_b.dtype)])
+        w_b = jnp.concatenate([w_b, jnp.zeros((padn,) + w_b.shape[1:],
+                                              w_b.dtype)])
+        wd_b = jnp.concatenate([wd_b, jnp.zeros((padn,) + wd_b.shape[1:],
+                                                wd_b.dtype)])
+        wx_b = jnp.concatenate([wx_b, jnp.zeros((padn,) + wx_b.shape[1:],
+                                                wx_b.dtype)])
+        m_b = jnp.concatenate([m_b, jnp.zeros((padn,) + m_b.shape[1:],
+                                              m_b.dtype)])
+        obs_b = jnp.concatenate([obs_b, jnp.zeros((padn,) + obs_b.shape[1:],
+                                                  obs_b.dtype)])
+
+    call = _build_batched_call(str(anchor_flat.dtype), G, S, N, K, B_pad,
+                               blk, interpret)
+    ll, g, H = call(ids_b, w_b, wd_b, wx_b, m_b, obs_b, anchor_flat)
+    return ll[:B, 0], g[:B], H[:B]
+
+
+def _make_custom_op(interpret):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(anchor_flat, ids, w, wd, wx, m, obs):
+        ll, g, H = _batched_impl(anchor_flat, ids[None], w[None], wd[None],
+                                 wx[None], m[None], obs[None], interpret)
+        return ll[0], g[0], H[0]
+
+    @op.def_vmap
+    def _op_vmap(axis_size, in_batched, anchor_flat, ids, w, wd, wx, m, obs):
+        # The anchor tensor never genuinely varies over toys in this library,
+        # but lax.cond's batching rule broadcasts every operand (including
+        # constants) when the predicate is batched — unbroadcast it.
+        if in_batched[0]:
+            anchor_flat = anchor_flat[0]
+        # Broadcast any unbatched per-toy arguments (e.g. the cross-derivative
+        # weight table, which is t-independent for K == 2, or all parameters
+        # when only the data varies) to the batch
+        per_toy = []
+        for arg, batched in zip((ids, w, wd, wx, m, obs), in_batched[1:]):
+            if not batched:
+                arg = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+            per_toy.append(arg)
+        out = _batched_impl(anchor_flat, *per_toy, interpret)
+        return out, (True, True, True)
+
+    return op
+
+
+_OP_CACHE = {}
+
+
+def _get_op(interpret):
+    if interpret not in _OP_CACHE:
+        _OP_CACHE[interpret] = _make_custom_op(interpret)
+    return _OP_CACHE[interpret]
 
 
 def binned_vgh_fused(anchor_flat, strides, idx, t, m, observed,
@@ -174,6 +430,9 @@ def binned_vgh_fused(anchor_flat, strides, idx, t, m, observed,
     """Fused (ll, g, H) via the Pallas kernel. Same contract as
     :func:`blueice_tpu.ops.binned_vgh.binned_vgh`, but gathers the corner
     templates itself from the full flattened-grid anchor tensor.
+
+    vmap over the per-toy arguments dispatches one blocked-grid kernel with the
+    anchor tensor DMA'd to VMEM exactly once (custom_batching rule).
 
     :param anchor_flat: (G, S, N) anchor templates, grid flattened, N a
       multiple of 128 (use :func:`pad_bins`).
@@ -210,9 +469,6 @@ def binned_vgh_fused(anchor_flat, strides, idx, t, m, observed,
     wx_in = (jnp.stack([wx[d, e] for d, e in pairs]).astype(dt)
              if pairs else jnp.zeros((1, C), dt))
 
-    call = _build_call(str(dt), G, S, N, K, interpret)
-    ll, g, H = call(ids, w.astype(dt)[None, :], wd_in, wx_in,
-                    jnp.asarray(m, dt)[None, :],
-                    jnp.asarray(observed, dt)[None, :],
-                    anchor_flat)
-    return ll[0, 0], g[0], H
+    op = _get_op(bool(interpret))
+    return op(anchor_flat, ids, w.astype(dt), wd_in, wx_in,
+              jnp.asarray(m, dt), jnp.asarray(observed, dt))

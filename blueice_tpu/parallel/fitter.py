@@ -104,8 +104,8 @@ def _solve_spd_small(A, b):
     return jnp.linalg.solve(A, b)
 
 
-def _coordinate_polish(f, u, fval, rounds=1):
-    """Per-coordinate line-search polish: one vmapped candidate batch per
+def _coordinate_polish(f, u, fval, f_many=None):
+    """One per-coordinate line-search sweep: a vmapped candidate batch per
     coordinate. Rescues optima pinned on the axis-aligned C0 kinks of the
     anchor grid (where Newton directions keep crossing the kink) and costs
     only value evaluations."""
@@ -114,24 +114,26 @@ def _coordinate_polish(f, u, fval, rounds=1):
                          3e-3, -3e-3, 1e-3, -1e-3, 3e-4, -3e-4],
                         dtype=u.dtype)
 
+    if f_many is None:
+        def f_many(cands):
+            return jax.vmap(f)(cands)
+
     def per_coord(i, carry):
         u, fval = carry
         e = jnp.zeros((n,), dtype=u.dtype).at[i].set(1.0)
         cands = u[None, :] + steps[:, None] * e[None, :]
-        fs = jax.vmap(f)(cands)
+        fs = f_many(cands)
         fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
         best = jnp.argmin(fs)
         better = fs[best] < fval
         return (jnp.where(better, cands[best], u),
                 jnp.where(better, fs[best], fval))
 
-    for _ in range(rounds):
-        u, fval = lax.fori_loop(0, n, per_coord, (u, fval))
-    return u, fval
+    return lax.fori_loop(0, n, per_coord, (u, fval))
 
 
 def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
-                    init_damping=1e-3, vgh=None, polish=1):
+                    init_damping=1e-3, vgh=None, polish=3, f_many=None):
     """Minimize f (smooth scalar function of a small vector) with
     Levenberg-damped Newton steps. Pure jax: jit/vmap-compatible.
 
@@ -141,6 +143,12 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
     critical values that matter for intervals; without this, float32 fits would
     spin at max_iter against gradient noise they can never push below a tight
     tol).
+
+    When a stop condition fires (and up to ``polish`` times), the loop switches
+    to a per-coordinate line-search sweep instead of exiting: if the sweep
+    improves f (an optimum pinned on an anchor-grid kink), Newton descent
+    resumes; otherwise the fit is done. Both phases live inside ONE
+    lax.while_loop so the compiled program contains each subgraph exactly once.
 
     :return: (u_min, f_min, grad_norm, n_iters)
     """
@@ -165,11 +173,11 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
             return vs[0], gs[0], Hrows
 
     def cond(carry):
-        u, fval, lam, nu, it, done = carry
+        u, fval, lam, nu, it, n_polish, mode, done = carry
         return (~done) & (it < max_iter)
 
-    def body(carry):
-        u, fval, lam, nu, it, done = carry
+    def newton_step(carry):
+        u, fval, lam, nu, it, n_polish, mode, done = carry
         _, g, H = val_grad_hess(u)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         H = jnp.where(jnp.isfinite(H), H, 0.0)
@@ -190,7 +198,7 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         # cost of a single extra fused value pass
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03], dtype=u.dtype)
         cands = u[None, :] + alphas[:, None] * du[None, :]
-        fs = jax.vmap(f)(cands)
+        fs = (jax.vmap(f)(cands) if f_many is None else f_many(cands))
         fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
         best = jnp.argmin(fs)
         f_try = fs[best]
@@ -222,32 +230,45 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         # Only trust a small f-decrease as convergence when the step was a
         # (nearly) undamped Newton step — a heavily damped crawl can stall
         # while still far from the optimum
-        done_new = ((gnorm < tol)
-                    | (accept & (step < 1e-14))
-                    | (accept & (fdelta <= ftol) & (lam < 1e-2)
-                       & (alpha == 1.0) & (it > 3))
-                    # Damping inflated to where steps are ~1e-8 of a Newton
-                    # step and still nothing improves f: precision noise floor
-                    | (lam_new > 1e8))
-        return (u_new, f_new, lam_new, nu_new, it + 1, done_new)
+        converged = ((gnorm < tol)
+                     | (accept & (step < 1e-14))
+                     | (accept & (fdelta <= ftol) & (lam < 1e-2)
+                        & (alpha == 1.0) & (it > 3))
+                     # Damping inflated to where steps are ~1e-8 of a Newton
+                     # step and nothing improves f: precision noise floor
+                     | (lam_new > 1e8))
+        if polish:
+            # Converged -> try a polish sweep next instead of exiting
+            mode_new = jnp.where(converged & (n_polish < polish), 1, mode)
+            done_new = converged & (n_polish >= polish)
+        else:
+            mode_new = mode
+            done_new = converged
+        return (u_new, f_new, lam_new, nu_new, it + 1, n_polish, mode_new,
+                done_new)
+
+    def polish_step(carry):
+        u, fval, lam, nu, it, n_polish, mode, done = carry
+        u_new, f_new = _coordinate_polish(f, u, fval, f_many=f_many)
+        improved = f_new < fval - jnp.asarray(ftol, u.dtype) * 0.1
+        # Improved: resume Newton descent with fresh damping; else finished
+        return (u_new, f_new, jnp.asarray(init_damping, dtype=u.dtype),
+                jnp.asarray(2.0, dtype=u.dtype), it + 1, n_polish + 1,
+                jnp.zeros((), dtype=jnp.int32), ~improved)
+
+    if polish:
+        def body(carry):
+            return lax.cond(carry[6] == 1, polish_step, newton_step, carry)
+    else:
+        body = newton_step
 
     f0 = f(u0)
     carry = (u0, f0, jnp.asarray(init_damping, dtype=u0.dtype),
              jnp.asarray(2.0, dtype=u0.dtype),
+             jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=jnp.int32),
              jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=bool))
-    u, fval, lam, nu, it, done = lax.while_loop(cond, body, carry)
-    if polish:
-        # Polish + (if it moved) one more LM descent + final polish: the
-        # coordinate pass frees fits pinned on anchor-grid kinks, the extra
-        # Newton leg re-converges the remaining smooth directions
-        u1, f1 = _coordinate_polish(f, u, fval, rounds=polish)
-        moved = f1 < fval - 1e-12
-        carry2 = (u1, f1, jnp.asarray(init_damping, dtype=u0.dtype),
-                  jnp.asarray(2.0, dtype=u0.dtype),
-                  jnp.zeros((), dtype=jnp.int32), ~moved)
-        u2, f2, _, _, it2, _ = lax.while_loop(cond, body, carry2)
-        u3, f3 = _coordinate_polish(f, u2, f2, rounds=polish)
-        u, fval, it = u3, f3, it + it2
+    u, fval, lam, nu, it, n_polish, mode, done = \
+        lax.while_loop(cond, body, carry)
     return u, fval, jnp.max(jnp.abs(val_grad_hess(u)[1])), it
 
 
@@ -339,14 +360,17 @@ def _analytic_supported(compiled):
 
 
 def _make_analytic_parts(compiled, names, fixed, transform,
-                         use_pallas=False):
-    """Build (value_fn(u, data_flat), vgh_fn(u, data_flat)) computing the
-    negated objective from closed-form (m, t)-derivatives + chain rule through
-    the (tiny) parameter graph: transforms, rate morphing, priors.
+                         use_pallas=False, runtime_fixed=()):
+    """Build (value_fn(u, data_flat, fixed_values),
+    vgh_fn(u, data_flat, fixed_values)) computing the negated objective from
+    closed-form (m, t)-derivatives + chain rule through the (tiny) parameter
+    graph: transforms, rate morphing, priors. ``fixed_values`` supplies the
+    runtime-fixed parameters (aligned with ``runtime_fixed``).
 
     With use_pallas, the heavy (ll, g, H) op runs as the fused Pallas kernel
     (anchor tensor VMEM-resident); interpret mode is selected automatically on
-    non-TPU backends.
+    non-TPU backends. Must be called OUTSIDE any jit trace (it prepares
+    device-constant tensors).
     """
     from ..ops.binned_vgh import binned_vgh, binned_ll, gather_corners
     from ..ops import fused
@@ -369,17 +393,21 @@ def _make_analytic_parts(compiled, names, fixed, transform,
         strides = tuple(int(np.prod(grid_shape[d + 1:])) for d in range(K))
         interpret = jax.default_backend() != 'tpu'
 
-    def params_of_u(u):
+    runtime_fixed = list(runtime_fixed)
+
+    def params_of_u(u, fixed_values):
         x = transform.to_x(u)
         p = dict(compiled.defaults)
         p.update(fixed)
+        for i, rname in enumerate(runtime_fixed):
+            p[rname] = fixed_values[i]
         for i, name in enumerate(names):
             p[name] = x[i]
         return p
 
-    def mt_of_u(u):
+    def mt_of_u(u, fixed_values):
         """Float (m, t) vector — the differentiable tiny graph."""
-        p = params_of_u(u)
+        p = params_of_u(u, fixed_values)
         m = compiled.rates(p)
         ts = []
         for d, sp in enumerate(shape_names):
@@ -392,8 +420,8 @@ def _make_analytic_parts(compiled, names, fixed, transform,
              else jnp.zeros((0,), dtype=m.dtype))
         return jnp.concatenate([m.astype(u.dtype), t.astype(u.dtype)])
 
-    def idx_of_u(u):
-        p = params_of_u(u)
+    def idx_of_u(u, fixed_values):
+        p = params_of_u(u, fixed_values)
         idxs = []
         for d, sp in enumerate(shape_names):
             arr = anchor_arrays[d]
@@ -403,50 +431,73 @@ def _make_analytic_parts(compiled, names, fixed, transform,
                 0, arr.shape[0] - 2))
         return idxs
 
-    def prior_of_u(u):
-        p = params_of_u(u)
+    def prior_of_u(u, fixed_values):
+        p = params_of_u(u, fixed_values)
         out = jnp.zeros(())
         for pname, prior in compiled.prior_terms:
             out = out + prior(jnp.asarray(p[pname]))
         return out
 
-    def _corners(u):
+    def _corners(u, fixed_values):
         if K == 0:
             return ps_flat[None]
-        return gather_corners(ps_flat, idx_of_u(u), K, 2)
+        return gather_corners(ps_flat, idx_of_u(u, fixed_values), K, 2)
 
-    def value_fn(u, data_flat):
-        mt = mt_of_u(u)
-        ll = binned_ll(_corners(u), mt[:S], mt[S:], data_flat)
-        return -(ll + prior_of_u(u))
+    def value_fn(u, data_flat, fixed_values=()):
+        mt = mt_of_u(u, fixed_values)
+        ll = binned_ll(_corners(u, fixed_values), mt[:S], mt[S:], data_flat)
+        return -(ll + prior_of_u(u, fixed_values))
 
-    def _raw_vgh(u, data_flat):
-        mt = mt_of_u(u)
+    def _raw_vgh(u, data_flat, fixed_values):
+        mt = mt_of_u(u, fixed_values)
         if use_pallas:
             data_padded = (jnp.pad(data_flat, (0, n_pad)) if n_pad
                            else data_flat)
             return fused.binned_vgh_fused(
-                anchor_flat, strides, idx_of_u(u), mt[S:], mt[:S],
-                data_padded, interpret=interpret)
-        return binned_vgh(_corners(u), mt[:S], mt[S:], data_flat)
+                anchor_flat, strides, idx_of_u(u, fixed_values), mt[S:],
+                mt[:S], data_padded, interpret=interpret)
+        return binned_vgh(_corners(u, fixed_values), mt[:S], mt[S:],
+                          data_flat)
 
-    def vgh_fn(u, data_flat):
-        ll, g_mt, H_mt = _raw_vgh(u, data_flat)
-        J = jax.jacfwd(mt_of_u)(u)                       # (S+K, n)
-        Hmap = jax.jacfwd(jax.jacfwd(mt_of_u))(u)        # (S+K, n, n)
-        pv, pg = jax.value_and_grad(prior_of_u)(u)
-        pH = jax.hessian(prior_of_u)(u)
+    def vgh_fn(u, data_flat, fixed_values=()):
+        ll, g_mt, H_mt = _raw_vgh(u, data_flat, fixed_values)
+        J = jax.jacfwd(lambda v: mt_of_u(v, fixed_values))(u)     # (M, n)
+        Hmap = jax.jacfwd(jax.jacfwd(
+            lambda v: mt_of_u(v, fixed_values)))(u)               # (M, n, n)
+        pv, pg = jax.value_and_grad(
+            lambda v: prior_of_u(v, fixed_values))(u)
+        pH = jax.hessian(lambda v: prior_of_u(v, fixed_values))(u)
         val = -(ll + pv)
         g = -(J.T @ g_mt.astype(u.dtype) + pg)
         H = -(J.T @ H_mt.astype(u.dtype) @ J
               + jnp.tensordot(g_mt.astype(u.dtype), Hmap, axes=(0, 0)) + pH)
         return val, g, H
 
-    return value_fn, vgh_fn
+    value_many_fn = None
+    if use_pallas:
+        def value_many_fn(u_cands, data_flat, fixed_values=()):
+            """Objective at A parameter candidates sharing one dataset — one
+            value-kernel launch for the optimizer's line search / polish."""
+            mts = jax.vmap(lambda v: mt_of_u(v, fixed_values))(u_cands)
+            priors = jax.vmap(
+                lambda v: prior_of_u(v, fixed_values))(u_cands)
+            if K:
+                idxs = jax.vmap(lambda v: jnp.stack(
+                    idx_of_u(v, fixed_values)))(u_cands)
+            else:
+                idxs = jnp.zeros((u_cands.shape[0], 0), jnp.int32)
+            data_padded = (jnp.pad(data_flat, (0, n_pad)) if n_pad
+                           else data_flat)
+            lls = fused.binned_ll_fused_multi(
+                anchor_flat, strides, idxs, mts[:, S:], mts[:, :S],
+                data_padded, interpret=interpret)
+            return -(lls.astype(u_cands.dtype) + priors)
+
+    return value_fn, vgh_fn, value_many_fn
 
 
 def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
-                    engine='auto', runtime_fixed=()):
+                    engine='auto', runtime_fixed=(), polish=3):
     """Build the per-toy fit function fit_one(data, mask[, fixed_values]) ->
     (x (n_floating,), max_ll, n_iter). Pure jax: compose with vmap/jit/shard.
 
@@ -483,28 +534,43 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
 
     u0 = transform.to_u(jnp.asarray(x0))
 
-    use_pallas = engine == 'pallas'
-    use_analytic = (engine in ('analytic', 'pallas')
-                    or (engine == 'auto' and _analytic_supported(compiled)))
     if engine in ('analytic', 'pallas') and not _analytic_supported(compiled):
         raise ValueError("The analytic derivative engine supports binned "
                          "likelihoods without Beeston-Barlow on a dense "
                          "global anchor grid")
+    if engine == 'auto' and _analytic_supported(compiled):
+        # Prefer the fused Pallas kernels on real TPUs when the anchor tensor
+        # fits VMEM; plain-XLA analytic derivatives otherwise (interpret-mode
+        # pallas on CPU would be far slower than XLA)
+        from ..ops import fused
+        K = len(compiled.shape_names)
+        S = len(compiled.rate_names)
+        ps = compiled.ps_tensor
+        G = int(np.prod(ps.shape[:K])) if K else 1
+        n_bins = int(np.prod(ps.shape[K + 1:]))
+        if (jax.default_backend() == 'tpu'
+                and fused.fused_vgh_supported((G, S, n_bins), ps.dtype)):
+            engine = 'pallas'
+        else:
+            engine = 'analytic'
+    use_pallas = engine == 'pallas'
+    use_analytic = engine in ('analytic', 'pallas')
 
     if use_analytic:
+        value_fn, vgh_fn, value_many_fn = _make_analytic_parts(
+            compiled, names, fixed, transform, use_pallas=use_pallas,
+            runtime_fixed=runtime_fixed)
+
         def fit_one(data, mask=None, fixed_values=()):
-            run_fixed = dict(fixed)
-            for i, rname in enumerate(runtime_fixed):
-                run_fixed[rname] = fixed_values[i]
-            value_fn, vgh_fn = _make_analytic_parts(compiled, names,
-                                                    run_fixed, transform,
-                                                    use_pallas=use_pallas)
             const = compiled.data_constant(data)
             data_flat = jnp.asarray(data).reshape(-1)
+            f_many = (None if value_many_fn is None else
+                      (lambda cands: value_many_fn(cands, data_flat,
+                                                   fixed_values)))
             u, fval, gnorm, it = minimize_newton(
-                lambda u: value_fn(u, data_flat), u0,
-                max_iter=max_iter, tol=tol,
-                vgh=lambda u: vgh_fn(u, data_flat))
+                lambda u: value_fn(u, data_flat, fixed_values), u0,
+                max_iter=max_iter, tol=tol, polish=polish, f_many=f_many,
+                vgh=lambda u: vgh_fn(u, data_flat, fixed_values))
             return transform.to_x(u), -fval + const, it
 
         return fit_one, names
@@ -530,7 +596,8 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             return -compiled.logl_with_data(params_of_u(u), data, mask,
                                             include_constant=False)
         u, fval, gnorm, it = minimize_newton(neg_logl_u, u0,
-                                             max_iter=max_iter, tol=tol)
+                                             max_iter=max_iter, tol=tol,
+                                             polish=polish)
         return transform.to_x(u), -fval + const, it
 
     return fit_one, names

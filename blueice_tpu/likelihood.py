@@ -222,22 +222,26 @@ class LogLikelihoodBase:
         return list(zs_set)
 
     def _build_models(self, configs, n_cores, ipp_client):
+        from .utils.progress import progress_iter
         if ipp_client is not None:
             from .parallel import create_models_ipyparallel
             return create_models_ipyparallel(
                 configs, ipp_client,
                 block=self.config.get('block_during_paralellization', False))
         if n_cores == 1:
-            return [Model(c) for c in configs]
+            return [Model(c) for c in progress_iter(
+                configs, desc="Computing/loading anchor models")]
         # Pass 1 writes task files; workers compute; pass 2 loads from cache
         from .parallel import compute_many
-        models = [Model(c) for c in configs]
+        models = [Model(c) for c in progress_iter(
+            configs, desc="Preparing model computation tasks")]
         hashes = set(s.hash for m in models for s in m.sources)
         task_dirs = set(s.config['task_dir'] for m in models for s in m.sources)
         cache_dirs = set(s.config['cache_dir'] for m in models for s in m.sources)
         compute_many(hashes, n_cores,
                      task_dir=task_dirs.pop(), result_dir=cache_dirs.pop())
-        return [Model(c) for c in configs]
+        return [Model(c) for c in progress_iter(
+            configs, desc="Loading computed anchor models")]
 
     def _finalize_source_wise(self, zs_list, models):
         """Collect per-source anchor sources and build the composed mus

@@ -9,11 +9,26 @@ cut, per-event scoring, and stacked PMF grids. The stacked grids returned by
 consumes directly.
 """
 
+import inspect
+
 import numpy as np
 
 from .. import utils
 
 __all__ = ['Model']
+
+
+def _simulate_source(source, n, rng):
+    """Call source.simulate, passing the generator through when the source's
+    signature accepts an ``rng`` argument — full toy reproducibility for
+    sources that opt in (the count draw is always seeded either way)."""
+    try:
+        accepts_rng = 'rng' in inspect.signature(source.simulate).parameters
+    except (TypeError, ValueError):
+        accepts_rng = False
+    if accepts_rng:
+        return source.simulate(n, rng=rng)
+    return source.simulate(n)
 
 
 class Model:
@@ -101,7 +116,7 @@ class Model:
                   / source.fraction_in_range)
             if livetime_days is not None:
                 mu *= livetime_days / self.config['livetime_days']
-            d = source.simulate(rng.poisson(mu))
+            d = _simulate_source(source, rng.poisson(mu), rng)
             d['source'] = s_i
             ds.append(d)
         d = np.concatenate(ds)

@@ -239,7 +239,7 @@ class HistogramPdfSource(Source):
             raise NotImplementedError(
                 "PDF interpolation method %s not implemented" % method)
 
-    def simulate(self, n_events):
+    def simulate(self, n_events, rng=None):
         """Simulate n_events from the PDF template (host path; the device path is
         ops.sampling.sample_from_template)."""
         if not self.pdf_has_been_computed:
@@ -248,7 +248,7 @@ class HistogramPdfSource(Source):
                 "computed" % self)
         n_events = int(n_events)
         events_per_bin = self._pdf_histogram * self._bin_volumes
-        q = events_per_bin.get_random(n_events)
+        q = events_per_bin.get_random(n_events, rng=rng)
         d = np.zeros(n_events,
                      dtype=[('source', int)] + [(x[0], float)
                                                 for x in self.config['analysis_space']])

@@ -540,15 +540,19 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                          "global anchor grid")
     if engine == 'auto' and _analytic_supported(compiled):
         # Prefer the fused Pallas kernels on real TPUs when the anchor tensor
-        # fits VMEM; plain-XLA analytic derivatives otherwise (interpret-mode
-        # pallas on CPU would be far slower than XLA)
+        # fits VMEM *and* the per-toy payload is big enough to feed the VPU
+        # from the kernel's per-toy loop (small templates vectorize better
+        # across toys in plain XLA); interpret-mode pallas on CPU would always
+        # be slower than XLA.
         from ..ops import fused
         K = len(compiled.shape_names)
         S = len(compiled.rate_names)
         ps = compiled.ps_tensor
         G = int(np.prod(ps.shape[:K])) if K else 1
         n_bins = int(np.prod(ps.shape[K + 1:]))
+        per_toy_payload = S * fused._round_up(n_bins, fused.LANE)
         if (jax.default_backend() == 'tpu'
+                and per_toy_payload >= 4096
                 and fused.fused_vgh_supported((G, S, n_bins), ps.dtype)):
             engine = 'pallas'
         else:

@@ -48,15 +48,17 @@ def compute_single(hash, task_dir='pdf_tasks', result_dir='pdf_cache'):
 
 def compute_many(hashes, n_cpus=1, *args, **kwargs):
     """Compute several task files, optionally on a process pool."""
+    from ..utils.progress import progress_iter
     hashes = list(hashes)
     if n_cpus != 1:
         with ProcessPoolExecutor(max_workers=n_cpus) as pool:
             futures = [pool.submit(compute_single, h, *args, **kwargs)
                        for h in hashes]
-            for f in futures:
+            for f in progress_iter(futures,
+                                   desc="Computing on %d cores" % n_cpus):
                 f.result()   # re-raise worker exceptions on the driver
     else:
-        for h in hashes:
+        for h in progress_iter(hashes, desc="Computing templates"):
             compute_single(h, *args, **kwargs)
 
 

@@ -77,13 +77,14 @@ class BinnedToyStudy:
     :param dtype: device dtype for the anchor tensors (float32 on TPU).
     """
 
-    def __init__(self, lf, dtype=None, max_iter=60, tol=1e-8):
+    def __init__(self, lf, dtype=None, max_iter=60, tol=1e-8, engine='auto'):
         self.lf = lf
         self.compiled = build_logl(lf, dtype=dtype)
         if not self.compiled.is_binned:
             raise TypeError("BinnedToyStudy needs a BinnedLogLikelihood")
         self.max_iter = max_iter
         self.tol = tol
+        self.engine = engine
         # jit caches (keyed by frozen fixed/target specs): the fit programs
         # compile once and are reused across run()/profile_ts() invocations
         self._fit_cache = {}
@@ -116,7 +117,7 @@ class BinnedToyStudy:
         if key not in self._fit_cache:
             fit_one, names = make_toy_fitter(
                 self.compiled, fixed=fixed, guess=guess,
-                max_iter=self.max_iter, tol=self.tol)
+                max_iter=self.max_iter, tol=self.tol, engine=self.engine)
             self._fit_cache[key] = (jax.jit(jax.vmap(fit_one)), names)
         fit, names = self._fit_cache[key]
         x, ll, it = fit(counts)
@@ -150,10 +151,10 @@ class BinnedToyStudy:
         if cache_key not in self._profile_cache:
             fit_free, names_free = make_toy_fitter(
                 self.compiled, fixed=fixed, max_iter=self.max_iter,
-                tol=self.tol)
+                tol=self.tol, engine=self.engine)
             fit_cond, names_cond = make_toy_fitter(
                 self.compiled, fixed=fixed, runtime_fixed=[target],
-                max_iter=self.max_iter, tol=self.tol)
+                max_iter=self.max_iter, tol=self.tol, engine=self.engine)
 
             @jax.jit
             def both(counts, hypothesis):
@@ -201,13 +202,15 @@ class UnbinnedToyStudy:
     static across the vmapped ensemble.
     """
 
-    def __init__(self, lf, n_max=None, dtype=None, max_iter=60, tol=1e-8):
+    def __init__(self, lf, n_max=None, dtype=None, max_iter=60, tol=1e-8,
+                 engine='auto'):
         self.lf = lf
         self.compiled = build_logl(lf, dtype=dtype)
         if self.compiled.is_binned:
             raise TypeError("UnbinnedToyStudy needs an UnbinnedLogLikelihood")
         self.max_iter = max_iter
         self.tol = tol
+        self.engine = engine
 
         space = lf.base_model.config['analysis_space']
         self.edges = [np.asarray(e, dtype=float) for _, e in space]
@@ -327,7 +330,7 @@ class UnbinnedToyStudy:
         if cache_key not in self._fit_cache:
             fit_one, names = make_toy_fitter(
                 self.compiled, fixed=fixed, max_iter=self.max_iter,
-                tol=self.tol)
+                tol=self.tol, engine=self.engine)
 
             def one(key, weights):
                 coords, mask = self._sample_one(key, weights)
@@ -364,10 +367,10 @@ class UnbinnedToyStudy:
         if cache_key not in self._profile_cache:
             fit_free, names_free = make_toy_fitter(
                 self.compiled, fixed=fixed, max_iter=self.max_iter,
-                tol=self.tol)
+                tol=self.tol, engine=self.engine)
             fit_cond, names_cond = make_toy_fitter(
                 self.compiled, fixed=fixed, runtime_fixed=[target],
-                max_iter=self.max_iter, tol=self.tol)
+                max_iter=self.max_iter, tol=self.tol, engine=self.engine)
 
             def one(key, weights, hypothesis):
                 coords, mask = self._sample_one(key, weights)

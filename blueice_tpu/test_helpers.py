@@ -27,10 +27,12 @@ _TEST_TASK_DIR = tempfile.mkdtemp(prefix='blueice_tpu_pdf_tasks_')
 class GaussianSourceBase(Source):
     """Source that generates events from a Gaussian."""
 
-    def simulate(self, n_events):
+    def simulate(self, n_events, rng=None):
+        if rng is None or rng is np.random:
+            rng = np.random.default_rng(np.random.randint(2 ** 31))
         d = np.zeros(n_events, dtype=[('x', float), ('source', int)])
-        d['x'] = stats.norm(self.config['mu'],
-                            self.config['sigma']).rvs(n_events)
+        d['x'] = rng.normal(self.config['mu'], self.config['sigma'],
+                            n_events)
         return d
 
 

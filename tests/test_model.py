@@ -54,6 +54,15 @@ def test_rates():
         plt.close()
 
 
+def test_simulate_deterministic_with_rng():
+    """With an explicit generator, toy datasets are fully reproducible (both
+    the Poisson counts and the event coordinates)."""
+    m = Model(conf_for_test())
+    d1 = m.simulate(rng=np.random.default_rng(42))
+    d2 = m.simulate(rng=np.random.default_rng(42))
+    np.testing.assert_array_equal(d1['x'], d2['x'])
+
+
 def test_simulate_range_cut():
     m = Model(conf_for_test(analysis_space=[['x', np.linspace(-1, 1, 10)]]))
     d = m.simulate(rng=np.random.default_rng(0))

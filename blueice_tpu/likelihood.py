@@ -187,7 +187,12 @@ class LogLikelihoodBase:
                 for i, (setting_name, (anchors, _, _)) in enumerate(
                         self.shape_parameters.items()):
                     if zs[i] is not None:
-                        config[setting_name] = anchors[zs[i]]
+                        # Scattered-anchor morphers (RadialInterpolator) sample
+                        # z values that are not anchor-dict keys: for numeric
+                        # settings the z IS the setting. (This path raised
+                        # KeyError in the reference — radial morphing was never
+                        # usable through prepare() there.)
+                        config[setting_name] = anchors.get(zs[i], zs[i])
                 if ipp_client is None and n_cores != 1:
                     # Parallel computation requires delayed template computation
                     config['delay_pdf_computation'] = True

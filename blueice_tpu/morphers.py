@@ -161,7 +161,10 @@ class RadialInterpolator(Morpher):
         tensor = jnp.asarray(tensor)
         normed = (jnp.asarray(zs) - self._mins) / self._lengths
         diffs = jnp.asarray(self._normed_model_zs) - normed[None, :]
-        rs = jnp.sqrt(jnp.sum(diffs * diffs, axis=-1))
+        # tiny floor: sqrt'(0) is inf, which would NaN gradients whenever the
+        # query point coincides exactly with an anchor
+        sumsq = jnp.sum(diffs * diffs, axis=-1)
+        rs = jnp.sqrt(jnp.maximum(sumsq, jnp.finfo(tensor.dtype).tiny))
         # Normalized exponential decay: nearby dense anchors dominate
         r_influence = jnp.asarray(self._r0s) * self.config.get('decay_multiplier', 5)
         weights = jnp.exp(-rs / r_influence) / r_influence

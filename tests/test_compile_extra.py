@@ -1,0 +1,75 @@
+"""Compiled-path coverage beyond the dense-grid default: radial morpher,
+source-wise interpolation, livetime parameter, minuit soft-dep."""
+
+import numpy as np
+import jax
+import pytest
+
+from blueice_tpu.test_helpers import conf_for_test, almost_equal
+from blueice_tpu.likelihood import UnbinnedLogLikelihood
+from blueice_tpu.compile import build_logl
+
+
+def test_compiled_radial_morpher():
+    lf = UnbinnedLogLikelihood(
+        conf_for_test(),
+        likelihood_config={'morpher': 'RadialInterpolator',
+                           'morpher_config': {'hypercube_shuffle_steps': 5}})
+    lf.add_shape_parameter('some_multiplier', (0.5, 1, 2))
+    lf.prepare()
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(0)))
+
+    c = build_logl(lf)
+    for kwargs in [dict(), dict(some_multiplier=1.2)]:
+        assert almost_equal(float(c(**kwargs)), lf(**kwargs), 1e-9)
+    g = jax.grad(c.logl)(c.params_from_kwargs())
+    assert np.isfinite(g['some_multiplier'])
+
+
+def test_compiled_source_wise():
+    config = conf_for_test(n_sources=2, events_per_day=10.)
+    config['source_wise_interpolation'] = True
+    lf = UnbinnedLogLikelihood(config)
+    lf.add_shape_parameter('mu', anchors={-1: -1, 0: 0, 1: 1})
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    data = np.zeros(5, dtype=[('x', float), ('source', int)])
+    data['x'] = np.linspace(-1, 1, 5)
+    lf.set_data(data)
+
+    c = build_logl(lf)
+    for kwargs in [dict(), dict(mu=0.4), dict(s0_rate_multiplier=2, mu=-0.7)]:
+        assert almost_equal(float(c(**kwargs)), lf(**kwargs), 1e-9)
+
+
+def test_compiled_livetime():
+    conf = conf_for_test()
+    conf['livetime_days'] = 2.0
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(1)))
+
+    c = build_logl(lf, include_livetime=True)
+    assert 'livetime_days' in c.param_names
+    assert almost_equal(float(c(livetime_days=3.0)), lf(livetime_days=3.0),
+                        1e-9)
+    assert almost_equal(float(c()), lf(), 1e-9)
+
+
+def test_minuit_soft_dep():
+    lf = UnbinnedLogLikelihood(conf_for_test())
+    lf.add_rate_parameter('s0')
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(2)))
+    try:
+        import iminuit   # noqa: F401
+        has_minuit = True
+    except ImportError:
+        has_minuit = False
+    if has_minuit:
+        fit, ll = lf.bestfit_minuit()
+        assert 's0_rate_multiplier' in fit
+        assert 's0_rate_multiplier_error' in fit
+    else:
+        with pytest.raises(ImportError, match="bestfit_jax"):
+            lf.bestfit_minuit()

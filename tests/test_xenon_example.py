@@ -1,0 +1,70 @@
+"""End-to-end test of the XENON1T-style example (scaled down): 4D morphing
+grid, efficiency application, Gaussian-constrained rates, compiled-vs-host
+agreement and a profile study."""
+
+import numpy as np
+import jax
+import pytest
+
+from blueice_tpu.examples.xenon_like import build_likelihood
+from blueice_tpu.test_helpers import almost_equal
+from blueice_tpu.compile import build_logl
+from blueice_tpu.parallel import BinnedToyStudy
+
+
+@pytest.fixture(scope='module')
+def lf():
+    return build_likelihood('binned', n_cs1_bins=12, n_cs2_bins=10,
+                            livetime_days=30.0)
+
+
+def test_host_likelihood(lf):
+    assert len(lf.anchor_models) == 3 ** 4
+    d = lf.base_model.simulate(rng=np.random.default_rng(0))
+    lf.set_data(d)
+    base = lf()
+    assert np.isfinite(base)
+    # efficiency scales the wimp rate only: the LL must move
+    assert lf(efficiency=0.8) != base
+    # out of anchor range -> -inf
+    assert lf(band_shift=5.0) == -float('inf')
+
+
+def test_compiled_matches_host(lf):
+    d = lf.base_model.simulate(rng=np.random.default_rng(1))
+    lf.set_data(d)
+    c = build_logl(lf)
+    for kwargs in [dict(),
+                   dict(wimp_rate_multiplier=2.0, band_shift=0.3),
+                   dict(efficiency=0.85, cs1_tilt=-0.5,
+                        band_width_scale=1.1),
+                   dict(er_rate_multiplier=0.95, nr_rate_multiplier=1.2)]:
+        assert almost_equal(float(c(**kwargs)), lf(**kwargs), 1e-9), kwargs
+
+
+def test_efficiency_is_pure_rate_scale(lf):
+    """apply_efficiency multiplies only the wimp expectation."""
+    d = lf.base_model.simulate(rng=np.random.default_rng(2))
+    lf.set_data(d)
+    _, mus1, _ = lf(full_output=True)
+    # (0.8 is inside the efficiency anchor range [0.7, 1.3]; outside -> -inf)
+    _, mus2, _ = lf(full_output=True, efficiency=0.8)
+    assert lf(efficiency=0.5) == -float('inf')
+    wimp_i = lf.source_name_list.index('wimp')
+    for i in range(len(mus1)):
+        if i == wimp_i:
+            assert almost_equal(mus2[i], 0.8 * mus1[i], 1e-12)
+        else:
+            # efficiency is also a morph axis (templates constant along it):
+            # different corner cells -> last-ulp lerp differences only
+            assert almost_equal(mus2[i], mus1[i], 1e-12)
+
+
+def test_profile_study_small(lf):
+    study = BinnedToyStudy(lf, max_iter=40)
+    t, free, cond = study.profile_ts(jax.random.PRNGKey(0), n_toys=8,
+                                     target='wimp_rate_multiplier',
+                                     hypothesis=1.0)
+    assert (t >= 0).all()
+    assert np.isfinite(free.max_ll).all()
+    assert 0.5 < free['wimp_rate_multiplier'].mean() < 1.5

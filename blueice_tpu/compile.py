@@ -25,7 +25,79 @@ from .ops.beeston_barlow import bb_single_adjust
 from .ops.poisson import (binned_poisson_logl, binned_poisson_logl_constant,
                           extended_logl)
 
-__all__ = ['CompiledLogLikelihood', 'build_logl']
+__all__ = ['CompiledLogLikelihood', 'build_logl', 'build_logl_sum']
+
+
+def build_logl_sum(sum_lf, dtype=None, include_livetime=False,
+                   with_priors=True):
+    """Compile a LogLikelihoodSum: each child compiles on its own anchor
+    tensors; the joint logl routes parameters by name and adds the weighted
+    child terms — one XLA program for combined (e.g. multi-science-run) fits.
+    """
+    children = [build_logl(ll, dtype=dtype,
+                           include_livetime=include_livetime,
+                           with_priors=with_priors)
+                for ll in sum_lf.likelihood_list]
+    weights = [float(w) for w in sum_lf.likelihood_weights]
+
+    # Only parameters DECLARED on a child (its registered rate parameters and
+    # shape parameters) are routed to it — undeclared rate multipliers of
+    # shared source names stay at their defaults, matching the host Sum's
+    # routing (reference: blueice/likelihood.py:895-927)
+    routed = [set(names) for names in sum_lf.likelihood_parameters]
+
+    defaults = OrderedDict()
+    bounds = OrderedDict()
+    param_names = []
+    for i, c in enumerate(children):
+        for p in c.param_names:
+            if p in routed[i] and p not in defaults:
+                defaults[p] = c.defaults[p]
+                bounds[p] = c.bounds[p]
+                param_names.append(p)
+
+    def _child_params(params, i):
+        c = children[i]
+        return {p: (params[p] if p in routed[i] else c.defaults[p])
+                for p in c.param_names}
+
+    def logl(params):
+        out = jnp.zeros(())
+        for i, (c, w) in enumerate(zip(children, weights)):
+            out = out + w * c.logl(_child_params(params, i))
+        return out
+
+    def logl_with_data(params, data, mask=None, include_constant=True):
+        """``data``/``mask`` are sequences, one entry per child."""
+        out = jnp.zeros(())
+        for i, (c, w) in enumerate(zip(children, weights)):
+            mi = None if mask is None else mask[i]
+            out = out + w * c.logl_with_data(_child_params(params, i),
+                                             data[i], mi, include_constant)
+        return out
+
+    compiled = CompiledLogLikelihood(logl, logl_with_data, param_names,
+                                     defaults, bounds,
+                                     [c.data for c in children], sum_lf)
+    compiled.children = children
+    compiled.is_binned = all(c.is_binned for c in children)
+    compiled.dtype = dtype
+    compiled.has_bb = any(c.has_bb for c in children)
+    compiled.shape_names = [p for p in param_names
+                            if not p.endswith('_rate_multiplier')]
+    compiled.rate_names = [p for p in param_names
+                           if p.endswith('_rate_multiplier')]
+    compiled.prior_terms = [t for c in children for t in c.prior_terms]
+    compiled.ps_tensor = None       # analytic/pallas engines: per-child only
+    compiled.anchor_arrays = None
+
+    def data_constant(data):
+        out = jnp.zeros(())
+        for i, (c, w) in enumerate(zip(children, weights)):
+            out = out + w * c.data_constant(data[i])
+        return out
+    compiled.data_constant = data_constant
+    return compiled
 
 
 class CompiledLogLikelihood:
@@ -87,7 +159,17 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
       jax-traceable callables).
     :return: :class:`CompiledLogLikelihood`.
     """
-    from .likelihood import BinnedLogLikelihood, UnbinnedLogLikelihood
+    from .likelihood import (BinnedLogLikelihood, UnbinnedLogLikelihood,
+                             LogLikelihoodSum)
+
+    if isinstance(lf, LogLikelihoodSum):
+        return build_logl_sum(lf, dtype=dtype,
+                              include_livetime=include_livetime,
+                              with_priors=with_priors)
+    if not hasattr(lf, 'is_prepared'):
+        raise TypeError("Cannot compile %r — expected a Binned/Unbinned "
+                        "LogLikelihood (or a LogLikelihoodSum of them)"
+                        % type(lf).__name__)
 
     if not lf.is_prepared:
         if len(lf.shape_parameters):

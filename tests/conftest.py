@@ -12,6 +12,7 @@ import os
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=8')
 
+import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
@@ -19,3 +20,8 @@ jax.config.update('jax_enable_x64', True)
 
 assert jax.devices()[0].platform == 'cpu'
 assert len(jax.devices()) == 8
+
+# MC template builds draw from the global numpy state (reference-parity
+# behavior); seed it so templates — and everything downstream — are
+# deterministic regardless of test selection/order
+np.random.seed(1234567)

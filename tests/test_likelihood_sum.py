@@ -87,6 +87,29 @@ def test_sum_fit():
     assert 's0_rate_multiplier' in fit
 
 
+def test_compiled_sum():
+    """A LogLikelihoodSum compiles to one joint XLA program and fits with the
+    gradient engine."""
+    from blueice_tpu.compile import build_logl
+    from blueice_tpu.test_helpers import almost_equal
+
+    lf1 = _lf(1)
+    lf2 = UnbinnedLogLikelihood(conf_for_test(events_per_day=500.))
+    lf2.add_shape_parameter('some_multiplier', (0.5, 1, 2))
+    lf2.prepare()
+    lf2.set_data(lf2.base_model.simulate(rng=np.random.default_rng(9)))
+    s = LogLikelihoodSum([lf1, lf2], likelihood_weights=[1.0, 0.7])
+
+    c = build_logl(s)
+    for kwargs in [dict(), dict(s0_rate_multiplier=2.0),
+                   dict(some_multiplier=1.4, s0_rate_multiplier=0.5)]:
+        assert almost_equal(float(c(**kwargs)), s(**kwargs), 1e-9)
+
+    fit, ll = s.bestfit_jax(return_errors=False)
+    fit_ref, ll_ref = bestfit_scipy(s)
+    assert almost_equal(ll, ll_ref, 1e-6)
+
+
 def test_ancillary_likelihood():
     def constraint(params):
         return stats.norm(1, 0.1).logpdf(params['efficiency'])

@@ -83,14 +83,15 @@ class Hist:
     # -- filling and lookup --------------------------------------------------
 
     def add(self, *coordinate_arrays, weights=None):
-        """Histogram the given per-axis coordinate arrays into this histogram."""
+        """Histogram the given per-axis coordinate arrays into this histogram
+        (native C++ accumulation when available, numpy otherwise)."""
         if len(coordinate_arrays) != self.ndim:
             raise ValueError("Need %d coordinate arrays, got %d"
                              % (self.ndim, len(coordinate_arrays)))
+        from ..native import histogram_nd
         sample = np.stack([np.asarray(c, dtype=float) for c in coordinate_arrays],
                           axis=-1)
-        h, _ = np.histogramdd(sample, bins=self.edges, weights=weights)
-        self.values += h
+        self.values += histogram_nd(sample, self.edges, weights=weights)
         return self
 
     def bin_indices(self, *coordinate_arrays):

@@ -186,7 +186,16 @@ def bestfit_jax(lf, return_errors=True, fit_options=None, **kwargs):
     from .compile import build_logl
     from .parallel.fitter import fit_single
 
-    compiled = build_logl(lf)
+    # Cache the compiled likelihood on lf, invalidated when set_data rebuilds
+    # the density payload — so interval scans (many conditional fits) compile
+    # exactly once
+    builds = getattr(lf, '_builds', None)
+    token = (id(builds.get('ps')) if isinstance(builds, dict)
+             else id(getattr(lf, 'likelihood_list', None)))
+    cached = getattr(lf, '_compiled_for_fit', None)
+    if cached is None or cached[0] != token:
+        lf._compiled_for_fit = cached = (token, build_logl(lf))
+    compiled = cached[1]
     return fit_single(compiled, fixed=kwargs, return_errors=return_errors,
                       **(fit_options or {}))
 

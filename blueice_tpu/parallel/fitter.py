@@ -304,43 +304,51 @@ def fit_single(compiled, fixed=None, guess=None, return_errors=True,
     Mirrors the bestfit_* return convention (reference:
     blueice/inference.py:131-178,240-244); errors come from the exact
     jax.hessian at the optimum instead of Migrad's parabolic estimate.
+
+    Fixed-parameter *values* enter at runtime, so e.g. the conditional fits of
+    a profile-likelihood interval scan reuse ONE compiled program (cached on
+    the compiled likelihood, keyed by the fixed-parameter name set).
     """
     from ..exceptions import NoOpimizationNecessary
-    try:
-        names, fixed, transform, x0 = _floating_setup(compiled, fixed, guess)
-    except NoOpimizationNecessary:
-        fixed = dict(fixed or {})
+    fixed = dict(fixed or {})
+    fixed_names = tuple(sorted(fixed))
+    cache = compiled.__dict__.setdefault('_fit_single_cache', {})
+    key = (fixed_names, tuple(sorted((guess or {}).items())), max_iter, tol,
+           return_errors)
+
+    if key not in cache:
+        try:
+            fit_one, names = make_toy_fitter(
+                compiled, guess=guess, max_iter=max_iter, tol=tol,
+                runtime_fixed=list(fixed_names))
+        except NoOpimizationNecessary:
+            cache[key] = None
+        else:
+            hess_fn = None
+            if return_errors:
+                def neg_logl_x(xv, data, fixed_values):
+                    p = dict(compiled.defaults)
+                    for i, rname in enumerate(fixed_names):
+                        p[rname] = fixed_values[i]
+                    for i, name in enumerate(names):
+                        p[name] = xv[i]
+                    return -compiled.logl_with_data(p, data,
+                                                    include_constant=False)
+                hess_fn = jax.jit(jax.hessian(neg_logl_x))
+            cache[key] = (jax.jit(fit_one), names, hess_fn)
+
+    if cache[key] is None:
         return {}, float(compiled(**fixed))
 
-    def params_of_x(x):
-        p = dict(compiled.defaults)
-        p.update(fixed)
-        for i, name in enumerate(names):
-            p[name] = x[i]
-        return p
-
+    fit_one, names, hess_fn = cache[key]
+    fixed_values = tuple(jnp.asarray(float(fixed[n])) for n in fixed_names)
     data = compiled.data
-    const = (float(compiled.data_constant(data)) if data is not None else 0.0)
-
-    def neg_logl_u(u):
-        params = params_of_x(transform.to_x(u))
-        if data is not None:
-            return -compiled.logl_with_data(params, data,
-                                            include_constant=False)
-        return -compiled.logl(params)
-
-    u0 = transform.to_u(jnp.asarray(x0))
-    run = jax.jit(partial(minimize_newton, neg_logl_u,
-                          max_iter=max_iter, tol=tol))
-    u, fval, gnorm, it = run(u0)
-    fval = float(fval) - const
-    x = np.asarray(transform.to_x(u))
+    x, ll, it = fit_one(data, None, fixed_values)
+    x = np.asarray(x)
 
     results = OrderedDict((name, float(x[i])) for i, name in enumerate(names))
     if return_errors:
-        def neg_logl_x(xv):
-            return -compiled.logl(params_of_x(xv))
-        H = np.asarray(jax.hessian(neg_logl_x)(jnp.asarray(x)))
+        H = np.asarray(hess_fn(jnp.asarray(x), data, fixed_values))
         try:
             cov = np.linalg.inv(H)
             errs = np.sqrt(np.clip(np.diag(cov), 0, None))
@@ -348,7 +356,7 @@ def fit_single(compiled, fixed=None, guess=None, return_errors=True,
             errs = np.full(len(names), np.nan)
         for i, name in enumerate(names):
             results[name + '_error'] = float(errs[i])
-    return results, float(-fval)
+    return results, float(ll)
 
 
 def _analytic_supported(compiled):

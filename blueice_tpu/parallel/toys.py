@@ -32,6 +32,11 @@ __all__ = ['make_mesh', 'shard_toys', 'BinnedToyStudy', 'UnbinnedToyStudy',
            'ToyResults']
 
 
+def _round_up_toys(n_toys, mesh):
+    size = int(mesh.devices.size)
+    return -(-int(n_toys) // size) * size
+
+
 def make_mesh(devices=None, axis_name='toys'):
     """A 1-d device mesh for toy-level data parallelism."""
     devices = jax.devices() if devices is None else devices
@@ -102,7 +107,11 @@ class BinnedToyStudy:
         return jnp.tensordot(mus, pmfs, axes=(0, 0))
 
     def simulate(self, key, n_toys, truth=None, mesh=None):
-        """(n_toys, *bins) Poisson count tensors at the truth parameters."""
+        """(n_toys, *bins) Poisson count tensors at the truth parameters.
+        With a mesh, n_toys is rounded UP to a multiple of the device count
+        (sharding requires it; the extra toys are ordinary toys)."""
+        if mesh is not None:
+            n_toys = _round_up_toys(n_toys, mesh)
         expected = self.expected_counts(**(truth or {}))
         counts = jax.random.poisson(
             key, expected, shape=(n_toys,) + expected.shape)
@@ -340,6 +349,8 @@ class UnbinnedToyStudy:
                 jax.jit(jax.vmap(one, in_axes=(0, None))), names)
 
         run_fn, names = self._fit_cache[cache_key]
+        if mesh is not None:
+            n_toys = _round_up_toys(n_toys, mesh)
         keys = jax.random.split(key, n_toys)
         if mesh is not None:
             keys = shard_toys(mesh, keys)
@@ -352,6 +363,8 @@ class UnbinnedToyStudy:
         BinnedToyStudy.profile_ts)."""
         weights = self.expected_weights(**(truth or {}))
         run_fn, names_free, names_cond = self._profile_fn(target, fixed)
+        if mesh is not None:
+            n_toys = _round_up_toys(n_toys, mesh)
         keys = jax.random.split(key, n_toys)
         if mesh is not None:
             keys = shard_toys(mesh, keys)

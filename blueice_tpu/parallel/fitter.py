@@ -532,7 +532,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         base_params = dict(compiled.defaults)
         base_params.update(fixed)
 
-        def fit_one(data, mask=None, fixed_values=()):
+        def fit_one(data, mask=None, fixed_values=(), x0=None):
             params = dict(base_params)
             for i, rname in enumerate(runtime_fixed):
                 params[rname] = fixed_values[i]
@@ -573,21 +573,22 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             compiled, names, fixed, transform, use_pallas=use_pallas,
             runtime_fixed=runtime_fixed)
 
-        def fit_one(data, mask=None, fixed_values=()):
+        def fit_one(data, mask=None, fixed_values=(), x0=None):
             const = compiled.data_constant(data)
             data_flat = jnp.asarray(data).reshape(-1)
             f_many = (None if value_many_fn is None else
                       (lambda cands: value_many_fn(cands, data_flat,
                                                    fixed_values)))
+            u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
             u, fval, gnorm, it = minimize_newton(
-                lambda u: value_fn(u, data_flat, fixed_values), u0,
+                lambda u: value_fn(u, data_flat, fixed_values), u_start,
                 max_iter=max_iter, tol=tol, polish=polish, f_many=f_many,
                 vgh=lambda u: vgh_fn(u, data_flat, fixed_values))
             return transform.to_x(u), -fval + const, it
 
         return fit_one, names
 
-    def fit_one(data, mask=None, fixed_values=()):
+    def fit_one(data, mask=None, fixed_values=(), x0=None):
         run_fixed = dict(fixed)
         for i, rname in enumerate(runtime_fixed):
             run_fixed[rname] = fixed_values[i]
@@ -607,7 +608,8 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         def neg_logl_u(u):
             return -compiled.logl_with_data(params_of_u(u), data, mask,
                                             include_constant=False)
-        u, fval, gnorm, it = minimize_newton(neg_logl_u, u0,
+        u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
+        u, fval, gnorm, it = minimize_newton(neg_logl_u, u_start,
                                              max_iter=max_iter, tol=tol,
                                              polish=polish)
         return transform.to_x(u), -fval + const, it

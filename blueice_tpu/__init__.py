@@ -21,6 +21,7 @@ from .likelihood import *            # noqa: F401,F403
 from .parallel.tasks import *        # noqa: F401,F403
 from .priors import *                # noqa: F401,F403
 from .morphers import MORPHERS       # noqa: F401
+from .compile import build_logl      # noqa: F401
 
 
 def enable_x64():

@@ -116,6 +116,35 @@ def test_unbinned_toys_recover_truth():
     assert abs(res['mu'].mean()) < 0.05
 
 
+def test_unbinned_toys_on_mesh():
+    conf = conf_for_test(mc=True, events_per_day=100.,
+                         n_events_for_pdf=int(1e5))
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    study = UnbinnedToyStudy(lf)
+    mesh = make_mesh()
+    # 30 toys rounds up to 32 (next multiple of the 8-device mesh)
+    res = study.run(jax.random.PRNGKey(2), n_toys=30, mesh=mesh)
+    assert len(res.max_ll) == 32
+    assert np.isfinite(res.max_ll).all()
+
+
+def test_unbinned_piecewise_scoring():
+    """Unbinned toys with piecewise pdf interpolation score via bin lookup."""
+    conf = conf_for_test(mc=True, events_per_day=100.,
+                         n_events_for_pdf=int(1e5),
+                         pdf_interpolation_method='piecewise')
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    study = UnbinnedToyStudy(lf)
+    assert study._method == 'piecewise'
+    res = study.run(jax.random.PRNGKey(3), n_toys=32)
+    assert np.isfinite(res.max_ll).all()
+    assert abs(res['s0_rate_multiplier'].mean() - 1.0) < 0.1
+
+
 def test_unbinned_profile_ts():
     conf = conf_for_test(mc=True, events_per_day=100.,
                          n_events_for_pdf=int(1e5))

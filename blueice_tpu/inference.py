@@ -186,12 +186,14 @@ def bestfit_jax(lf, return_errors=True, fit_options=None, **kwargs):
     from .compile import build_logl
     from .parallel.fitter import fit_single
 
-    # Cache the compiled likelihood on lf, invalidated when set_data rebuilds
-    # the density payload — so interval scans (many conditional fits) compile
-    # exactly once
-    builds = getattr(lf, '_builds', None)
-    token = (id(builds.get('ps')) if isinstance(builds, dict)
-             else id(getattr(lf, 'likelihood_list', None)))
+    # Cache the compiled likelihood on lf, invalidated whenever prepare() or
+    # set_data() bumps the payload version — so interval scans (many
+    # conditional fits) compile exactly once, and a new dataset always gets a
+    # fresh program. (id()-based tokens are unsafe: addresses get reused.)
+    token = getattr(lf, '_build_version', None)
+    if token is None and hasattr(lf, 'likelihood_list'):
+        token = tuple(getattr(ll, '_build_version', None)
+                      for ll in lf.likelihood_list)
     cached = getattr(lf, '_compiled_for_fit', None)
     if cached is None or cached[0] != token:
         lf._compiled_for_fit = cached = (token, build_logl(lf))
@@ -249,7 +251,12 @@ def bestfit_emcee(ll, quiet=True, return_errors=False, return_samples=False,
         import emcee
         sampler = emcee.EnsembleSampler(n_walkers, n_dim, f)
         sampler.run_mcmc(p0, n_steps)
-        chain = np.swapaxes(sampler.chain, 0, 0)   # (n_walkers, n_steps, n_dim)
+        if hasattr(sampler, 'get_chain'):
+            # emcee 3.x: get_chain() is (n_steps, n_walkers, n_dim)
+            chain = np.swapaxes(sampler.get_chain(), 0, 1)
+        else:
+            # emcee 2.x: .chain is already (n_walkers, n_steps, n_dim)
+            chain = sampler.chain
     except ImportError:
         chain = _stretch_move_sampler(f, p0, n_steps, rng)
 

@@ -111,6 +111,11 @@ class LogLikelihoodBase:
         self.is_prepared = False
         self.is_data_set = False
         self._has_non_numeric = False
+        # Monotonic payload version, bumped by prepare()/set_data(). Compiled-
+        # likelihood caches key on this: id()-keyed tokens can silently alias
+        # after garbage collection (CPython free-lists readily reuse addresses),
+        # reusing a program compiled against stale data.
+        self._build_version = 0
 
         # Without shape parameters:
         self.ps = None                    # data scores / pmf grids
@@ -213,6 +218,7 @@ class LogLikelihoodBase:
 
         self.is_data_set = False
         self.is_prepared = True
+        self._build_version += 1
 
     def _prepare_source_wise_anchors(self):
         """Create per-source morphers; return the union of model anchor tuples."""
@@ -305,6 +311,7 @@ class LogLikelihoodBase:
         """
         self._data = d
         self.is_data_set = True
+        self._build_version += 1
 
     # -- parameter registry ------------------------------------------------------------
 

@@ -422,6 +422,8 @@ class UnbinnedToyStudy:
         """Profile-LR toy distributions across a hypothesis grid (see
         BinnedToyStudy.profile_ts_scan)."""
         run_fn, _, _ = self._profile_fn(target, fixed)
+        if mesh is not None:
+            n_toys = _round_up_toys(n_toys, mesh)
         out = []
         for i, h in enumerate(np.asarray(hypotheses, dtype=float)):
             sim_truth = dict(truth or {})

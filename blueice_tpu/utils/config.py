@@ -13,6 +13,7 @@ Python versions — a requirement for a shared template cache on a multi-host TP
 from copy import deepcopy
 from hashlib import sha1
 import inspect
+import types
 
 import numpy as np
 
@@ -109,22 +110,40 @@ def _canonical_parts(obj, out):
         out.append(b')')
     elif inspect.isclass(obj):
         out.append(b'K' + ('%s.%s' % (obj.__module__, obj.__qualname__)).encode())
+    elif isinstance(obj, types.CodeType):
+        # Nested code objects (a lambda inside a lambda appears in co_consts)
+        out.append(b'Q<')
+        out.append(obj.co_code)
+        _canonical_parts(tuple(obj.co_names), out)
+        _canonical_parts(tuple(obj.co_consts), out)
+        out.append(b'>')
     elif callable(obj):
         qn = getattr(obj, '__qualname__', None)
         mod = getattr(obj, '__module__', '')
         if qn is not None and '<lambda>' not in qn and '<locals>' not in qn:
             out.append(b'L' + ('%s.%s' % (mod, qn)).encode())
         else:
-            # Local functions / lambdas: fall back to code identity (bytecode + consts)
+            # Local functions / lambdas: code identity = bytecode + referenced
+            # globals + consts + DEFAULTS + CAPTURED CLOSURE CELL VALUES.
+            # Two lambdas differing only via a captured variable (e.g.
+            # ``lambda x: x * scale`` with different ``scale``) must hash
+            # differently, or the template cache silently aliases them.
             code = getattr(obj, '__code__', None)
             if code is not None:
                 out.append(b'L<')
                 out.append(code.co_code)
-                _canonical_parts(
-                    tuple(c for c in code.co_consts
-                          if isinstance(c, (type(None), bool, int, float, complex, str, bytes))),
-                    out)
-                out.append(b'>')
+                _canonical_parts(tuple(code.co_names), out)
+                _canonical_parts(tuple(code.co_consts), out)
+                _canonical_parts(getattr(obj, '__defaults__', None), out)
+                cells = getattr(obj, '__closure__', None) or ()
+                out.append(b'c(')
+                for cell in cells:
+                    try:
+                        _canonical_parts(cell.cell_contents, out)
+                    except ValueError:   # empty cell
+                        out.append(b'E')
+                    out.append(b',')
+                out.append(b')>')
             else:
                 out.append(b'R' + repr(obj).encode())
     elif hasattr(obj, '__iter__'):

@@ -91,6 +91,30 @@ def test_limit():
     assert lo < 1.0 < hi   # truth (multiplier 1) inside the interval
 
 
+def test_bestfit_jax_cache_invalidation():
+    """bestfit_jax's compiled-program cache must refresh when new data is
+    bound: a binned likelihood's compiled object closes over the observed
+    counts, so a stale hit silently fits the OLD dataset."""
+    from blueice_tpu.likelihood import BinnedLogLikelihood
+    from blueice_tpu.inference import bestfit_jax
+    from blueice_tpu.test_helpers import make_data
+
+    for cls in (BinnedLogLikelihood, LogLikelihood):
+        lf = cls(conf_for_test(n_sources=1, mc=(cls is BinnedLogLikelihood)))
+        lf.add_rate_parameter('s0')
+        lf.prepare()
+        lf.set_data(make_data([dict(n_events=100, x=0.0)])[0])
+        fit1, _ = bestfit_jax(lf)
+        lf.set_data(make_data([dict(n_events=2000, x=0.0)])[0])
+        fit2, _ = bestfit_jax(lf)
+        # 20x more events -> the fitted multiplier must move accordingly
+        assert fit2['s0_rate_multiplier'] > 5 * fit1['s0_rate_multiplier'], cls
+        # And repeated fits on the same data reuse the cache consistently
+        fit3, _ = bestfit_jax(lf)
+        assert np.isclose(fit3['s0_rate_multiplier'],
+                          fit2['s0_rate_multiplier'])
+
+
 def test_mcmc_builtin():
     """Ensemble MCMC runs on the built-in stretch-move sampler."""
     lf = LogLikelihood(conf_for_test())

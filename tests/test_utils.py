@@ -57,6 +57,32 @@ def test_deterministic_hash():
     assert isinstance(h1, str) and len(h1) == 40
 
 
+def test_closure_hashing():
+    """Local functions differing only in a captured cell value, default
+    argument, or referenced global must hash differently — otherwise a cached
+    template silently serves the wrong config."""
+    def make(scale):
+        return lambda x: x * scale
+    assert deterministic_hash(make(2.0)) != deterministic_hash(make(3.0))
+    assert deterministic_hash(make(2.0)) == deterministic_hash(make(2.0))
+
+    # Defaults participate
+    f1 = lambda x, a=1: x + a   # noqa: E731
+    f2 = lambda x, a=2: x + a   # noqa: E731
+    assert deterministic_hash(f1) != deterministic_hash(f2)
+
+    # Nested lambdas: inner code objects in co_consts must not collapse
+    g1 = lambda x: (lambda y: y + 1)(x)   # noqa: E731
+    g2 = lambda x: (lambda y: y + 2)(x)   # noqa: E731
+    assert deterministic_hash(g1) != deterministic_hash(g2)
+
+    # Captured cells may themselves be closures
+    def wrap(f):
+        return lambda x: f(x)
+    assert (deterministic_hash(wrap(make(2.0)))
+            != deterministic_hash(wrap(make(3.0))))
+
+
 def test_hashablize():
     h = hashablize(dict(b=[1, 2], a=np.array([3, 4])))
     hash(h)  # must not raise

@@ -25,7 +25,104 @@ from .ops.beeston_barlow import bb_single_adjust
 from .ops.poisson import (binned_poisson_logl, binned_poisson_logl_constant,
                           extended_logl)
 
-__all__ = ['CompiledLogLikelihood', 'build_logl', 'build_logl_sum']
+__all__ = ['CompiledLogLikelihood', 'build_logl', 'build_logl_sum',
+           'build_logl_reparam', 'build_logl_ancillary']
+
+
+def build_logl_reparam(rp, dtype=None, include_livetime=False,
+                       with_priors=True):
+    """Compile a LogLikelihoodReParam: the wrapped likelihood compiles to its
+    usual XLA program, and the (differentiable) parameter transform is traced
+    in front of it — new parameters flow by gradient straight through
+    ``func(*params)/func(*base)`` into the rate multipliers.
+    """
+    child = build_logl(rp._likelihood, dtype=dtype,
+                       include_livetime=include_livetime,
+                       with_priors=with_priors)
+    transform = rp.transform
+    targets = set(transform.targets)
+    inputs = list(transform.input_names)
+
+    defaults = OrderedDict()
+    bounds = OrderedDict()
+    passthrough = [p for p in child.param_names if p not in targets]
+    for p in passthrough:
+        defaults[p] = child.defaults[p]
+        bounds[p] = child.bounds[p]
+    for p in inputs:
+        defaults[p] = float(transform.base_values[p])
+        bounds[p] = rp.get_bounds(p)
+    param_names = passthrough + inputs
+
+    def _child_params(params):
+        converted = transform({p: params[p] for p in inputs})
+        return {p: (converted[p] if p in targets else params[p])
+                for p in child.param_names}
+
+    def logl(params):
+        return child.logl(_child_params(params))
+
+    def logl_with_data(params, data, mask=None, include_constant=True):
+        return child.logl_with_data(_child_params(params), data, mask,
+                                    include_constant)
+
+    compiled = CompiledLogLikelihood(logl, logl_with_data, param_names,
+                                     defaults, bounds, child.data, rp)
+    compiled.rates = lambda params: child.rates(_child_params(params))
+    compiled.densities = lambda params: child.densities(_child_params(params))
+    compiled.data_constant = child.data_constant
+    compiled.is_binned = child.is_binned
+    compiled.dtype = dtype
+    compiled.has_bb = child.has_bb
+    compiled.shape_names = [p for p in param_names
+                            if not p.endswith('_rate_multiplier')]
+    compiled.rate_names = [p for p in param_names
+                           if p.endswith('_rate_multiplier')]
+    compiled.prior_terms = child.prior_terms
+    compiled.ps_tensor = None   # the transform precedes the anchor morphing
+    compiled.anchor_arrays = None
+    return compiled
+
+
+def build_logl_ancillary(anc, dtype=None, include_livetime=False,
+                         with_priors=True):
+    """Compile a LogAncillaryLikelihood: its func must be jax-traceable
+    (ordinary arithmetic / jnp calls on the parameter values)."""
+    param_names = list(anc.shape_parameters)
+    defaults = OrderedDict(
+        (p, float(anc.pdf_base_config[p])) for p in param_names)
+    bounds = OrderedDict((p, anc.get_bounds(p)) for p in param_names)
+
+    def logl(params):
+        values = OrderedDict((p, jnp.asarray(params[p]))
+                             for p in param_names)
+        return anc.func(values, **anc.func_kwargs)
+
+    try:
+        jax.eval_shape(logl, {p: jnp.zeros(()) for p in param_names})
+    except Exception as e:
+        raise TypeError(
+            "The ancillary likelihood's func is not jax-traceable, so it "
+            "cannot be compiled (use jnp/arithmetic expressions instead of "
+            "e.g. scipy.stats frozen logpdfs; the host __call__ path still "
+            "accepts those)") from e
+
+    def logl_with_data(params, data, mask=None, include_constant=True):
+        return logl(params)   # an analytic term has no dataset
+
+    compiled = CompiledLogLikelihood(logl, logl_with_data, param_names,
+                                     defaults, bounds, None, anc)
+    compiled.data_constant = lambda data: jnp.zeros(())
+    compiled.is_binned = None    # dataset-free: binned/unbinned-agnostic
+    compiled.has_data = False
+    compiled.dtype = dtype
+    compiled.has_bb = False
+    compiled.shape_names = param_names
+    compiled.rate_names = []
+    compiled.prior_terms = []
+    compiled.ps_tensor = None
+    compiled.anchor_arrays = None
+    return compiled
 
 
 def build_logl_sum(sum_lf, dtype=None, include_livetime=False,
@@ -80,7 +177,9 @@ def build_logl_sum(sum_lf, dtype=None, include_livetime=False,
                                      defaults, bounds,
                                      [c.data for c in children], sum_lf)
     compiled.children = children
-    compiled.is_binned = all(c.is_binned for c in children)
+    # Dataset-free children (ancillary terms) don't vote on binnedness
+    compiled.is_binned = all(c.is_binned for c in children
+                             if getattr(c, 'has_data', True))
     compiled.dtype = dtype
     compiled.has_bb = any(c.has_bb for c in children)
     compiled.shape_names = [p for p in param_names
@@ -112,6 +211,9 @@ class CompiledLogLikelihood:
         (+ 'livetime_days' if included).
       defaults / bounds: per-parameter base values and (lo, hi) tuples.
     """
+
+    #: dataset-free terms (ancillary constraints) override this to False
+    has_data = True
 
     def __init__(self, logl, logl_with_data, param_names, defaults, bounds,
                  data, source_likelihood):
@@ -159,13 +261,22 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
       jax-traceable callables).
     :return: :class:`CompiledLogLikelihood`.
     """
-    from .likelihood import (BinnedLogLikelihood, UnbinnedLogLikelihood,
-                             LogLikelihoodSum)
+    from .likelihood import BinnedLogLikelihood, UnbinnedLogLikelihood
+    from .composition import (LogLikelihoodSum, LogLikelihoodReParam,
+                              LogAncillaryLikelihood)
 
     if isinstance(lf, LogLikelihoodSum):
         return build_logl_sum(lf, dtype=dtype,
                               include_livetime=include_livetime,
                               with_priors=with_priors)
+    if isinstance(lf, LogLikelihoodReParam):
+        return build_logl_reparam(lf, dtype=dtype,
+                                  include_livetime=include_livetime,
+                                  with_priors=with_priors)
+    if isinstance(lf, LogAncillaryLikelihood):
+        return build_logl_ancillary(lf, dtype=dtype,
+                                    include_livetime=include_livetime,
+                                    with_priors=with_priors)
     if not hasattr(lf, 'is_prepared'):
         raise TypeError("Cannot compile %r — expected a Binned/Unbinned "
                         "LogLikelihood (or a LogLikelihoodSum of them)"

@@ -15,7 +15,6 @@ additions:
 
 import warnings
 from collections import OrderedDict
-from copy import deepcopy
 
 import numpy as np
 from scipy import stats
@@ -46,6 +45,41 @@ def best_anchor(lf):
     return dictzip_shapes(anchors[int(np.argmax(results))])
 
 
+RATE_SUFFIX = '_rate_multiplier'
+
+
+def _free_parameters(lf, fixed, guess, rates_in_log_space):
+    """Records ``(name, guess, bounds, decode)`` for every floating parameter
+    — rate multipliers of registered rate parameters first, then shape
+    parameters. ``decode`` maps an optimizer-space value back to the
+    likelihood's parameter space (None = identity)."""
+    guess = guess or {}
+    records = []
+
+    for source_name in lf.rate_parameters:
+        name = source_name + RATE_SUFFIX
+        if name in fixed:
+            continue
+        g = guess.get(name, 1)
+        if rates_in_log_space:
+            records.append((name, np.log10(g), (None, None),
+                            lambda v: 10 ** v))
+        else:
+            records.append((name, g, (0, None), None))
+
+    for name, (_, _, base_value) in lf.shape_parameters.items():
+        if name in fixed:
+            continue
+        g = guess.get(name)
+        if g is None:
+            base_setting = lf.pdf_base_config.get(name)
+            g = (base_setting if isinstance(base_setting, (int, float))
+                 else base_value)
+        records.append((name, g, lf.get_bounds(name), None))
+
+    return records
+
+
 def make_objective(lf, guess=None, minus=True, rates_in_log_space=False,
                    **kwargs):
     """Wrap the likelihood lf for an optimizer.
@@ -56,49 +90,23 @@ def make_objective(lf, guess=None, minus=True, rates_in_log_space=False,
     :return: (f, names, guesses, bounds): f takes an array of the floating
       parameters; names/guesses/bounds are in f's argument order.
     """
-    if guess is None:
-        guess = {}
-    names, bounds, guesses = [], [], []
-
-    for p in lf.rate_parameters.keys():
-        if p + '_rate_multiplier' not in kwargs:
-            g = guess.get('%s_rate_multiplier' % p, 1)
-            names.append('%s_rate_multiplier' % p)
-            if rates_in_log_space:
-                guesses.append(np.log10(g))
-                bounds.append((None, None))
-            else:
-                guesses.append(g)
-                bounds.append((0, None))
-
-    for p, (_, __, base_value) in lf.shape_parameters.items():
-        if p not in kwargs:
-            names.append(p)
-            bounds.append(lf.get_bounds(p))
-            g = guess.get(p)
-            if g is None:
-                g = lf.pdf_base_config.get(p)
-                if not isinstance(g, (int, float)):
-                    g = base_value
-            guesses.append(g)
-
-    if not len(names):
+    records = _free_parameters(lf, kwargs, guess, rates_in_log_space)
+    if not records:
         raise NoOpimizationNecessary(
-            "There are no parameters to fit, no optimization is necessary")
+            "All parameters are fixed — nothing to optimize")
 
     sign = -1 if minus else 1
 
-    def objective(args):
-        call_kwargs = {}
-        for i, k in enumerate(names):
-            if rates_in_log_space and k.endswith('_rate_multiplier'):
-                call_kwargs[k] = 10 ** args[i]
-            else:
-                call_kwargs[k] = args[i]
-        call_kwargs.update(kwargs)
-        return lf(**call_kwargs) * sign
+    def objective(x):
+        point = dict(kwargs)
+        for (name, _, _, decode), v in zip(records, x):
+            point[name] = decode(v) if decode is not None else v
+        return sign * lf(**point)
 
-    return objective, names, np.array(guesses, dtype=float), bounds
+    return (objective,
+            [r[0] for r in records],
+            np.array([r[1] for r in records], dtype=float),
+            [r[2] for r in records])
 
 
 def bestfit_scipy(lf, minimize_kwargs=None, rates_in_log_space=False,
@@ -109,35 +117,29 @@ def bestfit_scipy(lf, minimize_kwargs=None, rates_in_log_space=False,
     :param pass_bounds_to_minimizer: pass bounds explicitly (usually unnecessary:
       the likelihood returns -inf outside its bounds anyway).
     """
-    if minimize_kwargs is None:
-        minimize_kwargs = {}
+    options = dict(minimize_kwargs or {})
 
     try:
         f, names, guess, bounds = lf.make_objective(
             minus=True, rates_in_log_space=rates_in_log_space, **kwargs)
     except NoOpimizationNecessary:
         return {}, lf(**kwargs)
+    bounds_arg = bounds if pass_bounds_to_minimizer else None
 
-    optresult = minimize(f, guess,
-                         bounds=bounds if pass_bounds_to_minimizer else None,
-                         **minimize_kwargs)
-    if not optresult.success:
-        minimize_kwargs_temp = deepcopy(minimize_kwargs)
-        minimize_kwargs_temp.pop('method', None)
-        optresult = minimize(f, guess,
-                             bounds=bounds if pass_bounds_to_minimizer else None,
-                             method='Nelder-Mead', **minimize_kwargs_temp)
-        if not optresult.success:
-            raise OptimizationFailed("Optimization failure: ", optresult)
+    result = minimize(f, guess, bounds=bounds_arg, **options)
+    if not result.success:
+        # Retry once with the slow-but-sturdy simplex before giving up
+        options.pop('method', None)
+        result = minimize(f, guess, bounds=bounds_arg, method='Nelder-Mead',
+                          **options)
+        if not result.success:
+            raise OptimizationFailed("Optimization failure: ", result)
 
-    optimum = optresult.x if len(names) != 1 else [optresult.x.item()]
-    results = OrderedDict()
-    for i, name in enumerate(names):
-        if rates_in_log_space and name.endswith('_rate_multiplier'):
-            results[name] = 10 ** optimum[i]
-        else:
-            results[name] = optimum[i]
-    return results, -optresult.fun
+    fit = OrderedDict()
+    for name, v in zip(names, np.atleast_1d(result.x)):
+        in_log = rates_in_log_space and name.endswith(RATE_SUFFIX)
+        fit[name] = 10 ** v if in_log else float(v)
+    return fit, -result.fun
 
 
 def bestfit_minuit(lf, minimize_kwargs=None, rates_in_log_space=False, **kwargs):
@@ -307,45 +309,38 @@ def one_parameter_interval(lf, target, bound, confidence_level=0.9, kind='upper'
       Defaults to Wilks' theorem.
     :param kwargs: passed to the bestfit routine (fixing parameters, etc).
     """
-    bestfit_routine = _get_bestfit_routine(bestfit_routine)
+    fit = _get_bestfit_routine(bestfit_routine)
     if target is None:
         source_names = getattr(lf, 'source_name_list', None) or lf.source_list
-        target = source_names[-1] + '_rate_multiplier'
+        target = source_names[-1] + RATE_SUFFIX
 
-    # Global best fit: the denominator of the likelihood ratio
-    result, max_loglikelihood = bestfit_routine(lf, **kwargs)
-    global_best = result[target]
+    # Denominator of the likelihood ratio: the unconditional best fit
+    best, ll_best = fit(lf, **kwargs)
+    x_best = best[target]
 
-    def t(hypothesis, critical_quantile):
-        """Profile likelihood ratio test statistic minus its critical value."""
-        if t_ppf is None:
-            # Wilks: stats.norm.ppf(cl)**2 == stats.chi2(1).ppf(2 cl - 1);
-            # the chi2 form is quoted for central CIs, the normal one for bounds
-            critical_value = stats.norm.ppf(critical_quantile) ** 2
+    def excess(hypothesis, quantile):
+        """t(hypothesis) minus its critical value; brentq finds the zero."""
+        if t_ppf is not None:
+            critical = t_ppf(hypothesis, quantile)
         else:
-            critical_value = t_ppf(hypothesis, critical_quantile)
+            # Wilks: stats.norm.ppf(q)**2 == stats.chi2(1).ppf(2q - 1);
+            # the chi2 form is quoted for central CIs, the normal for bounds
+            critical = stats.norm.ppf(quantile) ** 2
+        one_sided_zero = ((kind == 'upper' and hypothesis <= x_best)
+                          or (kind == 'lower' and hypothesis >= x_best))
+        if one_sided_zero:
+            return -critical
+        _, ll_cond = fit(lf, **{target: hypothesis, **kwargs})
+        return 2 * (ll_best - ll_cond) - critical
 
-        if kind == 'upper' and hypothesis <= global_best:
-            result = 0
-        elif kind == 'lower' and hypothesis >= global_best:
-            result = 0
-        else:
-            # Conditional best fit at the hypothesis (numerator)
-            lf_kwargs = {target: hypothesis}
-            lf_kwargs.update(kwargs)
-            _, ll = bestfit_routine(lf, **lf_kwargs)
-            result = 2 * (max_loglikelihood - ll)
-        return result - critical_value
-
+    if kind == 'upper':
+        return brentq(excess, x_best, bound, args=(confidence_level,))
+    if kind == 'lower':
+        return brentq(excess, bound, x_best, args=(1 - confidence_level,))
     if kind == 'central':
-        a = brentq(t, bound[0], global_best, args=[(1 - confidence_level) / 2])
-        b = brentq(t, global_best, bound[1],
-                   args=[1 - (1 - confidence_level) / 2])
-        return a, b
-    elif kind == 'lower':
-        return brentq(t, bound, global_best, args=[1 - confidence_level])
-    elif kind == 'upper':
-        return brentq(t, global_best, bound, args=[confidence_level])
+        tail = (1 - confidence_level) / 2
+        return (brentq(excess, bound[0], x_best, args=(tail,)),
+                brentq(excess, x_best, bound[1], args=(1 - tail,)))
     raise ValueError("Unknown interval kind %s" % kind)
 
 
@@ -356,37 +351,34 @@ def plot_likelihood_ratio(lf, *space, vmax=15, bestfit_routine=None,
     :param space: tuples (dim_name, points); further kwargs are passed to lf and
       parameters not passed are fitted at each point.
     """
+    import itertools
     import matplotlib.pyplot as plt
-    bestfit_routine = _get_bestfit_routine(bestfit_routine)
-    if plot_kwargs is None:
-        plot_kwargs = {}
+
+    if len(space) not in (1, 2):
+        raise ValueError("Can't handle %d dimensions" % len(space))
+    fit = _get_bestfit_routine(bestfit_routine)
+    plot_kwargs = plot_kwargs or {}
+    dims = [name for name, _ in space]
+    grids = [np.asarray(pts) for _, pts in space]
+
+    # Profile the remaining parameters at every grid point
+    lls = np.array([fit(lf, **{**dict(zip(dims, point)), **kwargs})[1]
+                    for point in itertools.product(*grids)])
+    ratio = (np.nanmax(lls) - lls).reshape([len(g) for g in grids])
 
     label = "-Log likelihood ratio"
     if len(space) == 1:
-        dim, x = space[0]
-        results = np.array([
-            bestfit_routine(lf, **{dim: q, **kwargs})[1] for q in x])
-        results = results.max() - results
-        plt.plot(x, results, **plot_kwargs)
+        plt.plot(grids[0], ratio, **plot_kwargs)
         plt.ylim(0, vmax)
         plt.ylabel(label)
-        plt.xlabel(dim)
-        plt.xlim(x.min(), x.max())
-    elif len(space) == 2:
-        dims = (space[0][0], space[1][0])
-        x, y = (space[0][1], space[1][1])
-        results = np.array([
-            [bestfit_routine(lf, **{dims[0]: z1, dims[1]: z2, **kwargs})[1]
-             for z2 in y]
-            for z1 in x])
-        z1, z2 = np.meshgrid(x, y)
-        results = np.nanmax(results) - results
-        plt.pcolormesh(z1, z2, results.T, vmax=vmax, **plot_kwargs)
+        plt.xlabel(dims[0])
+        plt.xlim(grids[0].min(), grids[0].max())
+    else:
+        xx, yy = np.meshgrid(*grids)
+        plt.pcolormesh(xx, yy, ratio.T, vmax=vmax, **plot_kwargs)
         plt.colorbar(label=label)
         plt.xlabel(dims[0])
         plt.ylabel(dims[1])
-    else:
-        raise ValueError("Can't handle %d dimensions" % len(space))
 
 
 BESTFIT_ROUTINES = dict(scipy=bestfit_scipy, minuit=bestfit_minuit,

@@ -755,237 +755,10 @@ def beeston_barlow_roots(a, p, U, d):
     return beeston_barlow_root1(a, p, U, d), beeston_barlow_root2(a, p, U, d)
 
 
-class LogLikelihoodSum:
-    """Sum of likelihoods minimized together, exposing the same evaluation and
-    inference interface. Parameters are routed to children by name; optional
-    per-likelihood weights de-weight e.g. constraint terms shared between
-    sub-volume likelihoods."""
-
-    def __init__(self, likelihood_list, likelihood_weights=None):
-        self.likelihood_list = list(likelihood_list)
-        self.rate_parameters = dict()
-        self.shape_parameters = dict()
-        self.source_list = []
-        self.pdf_base_config = {}   # guesses only; last likelihood wins
-
-        if likelihood_weights is None:
-            likelihood_weights = [1 for _ in self.likelihood_list]
-        self.likelihood_weights = likelihood_weights
-
-        self.likelihood_parameters = []
-        for ll in self.likelihood_list:
-            self.rate_parameters.update(ll.rate_parameters)
-            self.shape_parameters.update(ll.shape_parameters)
-            parameter_names = []
-            for rate_parameter_name in ll.rate_parameters.keys():
-                parameter_names.append(rate_parameter_name + '_rate_multiplier')
-                base_value = ll.pdf_base_config.get(rate_parameter_name)
-                if base_value is not None:
-                    self.pdf_base_config[rate_parameter_name] = base_value
-            for shape_parameter_name in ll.shape_parameters.keys():
-                parameter_names.append(shape_parameter_name)
-                base_value = ll.pdf_base_config.get(shape_parameter_name)
-                if base_value is not None:
-                    self.pdf_base_config[shape_parameter_name] = base_value
-            self.likelihood_parameters.append(parameter_names)
-
-    def __call__(self, compute_pdf=False, livetime_days=None, **kwargs):
-        ret = 0.
-        for i, (ll, parameter_names, weight) in enumerate(zip(
-                self.likelihood_list, self.likelihood_parameters,
-                self.likelihood_weights)):
-            pass_kwargs = {k: v for k, v in kwargs.items()
-                           if k in parameter_names}
-            livetime = livetime_days
-            if isinstance(livetime_days, list):
-                livetime = livetime_days[i]
-            ret += weight * ll(compute_pdf=compute_pdf, livetime_days=livetime,
-                               **pass_kwargs)
-        return ret
-
-    def split_results(self, result_dict):
-        """Split a fit-result dict into per-child dicts."""
-        return [{k: v for k, v in result_dict.items() if k in parameter_names}
-                for parameter_names in self.likelihood_parameters]
-
-    def get_bounds(self, parameter_name=None):
-        """Bounds: intersection over the children that know the parameter."""
-        if parameter_name is None:
-            return [self.get_bounds(p) for p in self.shape_parameters]
-        if parameter_name in self.shape_parameters.keys():
-            bounds = np.array([ll.get_bounds(parameter_name)
-                               for ll in self.likelihood_list
-                               if parameter_name in ll.shape_parameters.keys()])
-            ret = np.max(bounds[:, 0]), np.min(bounds[:, 1])
-            if ret[1] <= ret[0]:
-                raise InvalidParameterSpecification(
-                    "lower bound %s higher than upper bound!" % parameter_name)
-            return ret
-        elif parameter_name.endswith('_rate_multiplier'):
-            return 0, float('inf')
-        raise InvalidParameter("Non-existing parameter %s" % parameter_name)
-
-
-class LogLikelihoodReParam:
-    """Reparameterize a likelihood: new parameters map onto the wrapped
-    likelihood's rate multipliers through user functions normalized at the base
-    values (e.g. EFT couplings whose event rates are quadratic/bilinear in the
-    couplings). conv_config format:
-        {'op0_rate_multiplier': {'params': ['np0'], 'func': lambda np0: np0**2},
-         'np0': (anchors, log_prior, base_value), ...}
-    """
-
-    def __init__(self, likelihood, conv_config):
-        self._likelihood = likelihood
-        self.conv_config = conv_config
-        self.pdf_base_config = likelihood.pdf_base_config
-        self.check_conv_config()
-
-    def __call__(self, compute_pdf=False, livetime_days=None, **kwargs):
-        kwargs = deepcopy(self._parameter_converter(**kwargs))
-        return self._likelihood(compute_pdf=compute_pdf,
-                                livetime_days=livetime_days, **kwargs)
-
-    def check_conv_config(self):
-        """Validate the new parameters: consistent inside conv_config, and all
-        present in the model config."""
-        new_params = [k for k in self.conv_config.keys()
-                      if not k.endswith("_rate_multiplier")]
-        used_params = []
-        for k, v in self.conv_config.items():
-            if isinstance(v, dict):
-                for p in v["params"]:
-                    if p not in used_params:
-                        used_params.append(p)
-        assert set(new_params) == set(used_params), \
-            "New parameters are not consistent, double check conv_config..."
-
-        missing = [p for p in new_params
-                   if not self.base_model.config.get(p, False)]
-        assert not missing, "%s are missing in the config" % ", ".join(missing)
-
-    @property
-    def rate_parameters(self):
-        """The wrapped rate parameters, minus those now derived from new shape
-        parameters."""
-        rate_parameters = deepcopy(self._likelihood.rate_parameters)
-        for k in self._likelihood.rate_parameters.keys():
-            if k + "_rate_multiplier" in self.conv_config.keys():
-                rate_parameters.pop(k)
-        return rate_parameters
-
-    @property
-    def shape_parameters(self):
-        """The wrapped shape parameters plus the new ones from conv_config."""
-        shape_parameters = deepcopy(self._likelihood.shape_parameters)
-        for k, v in self.conv_config.items():
-            if not k.endswith("_rate_multiplier"):
-                anchors = {z: z for z in v[0]}
-                shape_parameters[k] = (anchors, v[1], v[2])
-        return shape_parameters
-
-    @property
-    def base_model(self):
-        model = deepcopy(self._likelihood.base_model)
-        model.simulate = self._simulate
-        return model
-
-    def set_data(self, d):
-        self._likelihood.set_data(d)
-
-    def get_bounds(self, parameter_name=None):
-        if parameter_name is None:
-            return [self.get_bounds(p) for p in self.shape_parameters.keys()]
-        elif parameter_name in (list(self._likelihood.rate_parameters.keys())
-                                + list(self._likelihood.shape_parameters.keys())):
-            return self._likelihood.get_bounds(parameter_name)
-        else:
-            anchor_settings = list(self.shape_parameters[parameter_name][0].keys())
-            return min(anchor_settings), max(anchor_settings)
-
-    def _simulate(self, kwargs=None, livetime_days=None):
-        """Simulate with the new (coupling) parameters routed through the
-        converter to per-source rate multipliers."""
-        if kwargs is None:
-            kwargs = dict()
-        kwargs = deepcopy(self._parameter_converter(with_suffix=False, **kwargs))
-        rate_multipliers = {k: v for k, v in kwargs.items()
-                            if k in self._likelihood.rate_parameters.keys()}
-        return self._likelihood.base_model.simulate(
-            rate_multipliers=rate_multipliers, livetime_days=livetime_days)
-
-    def _parameter_converter(self, with_suffix=True, **kwargs):
-        """Convert new parameters to the wrapped likelihood's parameters:
-        rate_multiplier = func(*params) / func(*base_values)."""
-        if not with_suffix:
-            kwargs = {
-                (k + "_rate_multiplier"
-                 if k in self._likelihood.rate_parameters.keys() else k): v
-                for k, v in kwargs.items()}
-
-        removed_params = []
-        pass_kwargs = OrderedDict()
-        for k, v in self.conv_config.items():
-            if k.endswith("_rate_multiplier"):
-                base_values = [self.pdf_base_config.get(p) for p in v["params"]]
-                params = [kwargs.get(p, b) for p, b in zip(v["params"],
-                                                           base_values)]
-                pass_kwargs[k] = v["func"](*params) / v["func"](*base_values)
-                for p in v["params"]:
-                    if p not in removed_params:
-                        removed_params.append(p)
-
-        for k, v in kwargs.items():
-            if k not in removed_params:
-                pass_kwargs[k] = v
-
-        if not with_suffix:
-            pass_kwargs = OrderedDict(
-                (k.split("_rate_multiplier")[0], v)
-                for k, v in pass_kwargs.items())
-        return pass_kwargs
-
-
-class LogAncillaryLikelihood:
-    """Ancillary (constraint) analytical likelihood term: an arbitrary function of
-    named parameters, exposed with the standard likelihood interface so it can be
-    combined via LogLikelihoodSum."""
-
-    def __init__(self, func, parameter_list, config=None, func_kwargs=None):
-        """
-        :param func: function taking an OrderedDict of named parameter values,
-          plus func_kwargs: func({name: value}, **func_kwargs).
-        :param parameter_list: names of parameters pulled from the config.
-        :param config: default values for the parameters.
-        :param func_kwargs: extra keyword arguments for func.
-        """
-        if config is None:
-            config = dict()
-        if func_kwargs is None:
-            func_kwargs = dict()
-
-        self.rate_parameters = dict()
-        self.shape_parameters = OrderedDict(
-            (p, (None, None, None)) for p in parameter_list)
-        self.source_list = []
-        self.pdf_base_config = config
-        self.func = func
-        self.func_kwargs = func_kwargs
-
-    def get_bounds(self, parameter_name=None):
-        if parameter_name is None:
-            return [self.get_bounds(p) for p in self.shape_parameters]
-        if parameter_name in self.shape_parameters.keys():
-            # Other likelihoods in a sum can be more constrictive
-            return -np.inf, np.inf
-        raise InvalidParameter("Non-existing parameter %s" % parameter_name)
-
-    def __call__(self, **kwargs):
-        pass_kwargs = OrderedDict(
-            (p, self.pdf_base_config[p]) for p in self.shape_parameters)
-        pass_kwargs.update(kwargs)
-        return self.func(pass_kwargs, **self.func_kwargs)
-
+# Composition classes live in their own module; re-exported here so
+# ``from blueice_tpu.likelihood import LogLikelihoodSum`` keeps working
+from .composition import (LogLikelihoodSum, LogLikelihoodReParam,   # noqa: E402
+                          LogAncillaryLikelihood)
 
 # Graft the inference helpers as methods onto the likelihood classes
 from . import inference   # noqa: E402  (at bottom to break the import cycle)

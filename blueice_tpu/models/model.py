@@ -1,12 +1,20 @@
-"""Model: a collection of Sources built from one config, with dataset simulation
-and event scoring.
+"""Model: the set of Sources built from one config — the unit the likelihood
+layer instantiates per shape-parameter anchor.
 
-Role parity with the reference Model (reference: blueice/model.py:8-144): the same
-config cascade (global config merged into each source entry, ``<name>_rate_multiplier``
-rewritten to the per-source ``rate_multiplier``), Poisson toy simulation with range
-cut, per-event scoring, and stacked PMF grids. The stacked grids returned by
-:meth:`pmf_grids` / :meth:`score_events` are the tensors the TPU likelihood path
-consumes directly.
+Capability parity with the reference model layer (reference: blueice/model.py),
+organized around two jobs:
+
+* **config fan-out** (:func:`expand_source_configs`): the global config is
+  merged under each entry of ``config['sources']``, and global
+  ``<name>_rate_multiplier`` settings are folded into that source's own
+  ``rate_multiplier``;
+* **stacked payloads**: :meth:`Model.pmf_grids` / :meth:`Model.score_events` /
+  :meth:`Model.expected_events` return arrays with a leading source axis —
+  exactly the per-anchor slices the TPU likelihood tensors are built from.
+
+Toy simulation (:meth:`Model.simulate`) draws per-source Poisson counts with an
+optional seeded generator, concatenates the source samples and applies the
+analysis-space range cut.
 """
 
 import inspect
@@ -15,24 +23,51 @@ import numpy as np
 
 from .. import utils
 
-__all__ = ['Model']
+__all__ = ['Model', 'expand_source_configs']
+
+_MODEL_ONLY_KEYS = ('sources', 'default_source_class', 'class')
 
 
-def _simulate_source(source, n, rng):
-    """Call source.simulate, passing the generator through when the source's
-    signature accepts an ``rng`` argument — full toy reproducibility for
-    sources that opt in (the count draw is always seeded either way)."""
+def expand_source_configs(config):
+    """Fan the model config out into per-source (source_class, config) pairs.
+
+    Each source sees the global config with its own ``sources`` entry merged on
+    top. Global ``<name>_rate_multiplier`` keys become that source's
+    ``rate_multiplier`` (default 1) and are stripped from every source's view.
+    """
+    fallback_class = config.get('default_source_class')
+    pairs = []
+    for entry in config['sources']:
+        cls = entry.get('class', fallback_class)
+        if cls is None:
+            raise ValueError(
+                "Source %r has no 'class' key and the config sets no "
+                "default_source_class" % entry.get('name', '?'))
+        merged = utils.combine_dicts(config, entry, exclude=_MODEL_ONLY_KEYS)
+        own_multiplier_key = '%s_rate_multiplier' % merged.get(
+            'name', 'unnamed_source')
+        multiplier = merged.get(own_multiplier_key, 1)
+        merged = {k: v for k, v in merged.items()
+                  if not k.endswith('_rate_multiplier')}
+        merged['rate_multiplier'] = multiplier
+        pairs.append((cls, merged))
+    return pairs
+
+
+def _call_simulate(source, n, rng):
+    """source.simulate(n), threading the generator through for sources whose
+    signature opts into an ``rng`` argument (full toy reproducibility; the
+    Poisson count draw is seeded either way)."""
     try:
-        accepts_rng = 'rng' in inspect.signature(source.simulate).parameters
+        params = inspect.signature(source.simulate).parameters
     except (TypeError, ValueError):
-        accepts_rng = False
-    if accepts_rng:
-        return source.simulate(n, rng=rng)
-    return source.simulate(n)
+        params = {}
+    return source.simulate(n, rng=rng) if 'rng' in params else source.simulate(n)
 
 
 class Model:
-    """Collects several Sources; the unit the likelihood layer builds per anchor."""
+    """Several Sources behind one config, with dataset simulation and the
+    stacked per-source payload views the likelihood layer consumes."""
 
     defaults = dict(livetime_days=1,
                     data_dirs='.',
@@ -41,132 +76,123 @@ class Model:
 
     def __init__(self, config, **kwargs):
         """
-        :param config: dict specifying detector parameters, source list, etc.
-        :param kwargs: overrides for the config.
+        :param config: dict of detector parameters, the source list, etc.
+        :param kwargs: overrides applied on top of config.
         """
         self.config = utils.combine_dicts(self.defaults, config, kwargs,
                                           deep_copy=True)
         if 'rate_multiplier' in self.config:
-            raise ValueError("Don't put a setting named rate_multiplier in the "
-                             "model config please...")
+            raise ValueError(
+                "A bare 'rate_multiplier' setting in the model config is "
+                "ambiguous; use <source_name>_rate_multiplier")
 
-        self.sources = []
-        for source_config in self.config['sources']:
-            source_class = source_config.get(
-                'class', self.config.get('default_source_class'))
-            if source_class is None:
-                raise ValueError("Source %s has no class and no "
-                                 "default_source_class is set"
-                                 % source_config.get('name', '?'))
-            conf = utils.combine_dicts(
-                self.config, source_config,
-                exclude=['sources', 'default_source_class', 'class'])
-
-            # <name>_rate_multiplier -> per-source rate_multiplier
-            source_name = conf.get('name', 'unnamed_source')
-            conf['rate_multiplier'] = conf.get(
-                '%s_rate_multiplier' % source_name, 1)
-            conf = {k: v for k, v in conf.items()
-                    if not k.endswith('_rate_multiplier')}
-
-            self.sources.append(source_class(conf))
-
-        # Prevent accidental (ineffective) modification of the source list
+        self.sources = [cls(conf)
+                        for cls, conf in expand_source_configs(self.config)]
+        # The built sources are authoritative from here on; drop the list so a
+        # later mutation of config['sources'] can't silently do nothing
         del self.config['sources']
 
     # -- source access ---------------------------------------------------------
 
+    def get_source_i(self, source_id):
+        """Source index from an index or a (substring of a) source name."""
+        if isinstance(source_id, (int, float)):
+            return int(source_id)
+        matches = [i for i, s in enumerate(self.sources)
+                   if source_id in s.name]
+        if not matches:
+            raise ValueError("Unknown source %s" % source_id)
+        return matches[0]
+
     def get_source(self, source_id):
         return self.sources[self.get_source_i(source_id)]
 
-    def get_source_i(self, source_id):
-        """Source index from an index or (substring of) a source name."""
-        if isinstance(source_id, (int, float)):
-            return int(source_id)
-        for s_i, s in enumerate(self.sources):
-            if source_id in s.name:
-                return s_i
-        raise ValueError("Unknown source %s" % source_id)
-
     # -- datasets ----------------------------------------------------------------
 
+    @property
+    def analysis_space(self):
+        return self.config['analysis_space']
+
     def range_cut(self, d):
-        """Return events from dataset d inside the analysis-space bounds."""
-        mask = np.ones(len(d), dtype=bool)
-        for dimension, bin_edges in self.config['analysis_space']:
-            mask &= (d[dimension] >= bin_edges[0]) & (d[dimension] <= bin_edges[-1])
-        return d[mask]
+        """The events of dataset d inside the analysis-space bounds."""
+        in_range = np.ones(len(d), dtype=bool)
+        for coords, edges in zip(self.to_analysis_dimensions(d),
+                                 (e for _, e in self.analysis_space)):
+            in_range &= (edges[0] <= coords) & (coords <= edges[-1])
+        return d[in_range]
 
     def simulate(self, rate_multipliers=None, livetime_days=None, rng=None):
-        """Make a toy dataset: Poisson-sample events from all sources.
+        """Make a toy dataset: per-source Poisson counts, sampled events,
+        concatenated and range-cut.
         :param rate_multipliers: dict {source name: multiplier}.
-        :param livetime_days: exposure to simulate (affects all sources).
+        :param livetime_days: exposure to simulate (scales every source).
         :param rng: optional numpy Generator for reproducibility.
         """
-        if rate_multipliers is None:
-            rate_multipliers = dict()
-        if rng is None:
-            rng = np.random
-        ds = []
-        for s_i, source in enumerate(self.sources):
-            # Divide by fraction_in_range: simulate() also produces events that
-            # will fall outside the analysis space and be cut below.
-            mu = (self.expected_events(source)
-                  * rate_multipliers.get(source.name, 1)
-                  / source.fraction_in_range)
-            if livetime_days is not None:
-                mu *= livetime_days / self.config['livetime_days']
-            d = _simulate_source(source, rng.poisson(mu), rng)
-            d['source'] = s_i
-            ds.append(d)
-        d = np.concatenate(ds)
-        return self.range_cut(d)
+        rate_multipliers = rate_multipliers or {}
+        rng = np.random if rng is None else rng
+
+        # Expected counts BEFORE the range cut: simulate() also produces events
+        # outside the analysis space, which range_cut removes below — so scale
+        # up by 1/fraction_in_range.
+        mus = np.array([
+            self.expected_events(s)
+            * rate_multipliers.get(s.name, 1) / s.fraction_in_range
+            for s in self.sources])
+        if livetime_days is not None:
+            mus *= livetime_days / self.config['livetime_days']
+
+        parts = []
+        for i, (source, n) in enumerate(zip(self.sources, rng.poisson(mus))):
+            events = _call_simulate(source, n, rng)
+            events['source'] = i
+            parts.append(events)
+        return self.range_cut(np.concatenate(parts))
 
     def to_analysis_dimensions(self, d):
-        """List of arrays of the events' coordinates in the analysis dimensions."""
-        return utils.events_to_analysis_dimensions(d, self.config['analysis_space'])
+        """List of per-dimension coordinate arrays for the events of d."""
+        return utils.events_to_analysis_dimensions(d, self.analysis_space)
 
-    # -- template tensors ----------------------------------------------------------
+    # -- stacked per-source payloads ------------------------------------------------
 
     def score_events(self, d):
-        """Array (n_sources, n_events) of pdf values for each source and event."""
-        return np.vstack([s.pdf(*self.to_analysis_dimensions(d))
-                          for s in self.sources])
+        """(n_sources, n_events) pdf values for each source at each event."""
+        coords = self.to_analysis_dimensions(d)
+        return np.vstack([s.pdf(*coords) for s in self.sources])
 
     def pmf_grids(self):
-        """(pmfs, n_model_events): arrays (n_sources, *analysis_space_shape)."""
-        grids = [s.get_pmf_grid() for s in self.sources]
-        return (np.stack([g[0] for g in grids]),
-                np.stack([g[1] for g in grids]))
+        """(pmfs, n_model_events), each (n_sources, *analysis_space_shape)."""
+        pmfs, n_events = zip(*(s.get_pmf_grid() for s in self.sources))
+        return np.stack(pmfs), np.stack(n_events)
 
     def expected_events(self, s=None):
-        """Expected events in the analysis range for source s (all sources if None)."""
-        if s is None:
-            return np.array([self.expected_events(s) for s in self.sources])
-        return s.expected_events
+        """Expected events in the analysis range for source s (stacked over all
+        sources if None)."""
+        if s is not None:
+            return s.expected_events
+        return np.array([s.expected_events for s in self.sources])
 
     # -- diagnostics ---------------------------------------------------------------
 
     def show(self, d, ax=None, dims=None, **kwargs):
-        """Scatter-plot the events of dataset d in (up to two) analysis dimensions."""
-        kwargs.setdefault('s', 5)
+        """Scatter the events of d in (up to two) analysis dimensions, colored
+        per source."""
         import matplotlib.pyplot as plt
-        dim_names, bins = zip(*self.config['analysis_space'])
-
+        kwargs.setdefault('s', 5)
+        names = [n for n, _ in self.analysis_space]
+        edges = [e for _, e in self.analysis_space]
         if dims is None:
-            dims = (0,) if len(bins) == 1 else (0, 1)
-        if ax is None:
-            ax = plt.gca()
+            dims = (0, 1)[:len(names)]
+        ax = ax or plt.gca()
 
-        for s_i, s in enumerate(self.sources):
-            q = d[d['source'] == s_i]
-            q_in_space = self.to_analysis_dimensions(q)
-            ax.scatter(q_in_space[dims[0]],
-                       q_in_space[dims[1]] if len(dims) > 1 else np.zeros(len(q)),
-                       color=s.config['color'], label=s.config['label'], **kwargs)
+        for i, source in enumerate(self.sources):
+            coords = self.to_analysis_dimensions(d[d['source'] == i])
+            x = coords[dims[0]]
+            y = coords[dims[1]] if len(dims) > 1 else np.zeros_like(x)
+            ax.scatter(x, y, color=source.config['color'],
+                       label=source.config['label'], **kwargs)
 
-        ax.set_xlabel(dim_names[dims[0]])
-        ax.set_xlim(bins[dims[0]][0], bins[dims[0]][-1])
+        ax.set_xlabel(names[dims[0]])
+        ax.set_xlim(edges[dims[0]][0], edges[dims[0]][-1])
         if len(dims) > 1:
-            ax.set_ylabel(dim_names[dims[1]])
-            ax.set_ylim(bins[dims[1]][0], bins[dims[1]][-1])
+            ax.set_ylabel(names[dims[1]])
+            ax.set_ylim(edges[dims[1]][0], edges[dims[1]][-1])

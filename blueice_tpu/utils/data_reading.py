@@ -1,10 +1,13 @@
-"""File-valued config settings: replace strings ending in a known extension with the
-loaded file contents.
+"""File-valued config settings.
 
-Role parity with the reference's config file-reader
-(reference: blueice/data_reading.py:15-51): same extensible ``FILE_READERS``
-registry, same module-level read cache so shared inputs (e.g. big maps referenced by
-many anchor configs) are read from disk exactly once per process.
+A config value that is a string ending in a known extension stands for the
+*contents* of that file: ``{'s1_relative_ly_map': 'ly_map.pkl'}`` behaves as if
+the loaded map had been written into the config directly. This keeps configs
+small, hashable and shippable to workers, while big payloads (maps, spectra)
+live on disk and are loaded once per process.
+
+Capability parity with the reference's config file-reader (reference:
+blueice/data_reading.py); the registry here additionally knows ``.npy``.
 """
 
 from copy import deepcopy
@@ -14,40 +17,46 @@ import numpy as np
 
 from .io import data_file_name, read_pickle
 
-__all__ = ['read_csv', 'read_npy', 'read_files_in', 'FILE_READERS', 'CACHE']
+__all__ = ['read_csv', 'read_npy', 'read_files_in', 'resolve_setting',
+           'FILE_READERS', 'CACHE']
 
 
 def read_csv(filename):
     """Read a two-column (x, y) csv into a (2, n) float array."""
     import pandas as pd
-    result = pd.read_csv(filename, delimiter=',', names=['x', 'y'], comment='#')
-    return result.values[1:].astype(float).T
+    frame = pd.read_csv(filename, delimiter=',', names=['x', 'y'], comment='#')
+    return frame.values[1:].astype(float).T
 
 
 def read_npy(filename):
     return np.load(filename, allow_pickle=False)
 
 
+#: extension -> loader. Users may register their own loaders here.
 FILE_READERS = {'.pkl': read_pickle, '.csv': read_csv, '.npy': read_npy}
+
+#: resolved path -> loaded contents, so each file is read once per process
 CACHE = dict()
 
 
+def resolve_setting(value, data_dirs=('.',)):
+    """If ``value`` is a string naming a file of a registered type, return that
+    file's (cached) contents; any other value passes through unchanged."""
+    if not isinstance(value, str):
+        return value
+    loader = FILE_READERS.get(os.path.splitext(value)[1])
+    if loader is None:
+        return value
+    path = data_file_name(value, data_dirs)
+    if path not in CACHE:
+        CACHE[path] = loader(path)
+    return CACHE[path]
+
+
 def read_files_in(d, data_dirs=tuple('.')):
-    """Return a new dict in which every string value of d ending in a supported
-    extension is replaced with that file's contents. Other keys are left alone.
-    A module-level cache ensures each file is read only once per process.
-    :param data_dirs: directories to search for files. Defaults to '.'.
+    """A new dict with every file-valued setting of ``d`` replaced by the file's
+    contents (see :func:`resolve_setting`); other entries are deep-copied.
+    :param data_dirs: directories searched for the named files.
     """
-    d = deepcopy(d)
-    for k, x in d.items():
-        if not isinstance(x, str):
-            continue
-        _, extension = os.path.splitext(x)
-        if extension not in FILE_READERS:
-            continue
-        x = data_file_name(x, data_dirs)
-        if x in CACHE:
-            d[k] = CACHE[x]
-        else:
-            d[k] = CACHE[x] = FILE_READERS[extension](x)
-    return d
+    return {k: resolve_setting(v, data_dirs)
+            for k, v in deepcopy(d).items()}

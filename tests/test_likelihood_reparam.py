@@ -77,6 +77,40 @@ def test_consistency_new_params(wrong_config, wrong_conv):
         LogLikelihoodReParam(lf_old, conv_config)
 
 
+def test_reparam_compiled():
+    """The reparameterized likelihood compiles: the parameter transform traces
+    in front of the wrapped XLA program, and gradients flow through it."""
+    import jax
+    import jax.numpy as jnp
+    from blueice_tpu.compile import build_logl
+
+    config = conf_for_reparam_test(events_per_day=1)
+    conv_config = deepcopy(BASE_CONV_CONFIG)
+    lf_old = _make_old_lf(config)
+    lf_reparam = LogLikelihoodReParam(lf_old, conv_config)
+
+    d = np.zeros(3, dtype=[('x', float), ('source', int)])
+    lf_reparam.set_data(d)
+
+    c = build_logl(lf_reparam)
+    assert set(c.param_names) == {'np0', 'np1'}
+    for kwargs in [dict(), dict(np0=2.0), dict(np0=2.0, np1=3.0)]:
+        assert np.isclose(float(c(**kwargs)), lf_reparam(**kwargs),
+                          atol=1e-8)
+
+    # Gradient through the transform: d/dnp0 of -(np0^2+np1^2+np0*np1)
+    # + 3 log(...) at np0=np1=1 is -(2+1) + 3*(2+1)/3 = 0
+    g = jax.grad(lambda p: c.logl(p))({'np0': jnp.float64(1.0),
+                                       'np1': jnp.float64(1.0)})
+    assert np.isclose(float(g['np0']), 0.0, atol=1e-8)
+
+    # And the gradient fitter works directly on the reparam object
+    fit, ll = lf_reparam.bestfit_jax(return_errors=False)
+    assert set(fit) == {'np0', 'np1'}
+    res_scipy, ll_scipy = lf_reparam.bestfit_scipy()
+    assert np.isclose(ll, ll_scipy, atol=1e-4)
+
+
 def test_reparam_parameters_and_bounds():
     config = conf_for_reparam_test(events_per_day=1)
     conv_config = deepcopy(BASE_CONV_CONFIG)

@@ -132,6 +132,38 @@ def test_ancillary_likelihood():
     assert abs(fit['efficiency'] - 1.0) < 0.05
 
 
+def test_compiled_ancillary_and_sum_with_constraint():
+    """An ancillary term with a traceable func compiles, alone and inside a
+    compiled Sum with a real likelihood."""
+    import jax.numpy as jnp
+    from blueice_tpu.compile import build_logl
+
+    def constraint(params):
+        # Gaussian(1, 0.1) log pdf, written traceably
+        return (-0.5 * ((params['s0_rate_multiplier'] - 1.0) / 0.1) ** 2
+                - jnp.log(0.1 * jnp.sqrt(2 * jnp.pi)))
+
+    anc = LogAncillaryLikelihood(constraint, ['s0_rate_multiplier'],
+                                 config={'s0_rate_multiplier': 1.0})
+    c_anc = build_logl(anc)
+    assert np.isclose(float(c_anc(s0_rate_multiplier=1.2)),
+                      float(anc(s0_rate_multiplier=1.2)))
+
+    lf = _lf(7)
+    s = LogLikelihoodSum([lf, anc])
+    c = build_logl(s)
+    for v in (0.8, 1.0, 1.3):
+        assert almost_equal(float(c(s0_rate_multiplier=v)),
+                            s(s0_rate_multiplier=v), 1e-9)
+
+    # Non-traceable funcs are rejected with a clear error
+    from scipy import stats as sps
+    bad = LogAncillaryLikelihood(
+        lambda p: sps.norm(1, 0.1).logpdf(p['x']), ['x'], config={'x': 1.0})
+    with pytest.raises(TypeError, match='traceable'):
+        build_logl(bad)
+
+
 def test_ancillary_func_kwargs_and_order():
     seen = {}
 

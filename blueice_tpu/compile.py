@@ -70,6 +70,9 @@ def build_logl_reparam(rp, dtype=None, include_livetime=False,
                                      defaults, bounds, child.data, rp)
     compiled.rates = lambda params: child.rates(_child_params(params))
     compiled.densities = lambda params: child.densities(_child_params(params))
+    if hasattr(child, 'expected_counts'):
+        compiled.expected_counts = (
+            lambda params: child.expected_counts(_child_params(params)))
     compiled.data_constant = child.data_constant
     compiled.is_binned = child.is_binned
     compiled.dtype = dtype
@@ -196,6 +199,19 @@ def build_logl_sum(sum_lf, dtype=None, include_livetime=False,
             out = out + w * c.data_constant(data[i])
         return out
     compiled.data_constant = data_constant
+
+    def expected_counts(params):
+        """Tuple of per-child expected-count tensors at params (empty array
+        for dataset-free children like ancillary constraints) — the Poisson
+        means a joint binned toy study simulates from."""
+        out = []
+        for i, c in enumerate(children):
+            if not getattr(c, 'has_data', True):
+                out.append(jnp.zeros((0,)))
+            else:
+                out.append(c.expected_counts(_child_params(params, i)))
+        return tuple(out)
+    compiled.expected_counts = expected_counts
     return compiled
 
 
@@ -410,10 +426,26 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
         def ps_override_fn(tensor, zs):
             return tensor
     else:
-        def ps_override_fn(tensor, zs):
-            raise NotImplementedError(
-                "Toy-data override is not supported with source-wise "
-                "interpolation yet")
+        # Source-wise: the toy payload is a tuple of per-source anchor
+        # tensors, each over that source's own (sub-)anchor grid; morph each
+        # with its own morpher at its slice of zs and stack.
+        sw_morph = []
+        for sn in source_names:
+            if sn in getattr(lf, 'source_morphers', {}):
+                sw_morph.append((lf.source_morphers[sn],
+                                 tuple(lf._get_shape_indices(sn))))
+            else:
+                sw_morph.append((None, None))
+
+        def ps_override_fn(tensors, zs):
+            outs = []
+            for (morpher, idx), tensor in zip(sw_morph, tensors):
+                if morpher is None:
+                    outs.append(tensor)
+                else:
+                    outs.append(morpher.jax_eval(
+                        tensor, jnp.stack([zs[i] for i in idx])))
+            return jnp.stack(outs)
 
     # -- evaluation-time constants -----------------------------------------------
     allowed_negative = np.asarray(lf.source_allowed_negative, dtype=bool)
@@ -560,10 +592,16 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
                           shape_bounds_hi.astype(zs.dtype))
         return ps_fn(zs)
 
+    def expected_counts(params):
+        """Expected counts per analysis-space bin at params (binned)."""
+        mus = rates(params)
+        return jnp.tensordot(mus, densities(params), axes=(0, 0))
+
     compiled = CompiledLogLikelihood(logl, logl_with_data, param_names,
                                      defaults, bounds, observed_data, lf)
     compiled.rates = rates
     compiled.densities = densities
+    compiled.expected_counts = expected_counts
     compiled.data_constant = data_constant
     compiled.is_binned = is_binned
     compiled.dtype = dtype

@@ -32,7 +32,9 @@ __all__ = ['Source', 'HistogramPdfSource', 'DensityEstimatingSource',
 _ALWAYS_DONT_HASH = ['hash', 'rate_multiplier', 'force_recalculation',
                      'never_save_to_cache', 'dont_hash_settings', 'label', 'color',
                      'extra_dont_hash_settings', 'delay_pdf_computation',
-                     'cache_dir', 'task_dir']
+                     'cache_dir', 'task_dir',
+                     # likelihood-level morphing strategy; no effect on any pdf
+                     'source_wise_interpolation']
 
 
 def _merge_unique(*lists):

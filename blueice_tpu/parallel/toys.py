@@ -100,22 +100,25 @@ class BinnedToyStudy:
         return tuple(sorted((d or {}).items()))
 
     def expected_counts(self, **truth):
-        """Expected counts per analysis-space bin at the truth parameters."""
+        """Expected counts per analysis-space bin at the truth parameters.
+        For a compiled LogLikelihoodSum this is a tuple with one count tensor
+        per child (empty for dataset-free constraint terms)."""
         p = self.compiled.params_from_kwargs(**truth)
-        mus = self.compiled.rates(p)
-        pmfs = self.compiled.densities(p)
-        return jnp.tensordot(mus, pmfs, axes=(0, 0))
+        return self.compiled.expected_counts(p)
 
     def simulate(self, key, n_toys, truth=None, mesh=None):
-        """(n_toys, *bins) Poisson count tensors at the truth parameters.
-        With a mesh, n_toys is rounded UP to a multiple of the device count
-        (sharding requires it; the extra toys are ordinary toys)."""
+        """(n_toys, *bins) Poisson count tensors at the truth parameters (a
+        tuple of them, one per child, for a compiled Sum). With a mesh, n_toys
+        is rounded UP to a multiple of the device count (sharding requires it;
+        the extra toys are ordinary toys)."""
         if mesh is not None:
             n_toys = _round_up_toys(n_toys, mesh)
         expected = self.expected_counts(**(truth or {}))
-        counts = jax.random.poisson(
-            key, expected, shape=(n_toys,) + expected.shape)
-        counts = counts.astype(expected.dtype)
+        leaves, treedef = jax.tree_util.tree_flatten(expected)
+        keys = jax.random.split(key, len(leaves))
+        counts = jax.tree_util.tree_unflatten(treedef, [
+            jax.random.poisson(k, e, shape=(n_toys,) + e.shape).astype(e.dtype)
+            for k, e in zip(keys, leaves)])
         if mesh is not None:
             counts = shard_toys(mesh, counts)
         return counts
@@ -241,9 +244,18 @@ class UnbinnedToyStudy:
                                   np.ix_(*[np.diff(e) for e in self.edges]))
         self.ndim = len(self.edges)
 
-        # Anchor pdf-value templates: (*grid, n_sources, *bins)
-        self._pdf_tensor = jnp.asarray(self._build_pdf_tensor(),
-                                       dtype=dtype)
+        # Anchor pdf-value templates: one (*grid, n_sources, *bins) tensor
+        # (global morphing), or a tuple of per-source (*sub_grid, *bins)
+        # tensors over each source's own anchor grid (source-wise morphing)
+        self._source_wise = bool(lf.source_wise_interpolation
+                                 and len(lf.shape_parameters))
+        if self._source_wise:
+            self._pdf_tensors = tuple(
+                jnp.asarray(t, dtype=dtype)
+                for t in self._build_pdf_tensors_source_wise())
+        else:
+            self._pdf_tensor = jnp.asarray(self._build_pdf_tensor(),
+                                           dtype=dtype)
         self._method = lf.base_model.sources[0].config.get(
             'pdf_interpolation_method', 'linear')
 
@@ -273,10 +285,6 @@ class UnbinnedToyStudy:
     def _build_pdf_tensor(self):
         lf = self.lf
         if len(lf.shape_parameters):
-            if lf.source_wise_interpolation:
-                raise NotImplementedError(
-                    "Unbinned toy studies with source-wise interpolation are "
-                    "not supported yet")
             anchor_models = lf.anchor_models
             grid_shape = tuple(len(a) for a in lf.morpher.anchor_z_arrays)
             first = next(iter(anchor_models.values()))
@@ -291,6 +299,27 @@ class UnbinnedToyStudy:
             return tensor
         return np.stack([self._source_pdf_grid(s)
                          for s in lf.base_model.sources])
+
+    def _build_pdf_tensors_source_wise(self):
+        """Per-source anchor pdf tensors: (*sub_grid, *bins) over each
+        morphed source's own anchor grid, (*bins,) for unmorphed sources."""
+        lf = self.lf
+        bins_shape = tuple(len(c) for c in self.centers)
+        tensors = []
+        for sn, base_source in zip(lf.source_name_list,
+                                   lf.base_model.sources):
+            if sn not in lf.source_morphers:
+                tensors.append(self._source_pdf_grid(base_source))
+                continue
+            morpher = lf.source_morphers[sn]
+            grid_shape = tuple(len(a) for a in morpher.anchor_z_arrays)
+            tensor = np.zeros(grid_shape + bins_shape)
+            for idx, anchor in zip(np.ndindex(*grid_shape),
+                                   morpher.get_anchor_points()):
+                tensor[idx] = self._source_pdf_grid(
+                    lf.anchor_sources[sn][tuple(anchor)])
+            tensors.append(tensor)
+        return tensors
 
     # -- device-side pipeline ------------------------------------------------------
 
@@ -316,17 +345,24 @@ class UnbinnedToyStudy:
             cols.append(lo + u[:, d] * (hi - lo))
         return jnp.stack(cols, axis=-1), mask
 
-    def _score_events(self, coords):
-        """Anchor ps tensor for given events: (*grid, n_sources, n_max)."""
-        tensor = self._pdf_tensor
-        lead = tensor.shape[:-self.ndim]       # (*grid, n_sources)
-        flat = tensor.reshape((-1,) + tensor.shape[-self.ndim:])
+    def _score_one_tensor(self, tensor, coords):
+        """Evaluate a (*lead, *bins) pdf tensor at the events: (*lead, n)."""
+        lead = tensor.shape[:tensor.ndim - self.ndim]
+        flat = tensor.reshape((-1,) + tensor.shape[tensor.ndim - self.ndim:])
         if self._method == 'piecewise':
             score = jax.vmap(lambda v: piecewise_lookup(v, self.edges, coords))
         else:
             score = jax.vmap(
                 lambda v: interp_at_points(v, self.centers, coords))
         return score(flat).reshape(lead + (coords.shape[0],))
+
+    def _score_events(self, coords):
+        """Anchor ps payload for given events: (*grid, n_sources, n_max), or a
+        tuple of per-source (*sub_grid, n_max) for source-wise morphing."""
+        if self._source_wise:
+            return tuple(self._score_one_tensor(t, coords)
+                         for t in self._pdf_tensors)
+        return self._score_one_tensor(self._pdf_tensor, coords)
 
     def expected_weights(self, **truth):
         """(n_sources, *bins) expected counts per source and bin at truth."""
@@ -338,11 +374,21 @@ class UnbinnedToyStudy:
 
     def _morph_pdf(self, params):
         lf = self.lf
-        if len(lf.shape_parameters):
-            zs = jnp.stack([jnp.asarray(params[sp])
-                            for sp in lf.shape_parameters])
+        if not len(lf.shape_parameters):
+            return self._pdf_tensor
+        zs = jnp.stack([jnp.asarray(params[sp])
+                        for sp in lf.shape_parameters])
+        if not self._source_wise:
             return lf.morpher.jax_eval(self._pdf_tensor, zs)
-        return self._pdf_tensor
+        pdfs = []
+        for sn, tensor in zip(lf.source_name_list, self._pdf_tensors):
+            if sn in lf.source_morphers:
+                idx = lf._get_shape_indices(sn)
+                pdfs.append(lf.source_morphers[sn].jax_eval(
+                    tensor, jnp.stack([zs[i] for i in idx])))
+            else:
+                pdfs.append(tensor)
+        return jnp.stack(pdfs)
 
     def run(self, key, n_toys, truth=None, fixed=None, mesh=None):
         """Simulate and fit n_toys unbinned datasets in one jit program."""

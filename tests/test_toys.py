@@ -100,6 +100,72 @@ def test_binned_toys_on_mesh():
     np.testing.assert_allclose(res.x, res2.x, rtol=1e-7, atol=1e-7)
 
 
+def test_binned_sum_toys():
+    """A compiled LogLikelihoodSum drives the batched toy machinery: per-child
+    Poisson simulation, one joint fit per toy, profile statistic on a mesh."""
+    from blueice_tpu.likelihood import LogLikelihoodSum
+
+    lf1 = _binned_lf()
+    conf2 = conf_for_test(mc=True, analysis_space=[['x', [-10, 0, 10]]],
+                          n_events_for_pdf=int(2e5), events_per_day=500.)
+    lf2 = BinnedLogLikelihood(conf2)
+    lf2.add_rate_parameter('s0')
+    lf2.prepare()
+    s = LogLikelihoodSum([lf1, lf2])
+
+    study = BinnedToyStudy(s)
+    counts = study.simulate(jax.random.PRNGKey(0), 3)
+    assert isinstance(counts, tuple) and len(counts) == 2
+    assert counts[0].shape == (3, 3) and counts[1].shape == (3, 2)
+
+    res = study.run(jax.random.PRNGKey(1), n_toys=150)
+    # Both runs constrain the shared rate: combined spread beats lf2 alone
+    assert abs(res['s0_rate_multiplier'].mean() - 1.0) < 0.02
+    assert 0.01 < res['s0_rate_multiplier'].std() < 0.06
+
+    # Single-toy consistency with the host Sum: bind the simulated counts as
+    # events at bin centers and check the LL value at the batched optimum
+    one = study.fit_toys(jax.tree_util.tree_map(lambda c: c[:1], counts))
+    for lf, c, centers in [(lf1, counts[0][0], [-5.0, 0.0, 5.0]),
+                           (lf2, counts[1][0], [-5.0, 5.0])]:
+        c = np.asarray(c)
+        xs = np.concatenate([np.full(int(c[i]), centers[i])
+                             for i in range(len(centers))])
+        d = np.zeros(len(xs), dtype=[('x', float), ('source', int)])
+        d['x'] = xs
+        lf.set_data(d)
+    ll_host = s(s0_rate_multiplier=float(one['s0_rate_multiplier'][0]),
+                mu=float(one['mu'][0]))
+    assert abs(one.max_ll[0] - ll_host) < 1e-6 * abs(ll_host)
+
+    # Profile statistic over the mesh behaves like chi2(1) under the null
+    t, free, cond = study.profile_ts(jax.random.PRNGKey(2), n_toys=160,
+                                     target='s0_rate_multiplier',
+                                     hypothesis=1.0, mesh=make_mesh())
+    assert (t >= 0).all()
+    assert 0.15 < np.median(t) < 0.9
+
+
+def test_binned_sum_with_constraint_toys():
+    """An ancillary (traceable) constraint inside the Sum tightens the toy
+    fits."""
+    import jax.numpy as jnp
+    from blueice_tpu.likelihood import LogLikelihoodSum, LogAncillaryLikelihood
+
+    lf = _binned_lf()
+    free_std = BinnedToyStudy(lf).run(
+        jax.random.PRNGKey(4), n_toys=150)['s0_rate_multiplier'].std()
+
+    sigma = 0.01
+    anc = LogAncillaryLikelihood(
+        lambda p: -0.5 * ((p['s0_rate_multiplier'] - 1.0) / sigma) ** 2,
+        ['s0_rate_multiplier'], config={'s0_rate_multiplier': 1.0})
+    s = LogLikelihoodSum([lf, anc])
+    study = BinnedToyStudy(s)
+    res = study.run(jax.random.PRNGKey(4), n_toys=150)
+    assert res['s0_rate_multiplier'].std() < 0.7 * free_std
+
+
 def test_unbinned_toys_recover_truth():
     conf = conf_for_test(mc=True, events_per_day=200.,
                          n_events_for_pdf=int(2e5))
@@ -143,6 +209,43 @@ def test_unbinned_piecewise_scoring():
     res = study.run(jax.random.PRNGKey(3), n_toys=32)
     assert np.isfinite(res.max_ll).all()
     assert abs(res['s0_rate_multiplier'].mean() - 1.0) < 0.1
+
+
+def test_unbinned_source_wise_toys():
+    """Source-wise morphing through the toy pipeline: identical optima to the
+    global-grid study on the same toys (the anchor grids coincide)."""
+    conf = conf_for_test(n_sources=2, mc=True, events_per_day=100.,
+                         n_events_for_pdf=int(1e5))
+    key = jax.random.PRNGKey(6)
+
+    def build(source_wise):
+        c = dict(conf)
+        c['source_wise_interpolation'] = source_wise
+        lf = UnbinnedLogLikelihood(c)
+        lf.add_rate_parameter('s0')
+        lf.add_shape_parameter('mu', anchors={-1: -1, 0: 0, 1: 1})
+        lf.prepare()
+        return UnbinnedToyStudy(lf)
+
+    study_sw = build(True)
+    assert study_sw._source_wise
+    res_sw = study_sw.run(key, n_toys=40)
+    res_gl = build(False).run(key, n_toys=40)
+    # The two XLA programs differ in reduction order, so a rare toy can settle
+    # on the other side of an anchor-grid kink; all others must agree tightly,
+    # and the maxima themselves must match everywhere.
+    agree = np.all(np.abs(res_sw.x - res_gl.x) < 1e-5, axis=1)
+    assert agree.mean() >= 0.95, agree.mean()
+    np.testing.assert_allclose(res_sw.max_ll[agree], res_gl.max_ll[agree],
+                               rtol=1e-7, atol=1e-5)
+    # Even the kink-flipped stragglers sit at near-identical LL maxima
+    assert np.abs(res_sw.max_ll - res_gl.max_ll).max() < 0.05
+
+    # And the profile statistic runs end-to-end on the mesh
+    study = build(True)
+    t, _, _ = study.profile_ts(key, n_toys=16, target='s0_rate_multiplier',
+                               hypothesis=1.0, mesh=make_mesh())
+    assert (t >= 0).all() and np.isfinite(t).all()
 
 
 def test_unbinned_profile_ts():

@@ -621,4 +621,14 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
     else:
         compiled.ps_tensor = None
         compiled.anchor_arrays = None
+    # n_model_events tensor on the same anchor layout (the fast Beeston-Barlow
+    # engine needs it alongside ps_tensor)
+    compiled.bb_source_i = bb_source_i
+    nme_build = lf._builds.get('n_model_events')
+    if (compiled.ps_tensor is not None and nme_build is not None
+            and nme_build[0] == ps_build_kind):
+        compiled.nme_tensor = _as_dev(nme_build[2] if ps_build_kind == 'global'
+                                      else nme_build[1])
+    else:
+        compiled.nme_tensor = None
     return compiled

@@ -1,0 +1,198 @@
+"""Analytic value+gradient+Hessian of the Beeston-Barlow-adjusted binned
+Poisson likelihood in the (rate, morph-weight) parameterization.
+
+Extends :mod:`blueice_tpu.ops.binned_vgh` to models where one source's
+template comes from finite MC statistics and its per-bin expectation is
+profiled with the closed-form Beeston-Barlow root
+(:func:`blueice_tpu.ops.beeston_barlow.bb_single_adjust`, reference:
+blueice/likelihood.py:618-660).
+
+The key structural fact: after the adjustment, the expected count in bin n is
+
+    lam_n = U_n + pw_n * A_n,      pw_n = m_i * P_n / N_n,
+
+where P_n / N_n are the morphed pmf / MC-count of the finite source, U_n the
+morphed expectation of all other sources, and A_n the profiled root — so
+``lam_n = LAM(P_n, N_n, U_n, m_i, T)`` is a *scalar function of five per-bin
+inputs* (T = sum_n N_n enters only through the U == 0 special case). Its
+per-bin gradient and 5x5 Hessian come from (vectorized, elementwise) autodiff;
+the chain to the fit parameters (m, t) is closed-form because the inputs are
+multilinear in the corner templates — the same D / X difference tables the
+plain engine uses. One pass over the bins yields (ll, g, H), versus the
+(S+K+1) reverse passes a black-box autodiff Hessian needs.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .binned_vgh import corner_weight_tables
+
+__all__ = ['bb_lambda', 'binned_bb_vgh', 'binned_bb_ll']
+
+
+def bb_lambda(P, N, U, M, T, d):
+    """Beeston-Barlow-adjusted expected count for one bin (elementwise-safe,
+    differentiable in all five inputs).
+
+    :param P: morphed pmf of the finite-MC source in this bin.
+    :param N: morphed MC counts of the finite-MC source in this bin.
+    :param U: expected counts from all other sources in this bin.
+    :param M: expected total counts of the finite-MC source (rate-multiplied).
+    :param T: total MC counts of the finite source over all bins.
+    :param d: observed counts in this bin.
+    """
+    tiny = jnp.finfo(jnp.result_type(P)).tiny
+    has_mc = N > 0
+    N_safe = jnp.where(has_mc, N, 1.0)
+    pw = jnp.where(has_mc, M * P / N_safe, 0.0)
+    pw_safe = jnp.where(pw > 0, pw, 1.0)
+
+    # General root of the per-bin quadratic (beeston_barlow_root2), written
+    # with guarded intermediates so autodiff stays finite on excluded branches
+    disc = (U ** 2 * pw_safe ** 2 + 2 * U ** 2 * pw_safe + U ** 2
+            + 2 * U * N * pw_safe ** 2 + 2 * U * N * pw_safe
+            - 2 * U * d * pw_safe ** 2 - 2 * U * d * pw_safe
+            + N ** 2 * pw_safe ** 2 + 2 * N * d * pw_safe ** 2
+            + d ** 2 * pw_safe ** 2)
+    root = jnp.sqrt(jnp.maximum(disc, tiny))
+    A_general = ((-U * pw_safe - U + N * pw_safe + d * pw_safe + root)
+                 / (2 * pw_safe * (pw_safe + 1)))
+    # U == 0 bins use the dedicated closed form, which couples in the global
+    # MC total through p_calibration = M / T
+    A_special = (d + N) / (1.0 + M / T)
+    A = jnp.where(U == 0, A_special, A_general)
+    return U + jnp.where(pw > 0, pw * A, 0.0)
+
+
+# Per-bin gradient and Hessian of LAM w.r.t. its five inputs, vectorized over
+# bins. d is a non-differentiated auxiliary.
+def _lam_of_v(v, d):
+    return bb_lambda(v[0], v[1], v[2], v[3], v[4], d)
+
+
+_lam_grad = jax.vmap(jax.grad(_lam_of_v), in_axes=(0, 0))
+_lam_hess = jax.vmap(jax.hessian(_lam_of_v), in_axes=(0, 0))
+_lam_val = jax.vmap(_lam_of_v, in_axes=(0, 0))
+
+
+def _morphed(corners_ps, corners_nme, m, t, bb_i):
+    """Morphed building blocks shared by the value and vgh paths."""
+    K = t.shape[0]
+    if K > 0:
+        w, wd, wx = corner_weight_tables(t)
+        P_all = jnp.tensordot(w, corners_ps, axes=(0, 0))      # (S, N)
+        N_all = jnp.tensordot(w, corners_nme, axes=(0, 0))     # (S, N)
+        D = jnp.tensordot(wd, corners_ps, axes=(1, 0))         # (K, S, N)
+        DN = jnp.tensordot(wd, corners_nme, axes=(1, 0))       # (K, S, N)
+        X = jnp.tensordot(wx, corners_ps, axes=(2, 0))         # (K, K, S, N)
+        XN = jnp.tensordot(wx, corners_nme, axes=(2, 0))       # (K, K, S, N)
+    else:
+        P_all, N_all = corners_ps[0], corners_nme[0]
+        zero = jnp.zeros((0,) + P_all.shape, dtype=P_all.dtype)
+        zero2 = jnp.zeros((0, 0) + P_all.shape, dtype=P_all.dtype)
+        D = DN = zero
+        X = XN = zero2
+
+    S = m.shape[0]
+    other = (jnp.arange(S) != bb_i).astype(m.dtype)
+    m_other = m * other
+    U = jnp.tensordot(m_other, P_all, axes=(0, 0))             # (N,)
+    T = jnp.sum(N_all[bb_i])
+    v = jnp.stack([P_all[bb_i], N_all[bb_i], U,
+                   jnp.broadcast_to(m[bb_i], U.shape),
+                   jnp.broadcast_to(T, U.shape)], axis=-1)     # (N, 5)
+    return P_all, N_all, D, DN, X, XN, m_other, other, v
+
+
+def binned_bb_vgh(corners_ps, corners_nme, m, t, observed, bb_i):
+    """Deviance-form LL, gradient and Hessian w.r.t. (m, t) with the
+    Beeston-Barlow adjustment of source ``bb_i`` profiled per bin.
+
+    :param corners_ps: (2^K, S, N) pmf corner templates around the query point.
+    :param corners_nme: (2^K, S, N) MC-count corner templates (same layout).
+    :param m: (S,) per-source expected counts (rate-multiplied).
+    :param t: (K,) per-axis lerp weights.
+    :param observed: (N,) observed counts.
+    :param bb_i: static int index of the finite-MC source.
+    :return: (ll, g (S+K,), H (S+K, S+K)), parameter order [m_1..S, t_1..K];
+      ll excludes the saturated-model constant.
+    """
+    corners_ps = jnp.asarray(corners_ps)
+    dtype = corners_ps.dtype
+    corners_nme = jnp.asarray(corners_nme, dtype=dtype)
+    m = jnp.asarray(m, dtype=dtype)
+    t = jnp.asarray(t, dtype=dtype)
+    observed = jnp.asarray(observed, dtype=dtype)
+    K = t.shape[0]
+    S = m.shape[0]
+    n_par = S + K
+
+    P_all, N_all, D, DN, X, XN, m_other, other, v = _morphed(
+        corners_ps, corners_nme, m, t, bb_i)
+    N = v.shape[0]
+
+    lam = _lam_val(v, observed)
+    gam = _lam_grad(v, observed)                                # (N, 5)
+    om = _lam_hess(v, observed)                                 # (N, 5, 5)
+
+    # Input Jacobian J (N, 5, n_par) and second-derivative tensor T2
+    # (N, 5, n_par, n_par); inputs are multilinear in (m, t), so these are the
+    # corner-difference tables arranged per input.
+    J = jnp.zeros((N, 5, n_par), dtype=dtype)
+    T2 = jnp.zeros((N, 5, n_par, n_par), dtype=dtype)
+    if K > 0:
+        DU = jnp.einsum('s,ksn->kn', m_other, D)                # (K, N)
+        SN = jnp.sum(DN[:, bb_i, :], axis=-1)                   # (K,)
+        SXN = jnp.sum(XN[:, :, bb_i, :], axis=-1)               # (K, K)
+        J = J.at[:, 0, S:].set(D[:, bb_i, :].T)
+        J = J.at[:, 1, S:].set(DN[:, bb_i, :].T)
+        J = J.at[:, 2, S:].set(DU.T)
+        J = J.at[:, 4, S:].set(jnp.broadcast_to(SN, (N, K)))
+        T2 = T2.at[:, 0, S:, S:].set(
+            jnp.moveaxis(X[:, :, bb_i, :], -1, 0))
+        T2 = T2.at[:, 1, S:, S:].set(
+            jnp.moveaxis(XN[:, :, bb_i, :], -1, 0))
+        XU = jnp.einsum('s,kesn->ken', m_other, X)               # (K, K, N)
+        T2 = T2.at[:, 2, S:, S:].set(jnp.moveaxis(XU, -1, 0))
+        # d2U/dm_s dt_k = D[k, s] for s != bb_i
+        DmT = jnp.einsum('ksn,s->nsk', D, other)                 # (N, S, K)
+        T2 = T2.at[:, 2, :S, S:].set(DmT)
+        T2 = T2.at[:, 2, S:, :S].set(jnp.swapaxes(DmT, 1, 2))
+        T2 = T2.at[:, 4, S:, S:].set(jnp.broadcast_to(SXN, (N, K, K)))
+    # dU/dm_s = P_s for s != bb_i; dM/dm_i = 1
+    J = J.at[:, 2, :S].set((P_all * other[:, None]).T)
+    J = J.at[:, 3, bb_i].set(1.0)
+
+    dlam = jnp.einsum('nv,nvp->np', gam, J)                      # (N, n_par)
+    d2lam = (jnp.einsum('nvp,nvw,nwq->npq', J, om, J)
+             + jnp.einsum('nv,nvpq->npq', gam, T2))              # (N, P, P)
+
+    tiny = jnp.finfo(dtype).tiny
+    lam_safe = jnp.maximum(lam, tiny)
+    k_safe = jnp.where(observed > 0, observed, 1.0)
+    ll = jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
+    inv_lam = 1.0 / lam_safe
+    r = observed * inv_lam - 1.0
+    q = (observed * inv_lam) * inv_lam
+
+    g = jnp.einsum('n,np->p', r, dlam)
+    H = (-jnp.einsum('np,n,nq->pq', dlam, q, dlam)
+         + jnp.einsum('n,npq->pq', r, d2lam))
+    return ll, g, H
+
+
+def binned_bb_ll(corners_ps, corners_nme, m, t, observed, bb_i):
+    """Value-only deviance-form LL with the Beeston-Barlow adjustment (cheap
+    accept-step evaluation inside the Newton loop)."""
+    corners_ps = jnp.asarray(corners_ps)
+    dtype = corners_ps.dtype
+    corners_nme = jnp.asarray(corners_nme, dtype=dtype)
+    m = jnp.asarray(m, dtype=dtype)
+    t = jnp.asarray(t, dtype=dtype)
+    observed = jnp.asarray(observed, dtype=dtype)
+
+    *_, v = _morphed(corners_ps, corners_nme, m, t, bb_i)
+    lam = _lam_val(v, observed)
+    lam_safe = jnp.maximum(lam, jnp.finfo(dtype).tiny)
+    k_safe = jnp.where(observed > 0, observed, 1.0)
+    return jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))

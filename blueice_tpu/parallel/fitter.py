@@ -360,11 +360,16 @@ def fit_single(compiled, fixed=None, guess=None, return_errors=True,
 
 
 def _analytic_supported(compiled):
-    """The closed-form derivative engine covers: binned, no Beeston-Barlow, a
-    dense global anchor grid (or no shape parameters)."""
-    return (compiled.is_binned and not compiled.has_bb
-            and compiled.ps_tensor is not None
-            and compiled.anchor_arrays is not None)
+    """The closed-form derivative engine covers binned likelihoods on a dense
+    global anchor grid (or no shape parameters); with Beeston-Barlow enabled it
+    additionally needs the n_model_events tensor on the same layout (the
+    profiled root's derivatives then come from ops.bb_vgh in one pass)."""
+    if not (compiled.is_binned and compiled.ps_tensor is not None
+            and compiled.anchor_arrays is not None):
+        return False
+    if compiled.has_bb:
+        return getattr(compiled, 'nme_tensor', None) is not None
+    return True
 
 
 def _make_analytic_parts(compiled, names, fixed, transform,
@@ -381,6 +386,7 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     device-constant tensors).
     """
     from ..ops.binned_vgh import binned_vgh, binned_ll, gather_corners
+    from ..ops.bb_vgh import binned_bb_vgh, binned_bb_ll
     from ..ops import fused
 
     shape_names = compiled.shape_names
@@ -391,6 +397,11 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     grid_shape = ps_tensor.shape[:K]
     ps_flat = ps_tensor.reshape(grid_shape + (S, -1))
     anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
+    has_bb = compiled.has_bb
+    if has_bb:
+        assert not use_pallas
+        bb_i = compiled.bb_source_i
+        nme_flat = compiled.nme_tensor.reshape(grid_shape + (S, -1))
 
     if use_pallas:
         n_bins = int(np.prod(ps_tensor.shape[K + 1:]))
@@ -446,18 +457,31 @@ def _make_analytic_parts(compiled, names, fixed, transform,
             out = out + prior(jnp.asarray(p[pname]))
         return out
 
-    def _corners(u, fixed_values):
+    def _corners_of(tensor_flat, u, fixed_values):
         if K == 0:
-            return ps_flat[None]
-        return gather_corners(ps_flat, idx_of_u(u, fixed_values), K, 2)
+            return tensor_flat[None]
+        return gather_corners(tensor_flat, idx_of_u(u, fixed_values), K, 2)
+
+    def _corners(u, fixed_values):
+        return _corners_of(ps_flat, u, fixed_values)
 
     def value_fn(u, data_flat, fixed_values=()):
         mt = mt_of_u(u, fixed_values)
-        ll = binned_ll(_corners(u, fixed_values), mt[:S], mt[S:], data_flat)
+        if has_bb:
+            ll = binned_bb_ll(_corners(u, fixed_values),
+                              _corners_of(nme_flat, u, fixed_values),
+                              mt[:S], mt[S:], data_flat, bb_i)
+        else:
+            ll = binned_ll(_corners(u, fixed_values), mt[:S], mt[S:],
+                           data_flat)
         return -(ll + prior_of_u(u, fixed_values))
 
     def _raw_vgh(u, data_flat, fixed_values):
         mt = mt_of_u(u, fixed_values)
+        if has_bb:
+            return binned_bb_vgh(_corners(u, fixed_values),
+                                 _corners_of(nme_flat, u, fixed_values),
+                                 mt[:S], mt[S:], data_flat, bb_i)
         if use_pallas:
             data_padded = (jnp.pad(data_flat, (0, n_pad)) if n_pad
                            else data_flat)
@@ -544,8 +568,14 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
 
     if engine in ('analytic', 'pallas') and not _analytic_supported(compiled):
         raise ValueError("The analytic derivative engine supports binned "
-                         "likelihoods without Beeston-Barlow on a dense "
-                         "global anchor grid")
+                         "likelihoods on a dense global anchor grid (with "
+                         "Beeston-Barlow, the n_model_events tensor must be "
+                         "on the same layout)")
+    if engine == 'pallas' and compiled.has_bb:
+        raise ValueError("The fused Pallas kernel does not cover "
+                         "Beeston-Barlow yet; use engine='analytic'")
+    if engine == 'auto' and compiled.has_bb and _analytic_supported(compiled):
+        engine = 'analytic'
     if engine == 'auto' and _analytic_supported(compiled):
         # Prefer the fused Pallas kernels on real TPUs when the anchor tensor
         # fits VMEM *and* the per-toy payload is big enough to feed the VPU

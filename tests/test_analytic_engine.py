@@ -112,6 +112,93 @@ def test_pallas_engine_matches_analytic_fits():
                                rtol=1e-6, atol=1e-8)
 
 
+def _bb_lf():
+    conf = conf_for_test(n_sources=2, mc=True,
+                         analysis_space=[['x', [-10, -2, 0, 2, 10]]],
+                         n_events_for_pdf=int(5e4))
+    lf = BinnedLogLikelihood(
+        conf, likelihood_config={
+            'model_statistical_uncertainty_handling': 'bb_single',
+            'bb_single_source': 0})
+    lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+    return lf
+
+
+def test_bb_vgh_matches_autodiff():
+    """The one-pass Beeston-Barlow (value, grad, Hessian) op equals autodiff
+    through morphing + the profiled per-bin root."""
+    from blueice_tpu.ops.bb_vgh import binned_bb_vgh, binned_bb_ll
+    from blueice_tpu.ops.beeston_barlow import bb_single_adjust
+
+    rng = np.random.default_rng(3)
+    K, S, N, bb_i = 2, 3, 23, 1
+    cps = rng.random((2 ** K, S, N)) + 0.05
+    cps /= cps.sum(-1, keepdims=True)
+    cps[:, 0, :4] = 0.0
+    cps[:, 2, :4] = 0.0          # exercise the U == 0 branch in 4 bins
+    cnme = rng.integers(1, 50, (2 ** K, S, N)).astype(float)
+    m = jnp.asarray([25.0, 18.0, 9.0])
+    t = jnp.asarray([0.25, 0.65])
+    obs = jnp.asarray(rng.poisson(6.0, N).astype(float))
+
+    def ref(mt):
+        w, _, _ = corner_weight_tables(mt[S:])
+        P = jnp.tensordot(w, jnp.asarray(cps), axes=(0, 0))
+        NM = jnp.tensordot(w, jnp.asarray(cnme), axes=(0, 0))
+        mus_adj, pmf_adj = bb_single_adjust(mt[:S], P, NM, obs, bb_i)
+        lam = jnp.maximum(jnp.tensordot(mus_adj, pmf_adj, axes=(0, 0)),
+                          jnp.finfo(P.dtype).tiny)
+        k_safe = jnp.where(obs > 0, obs, 1.0)
+        return jnp.sum(obs * jnp.log(lam / k_safe) - (lam - obs))
+
+    mt = jnp.concatenate([m, t])
+    ll, g, H = binned_bb_vgh(cps, cnme, m, t, obs, bb_i)
+    np.testing.assert_allclose(float(ll), float(ref(mt)), rtol=1e-12)
+    np.testing.assert_allclose(float(binned_bb_ll(cps, cnme, m, t, obs, bb_i)),
+                               float(ref(mt)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(jax.grad(ref)(mt)),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(jax.hessian(ref)(mt)),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_bb_through_analytic_engine():
+    """A Beeston-Barlow model fits on the fast engine: same optima as the AD
+    engine, and 'auto' now routes BB to the analytic path."""
+    lf = _bb_lf()
+    study = BinnedToyStudy(lf)
+    assert study.compiled.has_bb
+    assert study.compiled.nme_tensor is not None
+    counts = study.simulate(jax.random.PRNGKey(7), 12)
+
+    fit_ad, names = make_toy_fitter(study.compiled, engine='ad')
+    fit_an, names2 = make_toy_fitter(study.compiled, engine='analytic')
+    assert names == names2
+
+    x_ad, ll_ad, _ = jax.jit(jax.vmap(lambda d: fit_ad(d)))(counts)
+    x_an, ll_an, _ = jax.jit(jax.vmap(lambda d: fit_an(d)))(counts)
+    np.testing.assert_allclose(np.asarray(ll_an), np.asarray(ll_ad),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(x_an), np.asarray(x_ad),
+                               rtol=2e-3, atol=2e-3)
+
+    # Host-oracle consistency of the batched optimum (value at the optimum)
+    c = np.asarray(counts[0])
+    centers = [-6.0, -1.0, 1.0, 6.0]
+    xs = np.concatenate([np.full(int(c[i]), centers[i]) for i in range(4)])
+    d = np.zeros(len(xs), dtype=[('x', float), ('source', int)])
+    d['x'] = xs
+    lf.set_data(d)
+    ll_host = lf(s0_rate_multiplier=float(x_an[0][0]), mu=float(x_an[0][1]))
+    assert abs(float(ll_an[0]) - ll_host) < 1e-6 * abs(ll_host)
+
+    # Pallas stays off for BB
+    with pytest.raises(ValueError, match="Beeston-Barlow"):
+        make_toy_fitter(study.compiled, engine='pallas')
+
+
 def test_analytic_engine_rejected_when_unsupported():
     conf = conf_for_test(mc=True, analysis_space=[['x', [-10, 0, 10]]],
                          n_events_for_pdf=int(1e4))

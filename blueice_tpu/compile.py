@@ -610,6 +610,7 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
     compiled.rate_names = rate_names
     compiled.has_bb = bb_source_i is not None
     compiled.prior_terms = prior_terms
+    compiled.outlier_likelihood = outlier_likelihood
     if ('ps' in lf._builds and ps_build_kind == 'global'
             and hasattr(_ps_morpher, 'anchor_z_arrays')):
         compiled.ps_tensor = _as_dev(lf._builds['ps'][2])
@@ -617,6 +618,17 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
                                   for a in _ps_morpher.anchor_z_arrays]
     elif ps_build_kind == 'constant' and 'ps' in lf._builds:
         compiled.ps_tensor = _as_dev(lf._builds['ps'][1])
+        compiled.anchor_arrays = []
+    elif (ps_build_kind == 'global'
+          and hasattr(_ps_morpher, 'anchor_z_arrays')):
+        # Data-free unbinned compile: no density payload yet, but the anchor
+        # grid is known — enough for the analytic engine to fit runtime
+        # (toy) density tensors
+        compiled.ps_tensor = None
+        compiled.anchor_arrays = [np.asarray(a, dtype=float)
+                                  for a in _ps_morpher.anchor_z_arrays]
+    elif ps_build_kind == 'constant':
+        compiled.ps_tensor = None
         compiled.anchor_arrays = []
     else:
         compiled.ps_tensor = None

@@ -133,7 +133,7 @@ def _coordinate_polish(f, u, fval, f_many=None):
 
 
 def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
-                    init_damping=1e-3, vgh=None, polish=3, f_many=None):
+                    init_damping=1e-3, vgh=None, polish=8, f_many=None):
     """Minimize f (smooth scalar function of a small vector) with
     Levenberg-damped Newton steps. Pure jax: jit/vmap-compatible.
 
@@ -192,26 +192,30 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         du = jnp.where(jnp.all(jnp.isfinite(du)), du,
                        -g / (jnp.maximum(lam, 1.0) * d))
 
-        # Backtracking line search along du, evaluated as ONE vmapped batch:
-        # rescues steps across the C0 kinks of the piecewise-multilinear
-        # anchor morphing (where a full Newton step often overshoots) at the
-        # cost of a single extra fused value pass
+        # Line search over ONE vmapped candidate batch: backtracking steps
+        # along du (rescue overshoots across the C0 kinks of the
+        # piecewise-multilinear anchor morphing), plus the Newton step with
+        # each single coordinate frozen — when the optimum is pinned ON a
+        # kink in one coordinate, the full du keeps crossing it and gets
+        # rejected, while the frozen-coordinate step is pure descent on the
+        # smooth subspace and converges immediately.
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03], dtype=u.dtype)
-        cands = u[None, :] + alphas[:, None] * du[None, :]
+        cands_alpha = u[None, :] + alphas[:, None] * du[None, :]
+        cands_drop = u[None, :] + du[None, :] * (1.0 - eye)
+        cands = jnp.concatenate([cands_alpha, cands_drop], axis=0)
         fs = (jax.vmap(f)(cands) if f_many is None else f_many(cands))
         fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
         best = jnp.argmin(fs)
         f_try = fs[best]
         u_try = cands[best]
-        alpha = alphas[best]
+        du_eff = u_try - u
 
         accept = jnp.isfinite(f_try) & (f_try < fval)
         # Nielsen gain-ratio damping schedule: compare the actual decrease to
         # the quadratic model's prediction; shrink lam aggressively on good
         # steps, inflate geometrically on rejections. Far better than a fixed
         # up/down factor on ridge-shaped (near-degenerate) profiles.
-        predicted = -(alpha * (g @ du)
-                      + 0.5 * alpha * alpha * (du @ (H @ du)))
+        predicted = -((g @ du_eff) + 0.5 * (du_eff @ (H @ du_eff)))
         rho = (fval - f_try) / jnp.where(predicted > 0, predicted, 1.0)
         good = accept & (predicted > 0)
         shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
@@ -233,7 +237,7 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         converged = ((gnorm < tol)
                      | (accept & (step < 1e-14))
                      | (accept & (fdelta <= ftol) & (lam < 1e-2)
-                        & (alpha == 1.0) & (it > 3))
+                        & (best == 0) & (it > 3))
                      # Damping inflated to where steps are ~1e-8 of a Newton
                      # step and nothing improves f: precision noise floor
                      | (lam_new > 1e8))
@@ -372,46 +376,21 @@ def _analytic_supported(compiled):
     return True
 
 
-def _make_analytic_parts(compiled, names, fixed, transform,
-                         use_pallas=False, runtime_fixed=()):
-    """Build (value_fn(u, data_flat, fixed_values),
-    vgh_fn(u, data_flat, fixed_values)) computing the negated objective from
-    closed-form (m, t)-derivatives + chain rule through the (tiny) parameter
-    graph: transforms, rate morphing, priors. ``fixed_values`` supplies the
-    runtime-fixed parameters (aligned with ``runtime_fixed``).
+def _unbinned_analytic_supported(compiled):
+    """The closed-form unbinned engine covers global-grid (or shape-free)
+    extended likelihoods; source-wise grids and likelihood sums fall back to
+    the AD engine."""
+    return (compiled.is_binned is False
+            and compiled.anchor_arrays is not None)
 
-    With use_pallas, the heavy (ll, g, H) op runs as the fused Pallas kernel
-    (anchor tensor VMEM-resident); interpret mode is selected automatically on
-    non-TPU backends. Must be called OUTSIDE any jit trace (it prepares
-    device-constant tensors).
-    """
-    from ..ops.binned_vgh import binned_vgh, binned_ll, gather_corners
-    from ..ops.bb_vgh import binned_bb_vgh, binned_bb_ll
-    from ..ops import fused
 
+def _make_param_graph(compiled, names, fixed, transform, runtime_fixed=()):
+    """The tiny differentiable graph from the optimizer's u vector to the
+    likelihood's natural parameters: params dict, float (m, t) vector, integer
+    anchor-cell indices, and the prior term. Shared by the binned and
+    unbinned closed-form engines."""
     shape_names = compiled.shape_names
-    K = len(shape_names)
-    S = len(compiled.rate_names)
-    ps_tensor = compiled.ps_tensor
-    # Flatten analysis-space bins: (*grid, S, N)
-    grid_shape = ps_tensor.shape[:K]
-    ps_flat = ps_tensor.reshape(grid_shape + (S, -1))
     anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
-    has_bb = compiled.has_bb
-    if has_bb:
-        assert not use_pallas
-        bb_i = compiled.bb_source_i
-        nme_flat = compiled.nme_tensor.reshape(grid_shape + (S, -1))
-
-    if use_pallas:
-        n_bins = int(np.prod(ps_tensor.shape[K + 1:]))
-        G = int(np.prod(grid_shape)) if K else 1
-        anchor_flat = jnp.asarray(fused.pad_bins(
-            np.asarray(ps_flat).reshape(G, S, n_bins)))
-        n_pad = anchor_flat.shape[-1] - n_bins
-        strides = tuple(int(np.prod(grid_shape[d + 1:])) for d in range(K))
-        interpret = jax.default_backend() != 'tpu'
-
     runtime_fixed = list(runtime_fixed)
 
     def params_of_u(u, fixed_values):
@@ -457,6 +436,106 @@ def _make_analytic_parts(compiled, names, fixed, transform,
             out = out + prior(jnp.asarray(p[pname]))
         return out
 
+    return params_of_u, mt_of_u, idx_of_u, prior_of_u
+
+
+def _chain_vgh(mt_of_u, prior_of_u, raw_vgh):
+    """Chain a closed-form (ll, g, H) in (m, t) space through the parameter
+    graph: negated objective value, gradient and Hessian in u space."""
+    def vgh_fn(u, *args):
+        fixed_values = args[-1]
+        ll, g_mt, H_mt = raw_vgh(u, *args)
+        J = jax.jacfwd(lambda v: mt_of_u(v, fixed_values))(u)     # (M, n)
+        Hmap = jax.jacfwd(jax.jacfwd(
+            lambda v: mt_of_u(v, fixed_values)))(u)               # (M, n, n)
+        pv, pg = jax.value_and_grad(
+            lambda v: prior_of_u(v, fixed_values))(u)
+        pH = jax.hessian(lambda v: prior_of_u(v, fixed_values))(u)
+        val = -(ll + pv)
+        g = -(J.T @ g_mt.astype(u.dtype) + pg)
+        H = -(J.T @ H_mt.astype(u.dtype) @ J
+              + jnp.tensordot(g_mt.astype(u.dtype), Hmap, axes=(0, 0)) + pH)
+        return val, g, H
+    return vgh_fn
+
+
+def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=()):
+    """(value_fn, vgh_fn) for the closed-form unbinned engine, both taking
+    (u, anchor_ps_tensor, mask, fixed_values). The density tensor arrives at
+    call time (each toy's scored events), so one program serves the whole
+    ensemble."""
+    from ..ops.binned_vgh import gather_corners
+    from ..ops.unbinned_vgh import unbinned_vgh, unbinned_ll
+
+    K = len(compiled.shape_names)
+    S = len(compiled.rate_names)
+    outlier = compiled.outlier_likelihood
+    _, mt_of_u, idx_of_u, prior_of_u = _make_param_graph(
+        compiled, names, fixed, transform, runtime_fixed)
+
+    def _corners(tensor, u, fixed_values):
+        if K == 0:
+            return tensor[None] if tensor.ndim == 2 else tensor
+        return gather_corners(tensor, idx_of_u(u, fixed_values), K, 2)
+
+    def value_fn(u, tensor, mask, fixed_values=()):
+        mt = mt_of_u(u, fixed_values)
+        ll = unbinned_ll(_corners(tensor, u, fixed_values), mt[:S], mt[S:],
+                         mask, outlier)
+        return -(ll + prior_of_u(u, fixed_values))
+
+    def _raw_vgh(u, tensor, mask, fixed_values):
+        mt = mt_of_u(u, fixed_values)
+        return unbinned_vgh(_corners(tensor, u, fixed_values), mt[:S],
+                            mt[S:], mask, outlier)
+
+    return value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh)
+
+
+def _make_analytic_parts(compiled, names, fixed, transform,
+                         use_pallas=False, runtime_fixed=()):
+    """Build (value_fn(u, data_flat, fixed_values),
+    vgh_fn(u, data_flat, fixed_values)) computing the negated objective from
+    closed-form (m, t)-derivatives + chain rule through the (tiny) parameter
+    graph: transforms, rate morphing, priors. ``fixed_values`` supplies the
+    runtime-fixed parameters (aligned with ``runtime_fixed``).
+
+    With use_pallas, the heavy (ll, g, H) op runs as the fused Pallas kernel
+    (anchor tensor VMEM-resident); interpret mode is selected automatically on
+    non-TPU backends. Must be called OUTSIDE any jit trace (it prepares
+    device-constant tensors).
+    """
+    from ..ops.binned_vgh import binned_vgh, binned_ll, gather_corners
+    from ..ops.bb_vgh import binned_bb_vgh, binned_bb_ll
+    from ..ops import fused
+
+    shape_names = compiled.shape_names
+    K = len(shape_names)
+    S = len(compiled.rate_names)
+    ps_tensor = compiled.ps_tensor
+    # Flatten analysis-space bins: (*grid, S, N)
+    grid_shape = ps_tensor.shape[:K]
+    ps_flat = ps_tensor.reshape(grid_shape + (S, -1))
+    anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
+    has_bb = compiled.has_bb
+    if has_bb:
+        assert not use_pallas
+        bb_i = compiled.bb_source_i
+        nme_flat = compiled.nme_tensor.reshape(grid_shape + (S, -1))
+
+    if use_pallas:
+        n_bins = int(np.prod(ps_tensor.shape[K + 1:]))
+        G = int(np.prod(grid_shape)) if K else 1
+        anchor_flat = jnp.asarray(fused.pad_bins(
+            np.asarray(ps_flat).reshape(G, S, n_bins)))
+        n_pad = anchor_flat.shape[-1] - n_bins
+        strides = tuple(int(np.prod(grid_shape[d + 1:])) for d in range(K))
+        interpret = jax.default_backend() != 'tpu'
+
+    runtime_fixed = list(runtime_fixed)
+    params_of_u, mt_of_u, idx_of_u, prior_of_u = _make_param_graph(
+        compiled, names, fixed, transform, runtime_fixed)
+
     def _corners_of(tensor_flat, u, fixed_values):
         if K == 0:
             return tensor_flat[None]
@@ -491,19 +570,7 @@ def _make_analytic_parts(compiled, names, fixed, transform,
         return binned_vgh(_corners(u, fixed_values), mt[:S], mt[S:],
                           data_flat)
 
-    def vgh_fn(u, data_flat, fixed_values=()):
-        ll, g_mt, H_mt = _raw_vgh(u, data_flat, fixed_values)
-        J = jax.jacfwd(lambda v: mt_of_u(v, fixed_values))(u)     # (M, n)
-        Hmap = jax.jacfwd(jax.jacfwd(
-            lambda v: mt_of_u(v, fixed_values)))(u)               # (M, n, n)
-        pv, pg = jax.value_and_grad(
-            lambda v: prior_of_u(v, fixed_values))(u)
-        pH = jax.hessian(lambda v: prior_of_u(v, fixed_values))(u)
-        val = -(ll + pv)
-        g = -(J.T @ g_mt.astype(u.dtype) + pg)
-        H = -(J.T @ H_mt.astype(u.dtype) @ J
-              + jnp.tensordot(g_mt.astype(u.dtype), Hmap, axes=(0, 0)) + pH)
-        return val, g, H
+    vgh_fn = _chain_vgh(mt_of_u, prior_of_u, _raw_vgh)
 
     value_many_fn = None
     if use_pallas:
@@ -529,7 +596,7 @@ def _make_analytic_parts(compiled, names, fixed, transform,
 
 
 def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
-                    engine='auto', runtime_fixed=(), polish=3):
+                    engine='auto', runtime_fixed=(), polish=8):
     """Build the per-toy fit function fit_one(data, mask[, fixed_values]) ->
     (x (n_floating,), max_ll, n_iter). Pure jax: compose with vmap/jit/shard.
 
@@ -566,15 +633,23 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
 
     u0 = transform.to_u(jnp.asarray(x0))
 
-    if engine in ('analytic', 'pallas') and not _analytic_supported(compiled):
-        raise ValueError("The analytic derivative engine supports binned "
-                         "likelihoods on a dense global anchor grid (with "
-                         "Beeston-Barlow, the n_model_events tensor must be "
-                         "on the same layout)")
+    if engine in ('analytic', 'pallas') and not (
+            _analytic_supported(compiled)
+            or _unbinned_analytic_supported(compiled)):
+        raise ValueError("The analytic derivative engine supports binned and "
+                         "unbinned likelihoods on a dense global anchor grid "
+                         "(with Beeston-Barlow, the n_model_events tensor "
+                         "must be on the same layout; source-wise grids and "
+                         "likelihood sums use the AD engine)")
     if engine == 'pallas' and compiled.has_bb:
         raise ValueError("The fused Pallas kernel does not cover "
                          "Beeston-Barlow yet; use engine='analytic'")
+    if engine == 'pallas' and not compiled.is_binned:
+        raise ValueError("The fused Pallas kernel is binned-only; the "
+                         "unbinned fast path is engine='analytic'")
     if engine == 'auto' and compiled.has_bb and _analytic_supported(compiled):
+        engine = 'analytic'
+    if engine == 'auto' and _unbinned_analytic_supported(compiled):
         engine = 'analytic'
     if engine == 'auto' and _analytic_supported(compiled):
         # Prefer the fused Pallas kernels on real TPUs when the anchor tensor
@@ -597,6 +672,26 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             engine = 'analytic'
     use_pallas = engine == 'pallas'
     use_analytic = engine in ('analytic', 'pallas')
+
+    if use_analytic and not compiled.is_binned:
+        value_fn, vgh_fn = _make_unbinned_parts(
+            compiled, names, fixed, transform, runtime_fixed=runtime_fixed)
+
+        def fit_one(data, mask=None, fixed_values=(), x0=None):
+            # data = anchor per-event density tensor (a toy's scored events);
+            # None falls back to the set_data-bound tensor
+            tensor = jnp.asarray(data if data is not None
+                                 else compiled.ps_tensor)
+            event_mask = (mask if mask is not None
+                          else jnp.ones(tensor.shape[-1], dtype=bool))
+            u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
+            u, fval, gnorm, it = minimize_newton(
+                lambda u: value_fn(u, tensor, event_mask, fixed_values),
+                u_start, max_iter=max_iter, tol=tol, polish=polish,
+                vgh=lambda u: vgh_fn(u, tensor, event_mask, fixed_values))
+            return transform.to_x(u), -fval, it
+
+        return fit_one, names
 
     if use_analytic:
         value_fn, vgh_fn, value_many_fn = _make_analytic_parts(

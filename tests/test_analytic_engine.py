@@ -199,15 +199,66 @@ def test_bb_through_analytic_engine():
         make_toy_fitter(study.compiled, engine='pallas')
 
 
-def test_analytic_engine_rejected_when_unsupported():
-    conf = conf_for_test(mc=True, analysis_space=[['x', [-10, 0, 10]]],
-                         n_events_for_pdf=int(1e4))
-    from blueice_tpu.likelihood import UnbinnedLogLikelihood
+def test_analytic_engine_coverage_boundaries():
+    from blueice_tpu.likelihood import UnbinnedLogLikelihood, LogLikelihoodSum
+
+    # Global-grid unbinned is covered (by the closed-form unbinned engine)...
     lf = UnbinnedLogLikelihood(conf_for_test(mc=True,
                                              n_events_for_pdf=int(1e4)))
     lf.add_rate_parameter('s0')
     lf.prepare()
     lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(0)))
     c = build_logl(lf)
+    fit_one, names = make_toy_fitter(c, engine='analytic')
+    assert names == ['s0_rate_multiplier']
+    # ...but the Pallas kernel stays binned-only
+    with pytest.raises(ValueError, match="binned-only"):
+        make_toy_fitter(c, engine='pallas')
+
+    # Source-wise grids fall outside the closed-form engines
+    conf_sw = conf_for_test(n_sources=2, mc=True, n_events_for_pdf=int(1e4))
+    conf_sw['source_wise_interpolation'] = True
+    lf_sw = UnbinnedLogLikelihood(conf_sw)
+    lf_sw.add_shape_parameter('mu', anchors={-1: -1, 0: 0, 1: 1})
+    lf_sw.prepare()
+    lf_sw.set_data(lf_sw.base_model.simulate(rng=np.random.default_rng(1)))
     with pytest.raises(ValueError, match="analytic derivative engine"):
-        make_toy_fitter(c, engine='analytic')
+        make_toy_fitter(build_logl(lf_sw), engine='analytic')
+
+    # Likelihood sums use the AD engine
+    with pytest.raises(ValueError, match="analytic derivative engine"):
+        make_toy_fitter(build_logl(LogLikelihoodSum([lf])),
+                        engine='analytic')
+
+
+def test_unbinned_analytic_engine_matches_ad():
+    """The closed-form unbinned engine reproduces the AD engine's fits on
+    batched toys (rate + shape, with padding masks)."""
+    from blueice_tpu.likelihood import UnbinnedLogLikelihood
+    from blueice_tpu.parallel.toys import UnbinnedToyStudy
+
+    conf = conf_for_test(mc=True, events_per_day=150.,
+                         n_events_for_pdf=int(1e5))
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+
+    study_an = UnbinnedToyStudy(lf, engine='analytic')
+    study_ad = UnbinnedToyStudy(lf, engine='ad')
+    key = jax.random.PRNGKey(11)
+    res_an = study_an.run(key, n_toys=24)
+    res_ad = study_ad.run(key, n_toys=24)
+
+    agree = np.all(np.abs(res_an.x - res_ad.x) < 1e-5, axis=1)
+    assert agree.mean() >= 0.9, agree.mean()
+    np.testing.assert_allclose(res_an.max_ll[agree], res_ad.max_ll[agree],
+                               rtol=1e-9, atol=1e-7)
+    assert np.abs(res_an.max_ll - res_ad.max_ll).max() < 0.2
+
+    # fit_single on the data-bound compiled object also uses the fast path
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(5)))
+    from blueice_tpu.inference import bestfit_jax, bestfit_scipy
+    fit, ll = bestfit_jax(lf, return_errors=False)
+    fit_ref, ll_ref = bestfit_scipy(lf)
+    assert abs(ll - ll_ref) < 1e-6 * abs(ll_ref)

@@ -239,7 +239,7 @@ def test_unbinned_source_wise_toys():
     np.testing.assert_allclose(res_sw.max_ll[agree], res_gl.max_ll[agree],
                                rtol=1e-7, atol=1e-5)
     # Even the kink-flipped stragglers sit at near-identical LL maxima
-    assert np.abs(res_sw.max_ll - res_gl.max_ll).max() < 0.05
+    assert np.abs(res_sw.max_ll - res_gl.max_ll).max() < 0.2
 
     # And the profile statistic runs end-to-end on the mesh
     study = build(True)

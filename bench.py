@@ -65,7 +65,10 @@ def bench_device(lf, n_toys, repeats=3, target='s0_rate_multiplier'):
     on_tpu = jax.devices()[0].platform != 'cpu'
     dtype = jnp.float32 if on_tpu else None
     tol = 3e-4 if on_tpu else 1e-8
-    study = BinnedToyStudy(lf, dtype=dtype, max_iter=40, tol=tol)
+    # Stage-1 cap sized for the BULK of the ensemble (p90 of iteration
+    # counts); the few toys that hit it get the warm-started 4x-cap
+    # straggler pass instead of gating the whole lockstep batch
+    study = BinnedToyStudy(lf, dtype=dtype, max_iter=28, tol=tol)
 
     log("device:", jax.devices()[0], "dtype:", dtype or "default")
 
@@ -94,29 +97,103 @@ def bench_device(lf, n_toys, repeats=3, target='s0_rate_multiplier'):
     return fits_per_sec
 
 
-def bench_host_baseline(lf, n_toys=8, target='s0_rate_multiplier'):
+def bench_host_baseline(lf, n_toys=12, target='s0_rate_multiplier'):
     """Reference-equivalent path: per toy, simulate + scipy free fit +
-    scipy conditional fit on the host numpy likelihood."""
+    scipy conditional fit on the host numpy likelihood.
+
+    Pinned measurement: fixed seed, a fixed toy set timed per-toy, rate =
+    1 / median(per-toy time) — the median suppresses the multi-x run-to-run
+    band that scheduler noise and occasional scipy retry chains produce.
+    Scipy's numerical differentiation probing the -inf boundary region emits
+    (harmless, reference-identical) invalid-value warnings; silence them so
+    they don't dominate stderr.
+    """
+    import warnings
     from blueice_tpu.exceptions import OptimizationFailed
     rng = np.random.default_rng(0)
-    t0 = time.time()
-    done = 0
-    for i in range(n_toys):
-        d = lf.base_model.simulate(rng=rng)
-        lf.set_data(d)
-        try:
-            _, ll_free = lf.bestfit_scipy()
-            _, ll_cond = lf.bestfit_scipy(**{target: 1.0})
-        except OptimizationFailed:
-            pass    # reference behavior: a failed toy costs the same time
-        done += 1
-        if time.time() - t0 > 90:
-            break
-    dt = time.time() - t0
-    per_sec = done / dt
-    log("host baseline: %d profile fits in %.2fs -> %.2f fits/s" %
-        (done, dt, per_sec))
+    times = []
+    start = time.time()
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', RuntimeWarning)
+        for i in range(n_toys):
+            d = lf.base_model.simulate(rng=rng)
+            t0 = time.time()
+            lf.set_data(d)
+            try:
+                _, ll_free = lf.bestfit_scipy()
+                _, ll_cond = lf.bestfit_scipy(**{target: 1.0})
+            except OptimizationFailed:
+                pass    # reference behavior: a failed toy costs the same time
+            times.append(time.time() - t0)
+            if time.time() - start > 120:
+                break
+    per_sec = 1.0 / float(np.median(times))
+    log("host baseline: %d profile fits, median %.4fs/fit -> %.2f fits/s "
+        "(mean %.2f)" % (len(times), float(np.median(times)), per_sec,
+                         len(times) / sum(times)))
     return per_sec
+
+
+def build_lf_unbinned(n_events_for_pdf=int(2e5)):
+    """Unbinned variant of config #2: same 2-source Gaussian model, per-event
+    densities (~1k events/toy), rate + shape nuisance."""
+    from blueice_tpu.likelihood import UnbinnedLogLikelihood
+    from blueice_tpu.test_helpers import conf_for_test
+
+    tmp = tempfile.mkdtemp(prefix='bench_pdf_cache_')
+    conf = conf_for_test(
+        n_sources=2, mc=True,
+        analysis_space=[['x', np.linspace(-10, 10, 101)]],
+        n_events_for_pdf=n_events_for_pdf,
+        cache_dir=tmp, task_dir=tmp)
+    conf['sources'][1]['mu'] = 3.0
+
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+    return lf
+
+
+def bench_device_unbinned(lf, n_toys, repeats=3, target='s0_rate_multiplier'):
+    import jax
+    import jax.numpy as jnp
+    from blueice_tpu.parallel.toys import UnbinnedToyStudy
+
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/tmp/blueice_tpu_jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    except Exception as e:
+        log("compilation cache unavailable:", e)
+
+    on_tpu = jax.devices()[0].platform != 'cpu'
+    dtype = jnp.float32 if on_tpu else None
+    tol = 3e-4 if on_tpu else 1e-8
+    study = UnbinnedToyStudy(lf, dtype=dtype, max_iter=28, tol=tol)
+    log("device:", jax.devices()[0], "dtype:", dtype or "default",
+        "n_max:", study.n_max)
+
+    t0 = time.time()
+    t, free, cond = study.profile_ts(jax.random.PRNGKey(0), n_toys=n_toys,
+                                     target=target, hypothesis=1.0)
+    log("compile+first run: %.1fs; median t = %.3f; mean iters %.1f"
+        % (time.time() - t0, float(np.median(t)), free.n_iter.mean()))
+
+    times = []
+    for r in range(repeats):
+        t0 = time.time()
+        t, free, cond = study.profile_ts(jax.random.PRNGKey(r + 1),
+                                         n_toys=n_toys,
+                                         target=target, hypothesis=1.0)
+        times.append(time.time() - t0)
+    best = min(times)
+    fits_per_sec = n_toys / best
+    log("device: %d toys in %.3fs -> %.1f profile fits/s" %
+        (n_toys, best, fits_per_sec))
+    assert np.isfinite(free.max_ll).all()
+    assert 0.7 < float(np.mean(free[target])) < 1.3
+    return fits_per_sec
 
 
 def build_lf_xenon():
@@ -128,7 +205,8 @@ def build_lf_xenon():
 
 def main():
     args = [a for a in sys.argv[1:]]
-    scenario = 'xenon' if 'xenon' in args else 'gauss'
+    scenario = ('xenon' if 'xenon' in args
+                else 'unbinned' if 'unbinned' in args else 'gauss')
     nums = [int(a) for a in args if a.isdigit()]
     n_toys = nums[0] if nums else 4096
 
@@ -139,6 +217,12 @@ def main():
         metric = ("batched profile-likelihood toy fits (XENON1T-style 2D: "
                   "6 sources, 81-anchor morphing grid, 8 nuisances, "
                   "free+conditional Newton fit per toy)")
+    elif scenario == 'unbinned':
+        lf = build_lf_unbinned()
+        target = 's0_rate_multiplier'
+        metric = ("batched profile-likelihood toy fits "
+                  "(unbinned 2-source Gaussian, ~1k events/toy, rate+shape "
+                  "nuisance, free+conditional Newton fit per toy)")
     else:
         lf = build_lf()
         target = 's0_rate_multiplier'
@@ -148,7 +232,10 @@ def main():
     log("template build: %.1fs" % (time.time() - t0))
 
     host_rate = bench_host_baseline(lf, target=target)
-    device_rate = bench_device(lf, n_toys, target=target)
+    if scenario == 'unbinned':
+        device_rate = bench_device_unbinned(lf, n_toys, target=target)
+    else:
+        device_rate = bench_device(lf, n_toys, target=target)
 
     print(json.dumps({
         "metric": metric,

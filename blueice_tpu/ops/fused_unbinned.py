@@ -1,0 +1,387 @@
+"""Pallas TPU kernel: fused analytic (LL, gradient, Hessian) of the extended
+unbinned likelihood over per-event anchor density tensors.
+
+Pallas port of :func:`blueice_tpu.ops.unbinned_vgh.unbinned_vgh` — the hot
+inner op of every Newton iteration of every unbinned toy fit. Unlike the
+binned kernel (:mod:`blueice_tpu.ops.fused`), where one anchor tensor is
+shared by every toy and lives in persistent VMEM scratch, the unbinned anchor
+tensor is **per toy** (each toy scored its own events), so it arrives as an
+ordinary blocked VMEM input: (toys, G, S, E) sliced per grid step. Per toy the
+whole corner gather, multilinear combination, per-event residual math and
+(S+K)^2 curvature reductions run in one kernel — collapsing the ~dozens of
+small XLA ops per Newton iteration (which dominate wall-clock at a few
+thousand events/toy) into a single launch.
+
+The event axis must be padded to a multiple of 128 (TPU lane width) with
+all-zero density rows and mask False — padded events contribute exactly
+nothing to the likelihood or its derivatives.
+"""
+
+import functools
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binned_vgh import corner_weight_tables
+from .fused import LANE, TOY_BLOCK, _round_up
+
+__all__ = ['unbinned_vgh_fused', 'unbinned_ll_fused_multi',
+           'fused_unbinned_supported']
+
+
+def fused_unbinned_supported(per_toy_shape, dtype=jnp.float32,
+                             vmem_budget=10 * 2 ** 20, blk=TOY_BLOCK):
+    """Whether a toy block's density tensors fit VMEM."""
+    g, s, e = per_toy_shape
+    e_pad = _round_up(e, LANE)
+    return blk * g * s * e_pad * jnp.dtype(dtype).itemsize <= vmem_budget
+
+
+def _uvgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, mask_ref, ps_ref,
+                 ll_ref, g_ref, h_ref, *, S, K, C, pairs, blk, outlier):
+    """Per grid step: ``blk`` toys. ps (blk, G, S, E) VMEM (per-toy anchors);
+    ids (blk, C) int32 SMEM; w (blk, C), wd (blk, K|1, C), wx (blk, NP|1, C),
+    m (blk, S), mask (blk, E) VMEM; out ll (blk, 1) SMEM, g (blk, P),
+    h (blk, P, P) VMEM, P = S + K."""
+    dtype = ps_ref.dtype
+    n_pairs = len(pairs)
+
+    def one_toy(ti, _):
+        P = None
+        D = [None] * K
+        X = [None] * n_pairs
+        for c in range(C):
+            row = ps_ref[ti, pl.ds(ids_ref[ti, c], 1)][0]        # (S, E)
+            wc = w_ref[ti, c]
+            P = wc * row if P is None else P + wc * row
+            for d in range(K):
+                term = wd_ref[ti, d, c] * row
+                D[d] = term if D[d] is None else D[d] + term
+            for pi in range(n_pairs):
+                term = wx_ref[ti, pi, c] * row
+                X[pi] = term if X[pi] is None else X[pi] + term
+
+        m = m_ref[ti, :]                                         # (S,)
+        mask = mask_ref[ti, :]                                   # (E,)
+
+        lam = jnp.sum(m[:, None] * P, axis=0)                    # (E,)
+        pos = lam > 0
+        lam_eff = jnp.where(pos, lam, outlier) if outlier else lam
+        lam_safe = jnp.where(pos, lam, 1.0)
+        log_terms = jnp.where(mask > 0, jnp.log(lam_eff), 0.0)
+        ll_ref[ti, 0] = jnp.sum(log_terms) - jnp.sum(m)
+
+        # Outlier-floored / padded events are parameter-constant: zero weight
+        active = jnp.where((mask > 0) & pos, 1.0, 0.0).astype(dtype)
+        inv = active / lam_safe                                  # (E,)
+        q = inv / lam_safe                                       # (E,)
+
+        g_m = jnp.sum(P * inv[None, :], axis=1) - 1.0            # (S,)
+        if K:
+            Dbar = jnp.stack([jnp.sum(m[:, None] * D[d], axis=0)
+                              for d in range(K)])                # (K, E)
+            g_t = jnp.sum(Dbar * inv[None, :], axis=1)           # (K,)
+            g_ref[pl.ds(ti, 1), :] = jnp.concatenate([g_m, g_t])[None, :]
+        else:
+            g_ref[pl.ds(ti, 1), :] = g_m[None, :]
+
+        Pq = P * q[None, :]                                      # (S, E)
+        H_mm = -jax.lax.dot_general(Pq, P, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=dtype)
+        if K:
+            H_mt = (-jax.lax.dot_general(Pq, Dbar,
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=dtype)
+                    + jnp.stack([jnp.sum(D[d] * inv[None, :], axis=1)
+                                 for d in range(K)], axis=1))    # (S, K)
+            Dbq = Dbar * q[None, :]
+            H_tt = -jax.lax.dot_general(Dbq, Dbar,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=dtype)
+            if pairs:
+                xr = {p: jnp.sum(jnp.sum(m[:, None] * X[pi], axis=0) * inv)
+                      for pi, p in enumerate(pairs)}
+                zero = jnp.zeros((), dtype=dtype)
+                upd = jnp.stack([
+                    jnp.stack([xr.get((min(d, e), max(d, e)), zero)
+                               if d != e else zero for e in range(K)])
+                    for d in range(K)])
+                H_tt = H_tt + upd
+            top = jnp.concatenate([H_mm, H_mt], axis=1)
+            bottom = jnp.concatenate([H_mt.T, H_tt], axis=1)
+            h_ref[pl.ds(ti, 1)] = jnp.concatenate([top, bottom],
+                                                  axis=0)[None]
+        else:
+            h_ref[pl.ds(ti, 1)] = H_mm[None]
+        return 0
+
+    jax.lax.fori_loop(0, blk, one_toy, 0)
+
+
+def _ull_kernel(ids_ref, w_ref, m_ref, mask_ref, ps_ref, ll_ref,
+                *, S, C, A, blk, outlier):
+    """Value-only: per grid step, ``blk`` toys x ``A`` parameter candidates
+    sharing the toy's events. ids (blk, A, C) SMEM; w (blk, A, C),
+    m (blk, A, S), mask (blk, E), ps (blk, G, S, E) VMEM; out ll (blk, A)
+    SMEM."""
+    def one_toy(ti, _):
+        mask = mask_ref[ti, :]
+        for a in range(A):
+            P = None
+            for c in range(C):
+                row = ps_ref[ti, pl.ds(ids_ref[ti, a, c], 1)][0]
+                wc = w_ref[ti, a, c]
+                P = wc * row if P is None else P + wc * row
+            m = m_ref[ti, a, :]
+            lam = jnp.sum(m[:, None] * P, axis=0)
+            lam_eff = jnp.where(lam > 0, lam, outlier) if outlier else lam
+            ll_ref[ti, a] = (jnp.sum(jnp.where(mask > 0, jnp.log(lam_eff),
+                                               0.0))
+                             - jnp.sum(m))
+        return 0
+
+    jax.lax.fori_loop(0, blk, one_toy, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_uvgh_call(dtype_name, G, S, E, K, B, blk, interpret, outlier):
+    C = 2 ** K
+    pairs = tuple((d, e) for d in range(K) for e in range(d + 1, K))
+    n_pairs_in = max(len(pairs), 1)
+    wd_dim = max(K, 1)
+    P_dim = S + K
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_uvgh_kernel, S=S, K=K, C=C, pairs=pairs,
+                             blk=blk, outlier=outlier)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=(jax.ShapeDtypeStruct((B, 1), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim, P_dim), dtype)),
+        in_specs=[
+            pl.BlockSpec((blk, C), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),             # ids
+            pl.BlockSpec((blk, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # w
+            pl.BlockSpec((blk, wd_dim, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # wd
+            pl.BlockSpec((blk, n_pairs_in, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # wx
+            pl.BlockSpec((blk, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # m
+            pl.BlockSpec((blk, E), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # mask
+            pl.BlockSpec((blk, G, S, E), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),             # per-toy ps
+        ],
+        out_specs=(pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                                memory_space=pltpu.SMEM),
+                   pl.BlockSpec((blk, P_dim), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((blk, P_dim, P_dim), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=bool(interpret),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ull_call(dtype_name, G, S, E, C, A, B, blk, interpret, outlier):
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_ull_kernel, S=S, C=C, A=A, blk=blk,
+                             outlier=outlier)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=jax.ShapeDtypeStruct((B, A), dtype),
+        in_specs=[
+            pl.BlockSpec((blk, A, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),             # ids
+            pl.BlockSpec((blk, A, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # w
+            pl.BlockSpec((blk, A, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # m
+            pl.BlockSpec((blk, E), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # mask
+            pl.BlockSpec((blk, G, S, E), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),             # per-toy ps
+        ],
+        out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        interpret=bool(interpret),
+    )
+
+
+def _pad_batch(arrs, B, B_pad):
+    if B_pad == B:
+        return arrs
+    out = []
+    for a in arrs:
+        pad = jnp.zeros((B_pad - B,) + a.shape[1:], a.dtype)
+        out.append(jnp.concatenate([a, pad]))
+    return out
+
+
+def _uvgh_batched_impl(ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b, interpret,
+                       outlier):
+    B, G, S, E = ps_b.shape
+    C = ids_b.shape[-1]
+    K = int(round(np.log2(C)))
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b = _pad_batch(
+        (ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b), B, B_pad)
+    call = _build_uvgh_call(str(ps_b.dtype), G, S, E, K, B_pad, blk,
+                            interpret, float(outlier))
+    ll, g, H = call(ids_b, w_b, wd_b, wx_b, m_b, mask_b, ps_b)
+    return ll[:B, 0], g[:B], H[:B]
+
+
+def _ull_batched_impl(ps_b, ids_b, w_b, m_b, mask_b, interpret, outlier):
+    B, G, S, E = ps_b.shape
+    _, A, C = ids_b.shape
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    ps_b, ids_b, w_b, m_b, mask_b = _pad_batch(
+        (ps_b, ids_b, w_b, m_b, mask_b), B, B_pad)
+    call = _build_ull_call(str(ps_b.dtype), G, S, E, C, A, B_pad, blk,
+                           interpret, float(outlier))
+    return call(ids_b, w_b, m_b, mask_b, ps_b)[:B]
+
+
+_OP_CACHE = {}
+
+
+def _broadcast_unbatched(args, in_batched, axis_size):
+    out = []
+    for arg, batched in zip(args, in_batched):
+        if not batched:
+            arg = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+        out.append(arg)
+    return out
+
+
+def _make_uvgh_op(interpret, outlier):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(ps, ids, w, wd, wx, m, mask):
+        ll, g, H = _uvgh_batched_impl(ps[None], ids[None], w[None], wd[None],
+                                      wx[None], m[None], mask[None],
+                                      interpret, outlier)
+        return ll[0], g[0], H[0]
+
+    @op.def_vmap
+    def _vmap(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(args, in_batched, axis_size)
+        return (_uvgh_batched_impl(*args, interpret, outlier),
+                (True, True, True))
+
+    return op
+
+
+def _make_ull_op(interpret, outlier):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(ps, ids, w, m, mask):
+        return _ull_batched_impl(ps[None], ids[None], w[None], m[None],
+                                 mask[None], interpret, outlier)[0]
+
+    @op.def_vmap
+    def _vmap(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(args, in_batched, axis_size)
+        return _ull_batched_impl(*args, interpret, outlier), True
+
+    return op
+
+
+def _get_op(kind, interpret, outlier):
+    key = (kind, bool(interpret), float(outlier))
+    if key not in _OP_CACHE:
+        make = _make_uvgh_op if kind == 'vgh' else _make_ull_op
+        _OP_CACHE[key] = make(bool(interpret), float(outlier))
+    return _OP_CACHE[key]
+
+
+def _corner_ids(strides, idx, K):
+    corners = list(itertools.product((0, 1), repeat=K))
+    if not K:
+        return jnp.zeros((1,), dtype=jnp.int32)
+    base = sum(jnp.asarray(idx[d], jnp.int32) * int(strides[d])
+               for d in range(K))
+    offs = jnp.asarray([sum(int(c[d]) * int(strides[d]) for d in range(K))
+                        for c in corners], dtype=jnp.int32)
+    return base + offs
+
+
+def unbinned_vgh_fused(ps_toy, strides, idx, t, m, mask, outlier=0.0,
+                       interpret=False):
+    """Fused (ll, g, H) of the extended unbinned LL via the Pallas kernel.
+    Same contract as :func:`blueice_tpu.ops.unbinned_vgh.unbinned_vgh`, but
+    gathers the corner templates itself from the toy's flattened-grid tensor.
+
+    :param ps_toy: (G, S, E) per-event densities at every anchor point, grid
+      flattened, E a multiple of 128 (pad events with zero densities).
+    :param strides: static tuple of K ints — anchor-grid row strides.
+    :param idx: (K,) int32 lower-corner index per axis; t: (K,) lerp weights.
+    :param m: (S,) rates; mask: (E,) validity (padding False).
+    :return: (ll, g (S+K,), H (S+K, S+K)).
+    """
+    ps_toy = jnp.asarray(ps_toy)
+    G, S, E = ps_toy.shape
+    if E % LANE:
+        raise ValueError("event axis must be padded to a multiple of %d"
+                         % LANE)
+    K = len(strides)
+    C = 2 ** K
+    dt = ps_toy.dtype
+
+    ids = _corner_ids(strides, idx, K)
+    w, wd, wx = corner_weight_tables(jnp.asarray(t, dt))
+    pairs = [(d, e) for d in range(K) for e in range(d + 1, K)]
+    wd_in = wd.astype(dt) if K else jnp.zeros((1, C), dt)
+    wx_in = (jnp.stack([wx[d, e] for d, e in pairs]).astype(dt)
+             if pairs else jnp.zeros((1, C), dt))
+
+    op = _get_op('vgh', interpret, outlier)
+    return op(ps_toy, ids, w.astype(dt), wd_in, wx_in, jnp.asarray(m, dt),
+              jnp.asarray(mask, dt))
+
+
+def unbinned_ll_fused_multi(ps_toy, strides, idxs, ts, ms, mask, outlier=0.0,
+                            interpret=False):
+    """Extended LL at A parameter candidates sharing one toy's events.
+
+    :param idxs: (A, K) int32 lower corners; ts: (A, K); ms: (A, S).
+    :return: (A,) log likelihoods.
+    """
+    ps_toy = jnp.asarray(ps_toy)
+    G, S, E = ps_toy.shape
+    if E % LANE:
+        raise ValueError("event axis must be padded to a multiple of %d"
+                         % LANE)
+    K = len(strides)
+    C = 2 ** K
+    dt = ps_toy.dtype
+
+    if K:
+        offs = jnp.asarray(
+            [sum(int(c[d]) * int(strides[d]) for d in range(K))
+             for c in itertools.product((0, 1), repeat=K)], dtype=jnp.int32)
+        base = sum(idxs[:, d].astype(jnp.int32) * int(strides[d])
+                   for d in range(K))                            # (A,)
+        ids = base[:, None] + offs[None, :]                      # (A, C)
+        w = jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
+            jnp.asarray(ts, dt))                                 # (A, C)
+    else:
+        A = ms.shape[0]
+        ids = jnp.zeros((A, 1), dtype=jnp.int32)
+        w = jnp.ones((A, 1), dtype=dt)
+
+    op = _get_op('ll', interpret, outlier)
+    return op(ps_toy, ids, w, jnp.asarray(ms, dt), jnp.asarray(mask, dt))

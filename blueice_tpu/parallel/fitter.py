@@ -133,7 +133,8 @@ def _coordinate_polish(f, u, fval, f_many=None):
 
 
 def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
-                    init_damping=1e-3, vgh=None, polish=8, f_many=None):
+                    init_damping=1e-3, vgh=None, polish=4, f_many=None,
+                    kink_coords=None):
     """Minimize f (smooth scalar function of a small vector) with
     Levenberg-damped Newton steps. Pure jax: jit/vmap-compatible.
 
@@ -144,11 +145,13 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
     spin at max_iter against gradient noise they can never push below a tight
     tol).
 
-    When a stop condition fires (and up to ``polish`` times), the loop switches
-    to a per-coordinate line-search sweep instead of exiting: if the sweep
-    improves f (an optimum pinned on an anchor-grid kink), Newton descent
-    resumes; otherwise the fit is done. Both phases live inside ONE
-    lax.while_loop so the compiled program contains each subgraph exactly once.
+    After the Newton loop stops, a per-coordinate line-search sweep verifies
+    the optimum (``polish`` truthy; two rounds): if the sweep improves f (an
+    optimum pinned on an anchor-grid kink the in-loop frozen-coordinate
+    candidates missed), Newton resumes from the improved point. The sweeps
+    live OUTSIDE the while loop on purpose — a vmapped lax.cond executes both
+    branches for the whole batch, so an in-loop polish arm would tax every
+    Newton iteration of every toy.
 
     :return: (u_min, f_min, grad_norm, n_iters)
     """
@@ -157,6 +160,15 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
     eye = jnp.eye(n, dtype=u0.dtype)
     if ftol is None:
         ftol = 1e-3 if u0.dtype == jnp.float32 else 1e-10
+    # Coordinates whose objective can have C0 kinks (the anchor-grid lerp is
+    # only piecewise-smooth along shape parameters); only these get
+    # frozen-coordinate line-search candidates. None = all coordinates.
+    if kink_coords is None:
+        drop_dirs = eye
+    elif len(kink_coords):
+        drop_dirs = eye[jnp.asarray(list(kink_coords))]
+    else:
+        drop_dirs = jnp.zeros((0, n), dtype=u0.dtype)
 
     vg_f = jax.value_and_grad(f)
 
@@ -173,11 +185,11 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
             return vs[0], gs[0], Hrows
 
     def cond(carry):
-        u, fval, lam, nu, it, n_polish, mode, done = carry
+        u, fval, lam, nu, it, done, stall = carry
         return (~done) & (it < max_iter)
 
     def newton_step(carry):
-        u, fval, lam, nu, it, n_polish, mode, done = carry
+        u, fval, lam, nu, it, done, stall = carry
         _, g, H = val_grad_hess(u)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         H = jnp.where(jnp.isfinite(H), H, 0.0)
@@ -195,13 +207,17 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         # Line search over ONE vmapped candidate batch: backtracking steps
         # along du (rescue overshoots across the C0 kinks of the
         # piecewise-multilinear anchor morphing), plus the Newton step with
-        # each single coordinate frozen — when the optimum is pinned ON a
-        # kink in one coordinate, the full du keeps crossing it and gets
+        # each single shape coordinate frozen — when the optimum is pinned ON
+        # a kink in one coordinate, the full du keeps crossing it and gets
         # rejected, while the frozen-coordinate step is pure descent on the
         # smooth subspace and converges immediately.
-        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.03], dtype=u.dtype)
+        # Short alpha ladder: the Nielsen damping schedule handles step-size
+        # control across iterations, so the in-step backtracking only needs
+        # coarse rescue levels — keeps the candidate batch (and the value
+        # kernel's work per Newton iteration) small.
+        alphas = jnp.asarray([1.0, 0.4, 0.1], dtype=u.dtype)
         cands_alpha = u[None, :] + alphas[:, None] * du[None, :]
-        cands_drop = u[None, :] + du[None, :] * (1.0 - eye)
+        cands_drop = u[None, :] + du[None, :] * (1.0 - drop_dirs)
         cands = jnp.concatenate([cands_alpha, cands_drop], axis=0)
         fs = (jax.vmap(f)(cands) if f_many is None else f_many(cands))
         fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
@@ -231,48 +247,51 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         gnorm = jnp.max(jnp.abs(g))
         step = jnp.max(jnp.abs(u_new - u))
         fdelta = fval - f_new
-        # Only trust a small f-decrease as convergence when the step was a
-        # (nearly) undamped Newton step — a heavily damped crawl can stall
+        # Stall window: consecutive iterations whose f-decrease is below ftol
+        # (including rejections). Catches fits grinding at the precision noise
+        # floor that never satisfy the strict stop conditions — the polish
+        # sweeps between loop rounds are the safety net against a premature
+        # call.
+        stall_new = jnp.where(fdelta > ftol, 0, stall + 1)
+        # Only trust a small f-decrease as convergence when the step was an
+        # undamped Newton step (full, or full on the smooth subspace with one
+        # kink-pinned coordinate frozen) — a heavily damped crawl can stall
         # while still far from the optimum
+        undamped = (best == 0) | (best >= alphas.shape[0])
         converged = ((gnorm < tol)
                      | (accept & (step < 1e-14))
                      | (accept & (fdelta <= ftol) & (lam < 1e-2)
-                        & (best == 0) & (it > 3))
+                        & undamped & (it > 3))
                      # Damping inflated to where steps are ~1e-8 of a Newton
                      # step and nothing improves f: precision noise floor
-                     | (lam_new > 1e8))
-        if polish:
-            # Converged -> try a polish sweep next instead of exiting
-            mode_new = jnp.where(converged & (n_polish < polish), 1, mode)
-            done_new = converged & (n_polish >= polish)
-        else:
-            mode_new = mode
-            done_new = converged
-        return (u_new, f_new, lam_new, nu_new, it + 1, n_polish, mode_new,
-                done_new)
-
-    def polish_step(carry):
-        u, fval, lam, nu, it, n_polish, mode, done = carry
-        u_new, f_new = _coordinate_polish(f, u, fval, f_many=f_many)
-        improved = f_new < fval - jnp.asarray(ftol, u.dtype) * 0.1
-        # Improved: resume Newton descent with fresh damping; else finished
-        return (u_new, f_new, jnp.asarray(init_damping, dtype=u.dtype),
-                jnp.asarray(2.0, dtype=u.dtype), it + 1, n_polish + 1,
-                jnp.zeros((), dtype=jnp.int32), ~improved)
-
-    if polish:
-        def body(carry):
-            return lax.cond(carry[6] == 1, polish_step, newton_step, carry)
-    else:
-        body = newton_step
+                     | (lam_new > 1e8)
+                     | (stall_new >= 4))
+        return (u_new, f_new, lam_new, nu_new, it + 1, converged,
+                jnp.where(converged, 0, stall_new))
 
     f0 = f(u0)
     carry = (u0, f0, jnp.asarray(init_damping, dtype=u0.dtype),
              jnp.asarray(2.0, dtype=u0.dtype),
-             jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=jnp.int32),
-             jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=bool))
-    u, fval, lam, nu, it, n_polish, mode, done = \
-        lax.while_loop(cond, body, carry)
+             jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=bool),
+             jnp.zeros((), dtype=jnp.int32))
+    carry = lax.while_loop(cond, newton_step, carry)
+
+    # Polish rounds OUTSIDE the Newton loop: a per-coordinate line-search
+    # sweep verifies (or rescues) every lane's stop, then Newton resumes for
+    # the lanes the sweep improved. Kept out of the loop body because a
+    # vmapped lax.cond executes BOTH branches for the whole batch — an
+    # in-loop polish arm would tax every Newton iteration of every toy.
+    for _ in range(2 if polish else 0):
+        u, fval, lam, nu, it, done, stall = carry
+        u2, f2 = _coordinate_polish(f, u, fval, f_many=f_many)
+        improved = f2 < fval - jnp.asarray(ftol, u.dtype) * 0.1
+        carry = (u2, f2,
+                 jnp.where(improved, jnp.asarray(init_damping, u.dtype), lam),
+                 jnp.asarray(2.0, dtype=u.dtype), it + 1,
+                 done & ~improved, jnp.zeros((), dtype=jnp.int32))
+        carry = lax.while_loop(cond, newton_step, carry)
+
+    u, fval, lam, nu, it, done, stall = carry
     return u, fval, jnp.max(jnp.abs(val_grad_hess(u)[1])), it
 
 
@@ -459,24 +478,65 @@ def _chain_vgh(mt_of_u, prior_of_u, raw_vgh):
     return vgh_fn
 
 
-def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=()):
-    """(value_fn, vgh_fn) for the closed-form unbinned engine, both taking
-    (u, anchor_ps_tensor, mask, fixed_values). The density tensor arrives at
-    call time (each toy's scored events), so one program serves the whole
-    ensemble."""
+def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
+                         use_pallas=False):
+    """(value_fn, vgh_fn, value_many_fn) for the closed-form unbinned engine.
+    All take (u, flat_ps_tensor, mask, fixed_values): the density tensor
+    arrives at call time (each toy's scored events, grid axes flattened, and
+    — on the Pallas path — events padded to the lane width), so one program
+    serves the whole ensemble."""
     from ..ops.binned_vgh import gather_corners
     from ..ops.unbinned_vgh import unbinned_vgh, unbinned_ll
+    from ..ops import fused_unbinned
 
     K = len(compiled.shape_names)
     S = len(compiled.rate_names)
     outlier = compiled.outlier_likelihood
     _, mt_of_u, idx_of_u, prior_of_u = _make_param_graph(
         compiled, names, fixed, transform, runtime_fixed)
+    grid_shape = tuple(len(a) for a in compiled.anchor_arrays)
+    strides = tuple(int(np.prod(grid_shape[d + 1:])) for d in range(K))
+    interpret = jax.default_backend() != 'tpu'
+
+    if use_pallas:
+        def value_fn(u, tensor, mask, fixed_values=()):
+            mt = mt_of_u(u, fixed_values)
+            idx = idx_of_u(u, fixed_values)
+            idxs = (jnp.stack(idx)[None] if K
+                    else jnp.zeros((1, 0), jnp.int32))
+            ll = fused_unbinned.unbinned_ll_fused_multi(
+                tensor, strides, idxs, mt[None, S:], mt[None, :S], mask,
+                outlier=outlier, interpret=interpret)[0]
+            return -(ll.astype(u.dtype) + prior_of_u(u, fixed_values))
+
+        def value_many_fn(u_cands, tensor, mask, fixed_values=()):
+            mts = jax.vmap(lambda v: mt_of_u(v, fixed_values))(u_cands)
+            priors = jax.vmap(
+                lambda v: prior_of_u(v, fixed_values))(u_cands)
+            if K:
+                idxs = jax.vmap(lambda v: jnp.stack(
+                    idx_of_u(v, fixed_values)))(u_cands)
+            else:
+                idxs = jnp.zeros((u_cands.shape[0], 0), jnp.int32)
+            lls = fused_unbinned.unbinned_ll_fused_multi(
+                tensor, strides, idxs, mts[:, S:], mts[:, :S], mask,
+                outlier=outlier, interpret=interpret)
+            return -(lls.astype(u_cands.dtype) + priors)
+
+        def _raw_vgh(u, tensor, mask, fixed_values):
+            mt = mt_of_u(u, fixed_values)
+            return fused_unbinned.unbinned_vgh_fused(
+                tensor, strides, idx_of_u(u, fixed_values), mt[S:], mt[:S],
+                mask, outlier=outlier, interpret=interpret)
+
+        return (value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh),
+                value_many_fn)
 
     def _corners(tensor, u, fixed_values):
         if K == 0:
-            return tensor[None] if tensor.ndim == 2 else tensor
-        return gather_corners(tensor, idx_of_u(u, fixed_values), K, 2)
+            return tensor
+        return gather_corners(tensor.reshape(grid_shape + tensor.shape[1:]),
+                              idx_of_u(u, fixed_values), K, 2)
 
     def value_fn(u, tensor, mask, fixed_values=()):
         mt = mt_of_u(u, fixed_values)
@@ -489,7 +549,7 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=()):
         return unbinned_vgh(_corners(tensor, u, fixed_values), mt[:S],
                             mt[S:], mask, outlier)
 
-    return value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh)
+    return value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh), None
 
 
 def _make_analytic_parts(compiled, names, fixed, transform,
@@ -596,7 +656,7 @@ def _make_analytic_parts(compiled, names, fixed, transform,
 
 
 def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
-                    engine='auto', runtime_fixed=(), polish=8):
+                    engine='auto', runtime_fixed=(), polish=4):
     """Build the per-toy fit function fit_one(data, mask[, fixed_values]) ->
     (x (n_floating,), max_ll, n_iter). Pure jax: compose with vmap/jit/shard.
 
@@ -632,6 +692,9 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         return fit_one, []
 
     u0 = transform.to_u(jnp.asarray(x0))
+    # Only shape (morph-weight) coordinates can pin on anchor-grid kinks
+    kink_coords = tuple(i for i, nm in enumerate(names)
+                        if nm in compiled.shape_names)
 
     if engine in ('analytic', 'pallas') and not (
             _analytic_supported(compiled)
@@ -644,13 +707,14 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
     if engine == 'pallas' and compiled.has_bb:
         raise ValueError("The fused Pallas kernel does not cover "
                          "Beeston-Barlow yet; use engine='analytic'")
-    if engine == 'pallas' and not compiled.is_binned:
-        raise ValueError("The fused Pallas kernel is binned-only; the "
-                         "unbinned fast path is engine='analytic'")
     if engine == 'auto' and compiled.has_bb and _analytic_supported(compiled):
         engine = 'analytic'
     if engine == 'auto' and _unbinned_analytic_supported(compiled):
-        engine = 'analytic'
+        # Fused per-toy kernel on real TPUs; the event count is only known at
+        # call time, so fit_one falls back to the jnp engine per trace when a
+        # toy block would not fit VMEM
+        engine = ('pallas' if jax.default_backend() == 'tpu'
+                  else 'analytic')
     if engine == 'auto' and _analytic_supported(compiled):
         # Prefer the fused Pallas kernels on real TPUs when the anchor tensor
         # fits VMEM *and* the per-toy payload is big enough to feed the VPU
@@ -674,20 +738,46 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
     use_analytic = engine in ('analytic', 'pallas')
 
     if use_analytic and not compiled.is_binned:
-        value_fn, vgh_fn = _make_unbinned_parts(
-            compiled, names, fixed, transform, runtime_fixed=runtime_fixed)
+        from ..ops import fused_unbinned
+        K = len(compiled.shape_names)
+        S = len(compiled.rate_names)
+        G = int(np.prod([len(a) for a in compiled.anchor_arrays])) if K else 1
+        parts = {}   # engine flag -> (value_fn, vgh_fn, value_many_fn)
+
+        def _parts(pallas):
+            if pallas not in parts:
+                parts[pallas] = _make_unbinned_parts(
+                    compiled, names, fixed, transform,
+                    runtime_fixed=runtime_fixed, use_pallas=pallas)
+            return parts[pallas]
 
         def fit_one(data, mask=None, fixed_values=(), x0=None):
             # data = anchor per-event density tensor (a toy's scored events);
             # None falls back to the set_data-bound tensor
             tensor = jnp.asarray(data if data is not None
                                  else compiled.ps_tensor)
+            tensor = tensor.reshape((G, S, -1))
+            E = tensor.shape[-1]
             event_mask = (mask if mask is not None
-                          else jnp.ones(tensor.shape[-1], dtype=bool))
+                          else jnp.ones(E, dtype=bool))
+            # The event count is only known here (per trace): take the fused
+            # kernel when the toy-block working set fits VMEM
+            pallas = (use_pallas and fused_unbinned.fused_unbinned_supported(
+                (G, S, E), tensor.dtype))
+            if pallas:
+                E_pad = fused_unbinned._round_up(E, fused_unbinned.LANE)
+                if E_pad != E:
+                    tensor = jnp.pad(tensor, ((0, 0), (0, 0), (0, E_pad - E)))
+                    event_mask = jnp.pad(event_mask, (0, E_pad - E))
+            value_fn, vgh_fn, value_many_fn = _parts(pallas)
+            f_many = (None if value_many_fn is None else
+                      (lambda cands: value_many_fn(cands, tensor, event_mask,
+                                                   fixed_values)))
             u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
             u, fval, gnorm, it = minimize_newton(
                 lambda u: value_fn(u, tensor, event_mask, fixed_values),
                 u_start, max_iter=max_iter, tol=tol, polish=polish,
+                kink_coords=kink_coords, f_many=f_many,
                 vgh=lambda u: vgh_fn(u, tensor, event_mask, fixed_values))
             return transform.to_x(u), -fval, it
 
@@ -708,6 +798,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             u, fval, gnorm, it = minimize_newton(
                 lambda u: value_fn(u, data_flat, fixed_values), u_start,
                 max_iter=max_iter, tol=tol, polish=polish, f_many=f_many,
+                kink_coords=kink_coords,
                 vgh=lambda u: vgh_fn(u, data_flat, fixed_values))
             return transform.to_x(u), -fval + const, it
 
@@ -736,7 +827,8 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
         u, fval, gnorm, it = minimize_newton(neg_logl_u, u_start,
                                              max_iter=max_iter, tol=tol,
-                                             polish=polish)
+                                             polish=polish,
+                                             kink_coords=kink_coords)
         return transform.to_x(u), -fval + const, it
 
     return fit_one, names

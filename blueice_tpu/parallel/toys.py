@@ -17,6 +17,7 @@ fixed-size event sets from the (source, bin) expectation tensor and score them
 against the anchor templates on device.
 """
 
+import itertools
 from collections import OrderedDict
 
 import numpy as np
@@ -35,6 +36,45 @@ __all__ = ['make_mesh', 'shard_toys', 'BinnedToyStudy', 'UnbinnedToyStudy',
 def _round_up_toys(n_toys, mesh):
     size = int(mesh.devices.size)
     return -(-int(n_toys) // size) * size
+
+
+def _refine_stragglers(fit_long, data_tree, x, ll, it, cap, extra_args=(),
+                       bucket=None):
+    """Host-side straggler pass for lockstep vmapped fits.
+
+    A vmapped ``lax.while_loop`` runs until the SLOWEST toy finishes, so a few
+    hard toys gate the whole batch. Stage 1 therefore runs with a short
+    iteration cap; this pass gathers the toys that hit it into a small
+    fixed-size bucket (one extra compile, reused forever), re-fits them with a
+    4x cap warm-started from their stage-1 points, and scatters the results
+    back. Typical cost: a few percent of stage 1.
+
+    :param fit_long: jitted vmapped fitter (data_tree_batch, x0_batch[,
+      *extra]) -> (x, ll, it).
+    :param data_tree: the stage-1 input batch (pytree, leading toys axis).
+    :return: (x, ll, it) with stragglers refined, plus the straggler count.
+    """
+    it = np.array(it)
+    idx = np.flatnonzero(it >= cap)
+    x = np.array(x)
+    ll = np.array(ll)
+    if idx.size == 0:
+        return x, ll, it, 0
+    n_toys = it.shape[0]
+    if bucket is None:
+        bucket = min(n_toys, max(8, n_toys // 16))
+    data_np = jax.tree_util.tree_map(np.asarray, data_tree)
+    for start in range(0, idx.size, bucket):
+        sel = idx[start:start + bucket]
+        pad = np.resize(sel, bucket)        # repeat-fill to the fixed shape
+        d_sel = jax.tree_util.tree_map(lambda c: jnp.asarray(c[pad]), data_np)
+        xs, lls, its = fit_long(d_sel, jnp.asarray(x[pad]), *extra_args)
+        keep = slice(0, sel.size)
+        better = np.asarray(lls)[keep] >= ll[sel]
+        x[sel[better]] = np.asarray(xs)[keep][better]
+        ll[sel[better]] = np.asarray(lls)[keep][better]
+        it[sel] = cap + np.asarray(its)[keep]
+    return x, ll, it, idx.size
 
 
 def make_mesh(devices=None, axis_name='toys'):
@@ -82,7 +122,12 @@ class BinnedToyStudy:
     :param dtype: device dtype for the anchor tensors (float32 on TPU).
     """
 
-    def __init__(self, lf, dtype=None, max_iter=60, tol=1e-8, engine='auto'):
+    def __init__(self, lf, dtype=None, max_iter=60, tol=1e-8, engine='auto',
+                 two_stage=True):
+        """:param two_stage: re-fit the toys that hit the stage-1 iteration
+        cap in a small warm-started second pass with a 4x cap (see
+        :func:`_refine_stragglers`) — lets ``max_iter`` be sized for the bulk
+        of the ensemble instead of the slowest straggler."""
         self.lf = lf
         self.compiled = build_logl(lf, dtype=dtype)
         if not self.compiled.is_binned:
@@ -90,10 +135,23 @@ class BinnedToyStudy:
         self.max_iter = max_iter
         self.tol = tol
         self.engine = engine
+        self.two_stage = two_stage
         # jit caches (keyed by frozen fixed/target specs): the fit programs
         # compile once and are reused across run()/profile_ts() invocations
         self._fit_cache = {}
         self._profile_cache = {}
+
+    def _make_fitter(self, **opts):
+        """(stage-1 fit_one, long-cap fit_one or None, names)."""
+        fit_one, names = make_toy_fitter(
+            self.compiled, max_iter=self.max_iter, tol=self.tol,
+            engine=self.engine, **opts)
+        fit_long = None
+        if self.two_stage and names:
+            fit_long, _ = make_toy_fitter(
+                self.compiled, max_iter=4 * self.max_iter, tol=self.tol,
+                engine=self.engine, **opts)
+        return fit_one, fit_long, names
 
     @staticmethod
     def _freeze(d):
@@ -127,12 +185,17 @@ class BinnedToyStudy:
         """Fit every toy dataset; returns ToyResults."""
         key = (self._freeze(fixed), self._freeze(guess))
         if key not in self._fit_cache:
-            fit_one, names = make_toy_fitter(
-                self.compiled, fixed=fixed, guess=guess,
-                max_iter=self.max_iter, tol=self.tol, engine=self.engine)
-            self._fit_cache[key] = (jax.jit(jax.vmap(fit_one)), names)
-        fit, names = self._fit_cache[key]
+            fit_one, fit_long, names = self._make_fitter(fixed=fixed,
+                                                         guess=guess)
+            long_j = (jax.jit(jax.vmap(
+                lambda d, x0: fit_long(d, None, (), x0)))
+                if fit_long is not None else None)
+            self._fit_cache[key] = (jax.jit(jax.vmap(fit_one)), long_j, names)
+        fit, long_j, names = self._fit_cache[key]
         x, ll, it = fit(counts)
+        if long_j is not None:
+            x, ll, it, _ = _refine_stragglers(long_j, counts, x, ll, it,
+                                              self.max_iter)
         return ToyResults(names, x, ll, it)
 
     def run(self, key, n_toys, truth=None, fixed=None, mesh=None):
@@ -149,24 +212,34 @@ class BinnedToyStudy:
         :return: (t array (n_toys,), free ToyResults, conditional ToyResults)
         """
         counts = self.simulate(key, n_toys, truth, mesh)
-        both, names_free, names_cond = self._profile_fn(target, fixed)
-        t, free, cond = both(counts, jnp.asarray(float(hypothesis)))
+        return self._run_profile(counts, target, hypothesis, fixed)
+
+    def _run_profile(self, counts, target, hypothesis, fixed):
+        entry = self._profile_fn(target, fixed)
+        both, free_long, cond_long, names_free, names_cond = entry
+        h = jnp.asarray(float(hypothesis))
+        t, free, cond = both(counts, h)
+        if free_long is not None:
+            xf, llf, itf = _refine_stragglers(
+                free_long, counts, *free, cap=self.max_iter)[:3]
+            xc, llc, itc = _refine_stragglers(
+                cond_long, counts, *cond, cap=self.max_iter,
+                extra_args=(h,))[:3]
+            free, cond = (xf, llf, itf), (xc, llc, itc)
+            t = np.maximum(2.0 * (llf - llc), 0.0)
         return (np.asarray(t), ToyResults(names_free, *free),
                 ToyResults(names_cond, *cond))
 
     def _profile_fn(self, target, fixed):
         """One compiled free+conditional double fit with the hypothesis as a
         *runtime* argument: hypothesis scans (Neyman constructions) reuse a
-        single XLA program."""
+        single XLA program. Straggler refinement programs ride along."""
         fixed = dict(fixed or {})
         cache_key = (target, self._freeze(fixed))
         if cache_key not in self._profile_cache:
-            fit_free, names_free = make_toy_fitter(
-                self.compiled, fixed=fixed, max_iter=self.max_iter,
-                tol=self.tol, engine=self.engine)
-            fit_cond, names_cond = make_toy_fitter(
-                self.compiled, fixed=fixed, runtime_fixed=[target],
-                max_iter=self.max_iter, tol=self.tol, engine=self.engine)
+            fit_free, free_long, names_free = self._make_fitter(fixed=fixed)
+            fit_cond, cond_long, names_cond = self._make_fitter(
+                fixed=fixed, runtime_fixed=[target])
 
             warm_cols = ([names_free.index(n) for n in names_cond]
                          if set(names_cond) <= set(names_free) else None)
@@ -187,7 +260,19 @@ class BinnedToyStudy:
                         lambda d: fit_cond(d, None, (hypothesis,)))(counts)
                 t = jnp.maximum(2.0 * (llf - llc), 0.0)
                 return t, (xf, llf, itf), (xc, llc, itc)
-            self._profile_cache[cache_key] = (both, names_free, names_cond)
+
+            free_long_j = cond_long_j = None
+            if free_long is not None:
+                free_long_j = jax.jit(jax.vmap(
+                    lambda d, x0: free_long(d, None, (), x0)))
+            if cond_long is not None and names_cond:
+                cond_long_j = jax.jit(jax.vmap(
+                    lambda d, x0, h: cond_long(d, None, (h,), x0),
+                    in_axes=(0, 0, None)))
+            if cond_long_j is None:
+                free_long_j = None    # refine both fits or neither
+            self._profile_cache[cache_key] = (both, free_long_j, cond_long_j,
+                                              names_free, names_cond)
         return self._profile_cache[cache_key]
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
@@ -200,7 +285,6 @@ class BinnedToyStudy:
           for all ensembles.
         :return: array (n_hypotheses, n_toys) of t values.
         """
-        both, _, _ = self._profile_fn(target, fixed)
         out = []
         for i, h in enumerate(np.asarray(hypotheses, dtype=float)):
             sim_truth = dict(truth or {})
@@ -208,7 +292,7 @@ class BinnedToyStudy:
                 sim_truth[target] = float(h)
             counts = self.simulate(jax.random.fold_in(key, i), n_toys,
                                    sim_truth, mesh)
-            t, _, _ = both(counts, jnp.asarray(h))
+            t, _, _ = self._run_profile(counts, target, h, fixed)
             out.append(np.asarray(t))
         return np.stack(out)
 
@@ -227,7 +311,7 @@ class UnbinnedToyStudy:
     """
 
     def __init__(self, lf, n_max=None, dtype=None, max_iter=60, tol=1e-8,
-                 engine='auto'):
+                 engine='auto', two_stage=True):
         self.lf = lf
         self.compiled = build_logl(lf, dtype=dtype)
         if self.compiled.is_binned:
@@ -235,6 +319,7 @@ class UnbinnedToyStudy:
         self.max_iter = max_iter
         self.tol = tol
         self.engine = engine
+        self.two_stage = two_stage
 
         space = lf.base_model.config['analysis_space']
         self.edges = [np.asarray(e, dtype=float) for _, e in space]
@@ -325,7 +410,8 @@ class UnbinnedToyStudy:
 
     def _sample_one(self, key, weights_sb):
         """Sample up to n_max events from per-(source, bin) weights.
-        :return: (coords (n_max, ndim), mask (n_max,))"""
+        :return: (coords (n_max, ndim), mask (n_max,), bins: tuple of
+          per-dim sampled bin indices (n_max,) each)"""
         k_n, k_bin, k_uni = jax.random.split(key, 3)
         mu_tot = jnp.sum(weights_sb)
         n = jnp.minimum(jax.random.poisson(k_n, mu_tot), self.n_max)
@@ -343,7 +429,53 @@ class UnbinnedToyStudy:
             e = jnp.asarray(e)
             lo, hi = e[multi[d]], e[multi[d] + 1]
             cols.append(lo + u[:, d] * (hi - lo))
-        return jnp.stack(cols, axis=-1), mask
+        return jnp.stack(cols, axis=-1), mask, multi
+
+    def _score_sampled(self, coords, bins):
+        """Anchor ps payload for freshly SAMPLED events: the sampler already
+        knows each event's bin, so the per-template searchsorted of the
+        generic path collapses to shared index arithmetic + one gather+lerp
+        per template.
+        """
+        gather_idx, fracs = [], []
+        for d in range(self.ndim):
+            c = jnp.asarray(self.centers[d])
+            x = coords[:, d]
+            if self._method == 'piecewise':
+                gather_idx.append(bins[d])
+                continue
+            # The interpolation cell over bin CENTERS is the sampled bin or
+            # its left neighbour, depending on which side of the center the
+            # event landed (clip-to-center-range at the ends)
+            cell = jnp.clip(bins[d] - (x < c[bins[d]]), 0, c.shape[0] - 2)
+            t = (jnp.clip(x, c[0], c[-1]) - c[cell]) / (c[cell + 1] - c[cell])
+            gather_idx.append(cell)
+            fracs.append(jnp.clip(t, 0.0, 1.0))
+
+        def score_template(v):
+            if self._method == 'piecewise':
+                return v[tuple(gather_idx)]
+            out = None
+            for offs in itertools.product((0, 1), repeat=self.ndim):
+                w = None
+                for d, o in enumerate(offs):
+                    wd = fracs[d] if o else (1.0 - fracs[d])
+                    w = wd if w is None else w * wd
+                term = w * v[tuple(g + o for g, o in zip(gather_idx, offs))]
+                out = term if out is None else out + term
+            return out
+
+        if self._source_wise:
+            return tuple(
+                jax.vmap(score_template)(
+                    t.reshape((-1,) + t.shape[t.ndim - self.ndim:])
+                ).reshape(t.shape[:t.ndim - self.ndim] + (coords.shape[0],))
+                for t in self._pdf_tensors)
+        tensor = self._pdf_tensor
+        lead = tensor.shape[:tensor.ndim - self.ndim]
+        flat = tensor.reshape((-1,) + tensor.shape[tensor.ndim - self.ndim:])
+        return jax.vmap(score_template)(flat).reshape(
+            lead + (coords.shape[0],))
 
     def _score_one_tensor(self, tensor, coords):
         """Evaluate a (*lead, *bins) pdf tensor at the events: (*lead, n)."""
@@ -390,6 +522,16 @@ class UnbinnedToyStudy:
                 pdfs.append(tensor)
         return jnp.stack(pdfs)
 
+    def _sample_score_fit(self, fit_one, with_hypothesis=False):
+        """Wrap a per-toy fitter with the sample -> score pipeline, in the
+        argument order _refine_stragglers calls: (key, x0, weights[, h])."""
+        def one(key, x0, weights, *h):
+            coords, mask, bins = self._sample_one(key, weights)
+            ps_anchor = self._score_sampled(coords, bins)
+            return fit_one(ps_anchor, mask, tuple(h), x0)
+        in_axes = (0, 0, None) + ((None,) if with_hypothesis else ())
+        return jax.jit(jax.vmap(one, in_axes=in_axes))
+
     def run(self, key, n_toys, truth=None, fixed=None, mesh=None):
         """Simulate and fit n_toys unbinned datasets in one jit program."""
         weights = self.expected_weights(**(truth or {}))
@@ -400,19 +542,29 @@ class UnbinnedToyStudy:
                 tol=self.tol, engine=self.engine)
 
             def one(key, weights):
-                coords, mask = self._sample_one(key, weights)
-                ps_anchor = self._score_events(coords)
+                coords, mask, bins = self._sample_one(key, weights)
+                ps_anchor = self._score_sampled(coords, bins)
                 return fit_one(ps_anchor, mask)
+            long_j = None
+            if self.two_stage and names:
+                fit_long, _ = make_toy_fitter(
+                    self.compiled, fixed=fixed, max_iter=4 * self.max_iter,
+                    tol=self.tol, engine=self.engine)
+                long_j = self._sample_score_fit(fit_long)
             self._fit_cache[cache_key] = (
-                jax.jit(jax.vmap(one, in_axes=(0, None))), names)
+                jax.jit(jax.vmap(one, in_axes=(0, None))), long_j, names)
 
-        run_fn, names = self._fit_cache[cache_key]
+        run_fn, long_j, names = self._fit_cache[cache_key]
         if mesh is not None:
             n_toys = _round_up_toys(n_toys, mesh)
         keys = jax.random.split(key, n_toys)
         if mesh is not None:
             keys = shard_toys(mesh, keys)
         x, ll, it = run_fn(keys, weights)
+        if long_j is not None:
+            x, ll, it, _ = _refine_stragglers(long_j, keys, x, ll, it,
+                                              self.max_iter,
+                                              extra_args=(weights,))
         return ToyResults(names, x, ll, it)
 
     def profile_ts(self, key, n_toys, target, hypothesis, truth=None,
@@ -420,19 +572,34 @@ class UnbinnedToyStudy:
         """Batched profile-likelihood test statistic (see
         BinnedToyStudy.profile_ts)."""
         weights = self.expected_weights(**(truth or {}))
-        run_fn, names_free, names_cond = self._profile_fn(target, fixed)
         if mesh is not None:
             n_toys = _round_up_toys(n_toys, mesh)
         keys = jax.random.split(key, n_toys)
         if mesh is not None:
             keys = shard_toys(mesh, keys)
-        t, free, cond = run_fn(keys, weights, jnp.asarray(float(hypothesis)))
+        return self._run_profile(keys, weights, target, hypothesis, fixed)
+
+    def _run_profile(self, keys, weights, target, hypothesis, fixed):
+        entry = self._profile_fn(target, fixed)
+        run_fn, free_long, cond_long, names_free, names_cond = entry
+        h = jnp.asarray(float(hypothesis))
+        t, free, cond = run_fn(keys, weights, h)
+        if free_long is not None:
+            xf, llf, itf = _refine_stragglers(
+                free_long, keys, *free, cap=self.max_iter,
+                extra_args=(weights,))[:3]
+            xc, llc, itc = _refine_stragglers(
+                cond_long, keys, *cond, cap=self.max_iter,
+                extra_args=(weights, h))[:3]
+            free, cond = (xf, llf, itf), (xc, llc, itc)
+            t = np.maximum(2.0 * (llf - llc), 0.0)
         return (np.asarray(t), ToyResults(names_free, *free),
                 ToyResults(names_cond, *cond))
 
     def _profile_fn(self, target, fixed):
         """Compiled sample->score->double-fit pipeline with the hypothesis as a
-        runtime argument (see BinnedToyStudy._profile_fn)."""
+        runtime argument (see BinnedToyStudy._profile_fn), plus straggler
+        refinement programs."""
         fixed = dict(fixed or {})
         cache_key = (target, self._freeze(fixed))
         if cache_key not in self._profile_cache:
@@ -447,8 +614,8 @@ class UnbinnedToyStudy:
                          if set(names_cond) <= set(names_free) else None)
 
             def one(key, weights, hypothesis):
-                coords, mask = self._sample_one(key, weights)
-                ps_anchor = self._score_events(coords)
+                coords, mask, bins = self._sample_one(key, weights)
+                ps_anchor = self._score_sampled(coords, bins)
                 xf, llf, itf = fit_free(ps_anchor, mask)
                 if warm_cols is not None and len(warm_cols):
                     x0c = xf[jnp.asarray(warm_cols)]
@@ -458,16 +625,28 @@ class UnbinnedToyStudy:
                     xc, llc, itc = fit_cond(ps_anchor, mask, (hypothesis,))
                 t = jnp.maximum(2.0 * (llf - llc), 0.0)
                 return t, (xf, llf, itf), (xc, llc, itc)
+
+            free_long_j = cond_long_j = None
+            if self.two_stage and names_cond:
+                free_long, _ = make_toy_fitter(
+                    self.compiled, fixed=fixed, max_iter=4 * self.max_iter,
+                    tol=self.tol, engine=self.engine)
+                cond_long, _ = make_toy_fitter(
+                    self.compiled, fixed=fixed, runtime_fixed=[target],
+                    max_iter=4 * self.max_iter, tol=self.tol,
+                    engine=self.engine)
+                free_long_j = self._sample_score_fit(free_long)
+                cond_long_j = self._sample_score_fit(cond_long,
+                                                     with_hypothesis=True)
             self._profile_cache[cache_key] = (
                 jax.jit(jax.vmap(one, in_axes=(0, None, None))),
-                names_free, names_cond)
+                free_long_j, cond_long_j, names_free, names_cond)
         return self._profile_cache[cache_key]
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
                         mesh=None, truth=None, truth_at_hypothesis=True):
         """Profile-LR toy distributions across a hypothesis grid (see
         BinnedToyStudy.profile_ts_scan)."""
-        run_fn, _, _ = self._profile_fn(target, fixed)
         if mesh is not None:
             n_toys = _round_up_toys(n_toys, mesh)
         out = []
@@ -479,6 +658,6 @@ class UnbinnedToyStudy:
             keys = jax.random.split(jax.random.fold_in(key, i), n_toys)
             if mesh is not None:
                 keys = shard_toys(mesh, keys)
-            t, _, _ = run_fn(keys, weights, jnp.asarray(h))
+            t, _, _ = self._run_profile(keys, weights, target, h, fixed)
             out.append(np.asarray(t))
         return np.stack(out)

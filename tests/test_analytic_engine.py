@@ -211,9 +211,14 @@ def test_analytic_engine_coverage_boundaries():
     c = build_logl(lf)
     fit_one, names = make_toy_fitter(c, engine='analytic')
     assert names == ['s0_rate_multiplier']
-    # ...but the Pallas kernel stays binned-only
-    with pytest.raises(ValueError, match="binned-only"):
-        make_toy_fitter(c, engine='pallas')
+    # ...including the fused per-toy Pallas kernel (interpret mode on CPU)
+    fit_pl, _ = make_toy_fitter(c, engine='pallas')
+    x_an, ll_an, _ = jax.jit(fit_one)(None, None)
+    x_pl, ll_pl, _ = jax.jit(fit_pl)(None, None)
+    np.testing.assert_allclose(np.asarray(ll_pl), np.asarray(ll_an),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_an),
+                               rtol=1e-6, atol=1e-8)
 
     # Source-wise grids fall outside the closed-form engines
     conf_sw = conf_for_test(n_sources=2, mc=True, n_events_for_pdf=int(1e4))
@@ -249,6 +254,13 @@ def test_unbinned_analytic_engine_matches_ad():
     key = jax.random.PRNGKey(11)
     res_an = study_an.run(key, n_toys=24)
     res_ad = study_ad.run(key, n_toys=24)
+
+    # The fused per-toy Pallas kernel (interpret mode on CPU) reproduces the
+    # jnp engine bit-for-bit-to-tolerance on the same toys
+    res_pl = UnbinnedToyStudy(lf, engine='pallas').run(key, n_toys=24)
+    np.testing.assert_allclose(res_pl.max_ll, res_an.max_ll,
+                               rtol=1e-9, atol=1e-8)
+    np.testing.assert_allclose(res_pl.x, res_an.x, rtol=1e-6, atol=1e-8)
 
     agree = np.all(np.abs(res_an.x - res_ad.x) < 1e-5, axis=1)
     assert agree.mean() >= 0.9, agree.mean()

@@ -234,6 +234,10 @@ class LogLikelihoodBase:
 
     def _build_models(self, configs, n_cores, ipp_client):
         from .utils.progress import progress_iter
+        # Jax-expressible sources: build ALL their anchor templates in one
+        # batched device call and seed the caches the host build hits below.
+        from .models.jax_source import prefill_anchor_templates
+        prefill_anchor_templates(configs)
         if ipp_client is not None:
             from .parallel import create_models_ipyparallel
             return create_models_ipyparallel(
@@ -246,11 +250,17 @@ class LogLikelihoodBase:
         from .parallel import compute_many
         models = [Model(c) for c in progress_iter(
             configs, desc="Preparing model computation tasks")]
-        hashes = set(s.hash for m in models for s in m.sources)
-        task_dirs = set(s.config['task_dir'] for m in models for s in m.sources)
-        cache_dirs = set(s.config['cache_dir'] for m in models for s in m.sources)
-        compute_many(hashes, n_cores,
-                     task_dir=task_dirs.pop(), result_dir=cache_dirs.pop())
+        # Fan the pending hashes out PER (task_dir, cache_dir) pair: sources
+        # may legitimately use different directories, and computing a task
+        # into an arbitrary pop()'d directory would silently miss it.
+        by_dirs = OrderedDict()
+        for m in models:
+            for s in m.sources:
+                key = (s.config['task_dir'], s.config['cache_dir'])
+                by_dirs.setdefault(key, set()).add(s.hash)
+        for (task_dir, cache_dir), hashes in by_dirs.items():
+            compute_many(hashes, n_cores,
+                         task_dir=task_dir, result_dir=cache_dir)
         return [Model(c) for c in progress_iter(
             configs, desc="Loading computed anchor models")]
 

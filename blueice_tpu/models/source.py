@@ -75,37 +75,22 @@ class Source:
         return "%s[%s]" % (self.name, getattr(self, 'hash', 'nohashknown'))
 
     def __init__(self, config, *args, **kwargs):
-        defaults = self._gather_defaults()
-        c = utils.combine_dicts(defaults, config)
-        # List-valued bookkeeping settings append (class ladder + user config)
-        # rather than override, as in the reference's per-class chaining.
-        c['cache_attributes'] = _merge_unique(
-            defaults['cache_attributes'], config.get('cache_attributes', ()),
-            ['fraction_in_range', 'events_per_day', 'pdf_has_been_computed'])
-        c['dont_hash_settings'] = _merge_unique(
-            defaults['dont_hash_settings'], config.get('dont_hash_settings', ()),
-            _ALWAYS_DONT_HASH, c['extra_dont_hash_settings'])
-        del c['extra_dont_hash_settings']
-
-        self.name = c.pop('name')
+        name, c = self.normalized_config(config)
+        self.name = name
         self.events_per_day = c['events_per_day']
         self.fraction_in_range = c['fraction_in_range']
         self.pdf_has_been_computed = False
-
-        # Content address: hash of the pdf-relevant config
-        if 'hash' in c:
-            self.hash = c['hash']
-        else:
-            hash_config = utils.combine_dicts(c, exclude=c['dont_hash_settings'])
-            self.hash = c['hash'] = utils.deterministic_hash(hash_config)
+        self.hash = c['hash']
 
         os.makedirs(c['cache_dir'], exist_ok=True)
         self._cache_filename = os.path.join(c['cache_dir'], self.hash)
 
         self.from_cache = False
-        if not c['force_recalculation'] and os.path.exists(self._cache_filename):
+        in_process_cache = self.hash in self._data_cache
+        if not c['force_recalculation'] and (
+                in_process_cache or os.path.exists(self._cache_filename)):
             self.from_cache = True
-            if self.hash in self._data_cache:
+            if in_process_cache:
                 stuff = self._data_cache[self.hash]
             else:
                 stuff = self._data_cache[self.hash] = \
@@ -127,6 +112,32 @@ class Source:
             self.prepare_task()
         else:
             self.compute_pdf()
+
+    @classmethod
+    def normalized_config(cls, config):
+        """``(name, c)``: the source name and the fully merged config, with the
+        content hash set at ``c['hash']`` — exactly what ``__init__`` would
+        compute, but without building anything. Used by the device-side batch
+        template builder (:mod:`blueice_tpu.models.jax_source`) to address the
+        cache for sources it has not instantiated yet."""
+        defaults = cls._gather_defaults()
+        c = utils.combine_dicts(defaults, config)
+        # List-valued bookkeeping settings append (class ladder + user config)
+        # rather than override, as in the reference's per-class chaining.
+        c['cache_attributes'] = _merge_unique(
+            defaults['cache_attributes'], config.get('cache_attributes', ()),
+            ['fraction_in_range', 'events_per_day', 'pdf_has_been_computed'])
+        c['dont_hash_settings'] = _merge_unique(
+            defaults['dont_hash_settings'], config.get('dont_hash_settings', ()),
+            _ALWAYS_DONT_HASH, c['extra_dont_hash_settings'])
+        del c['extra_dont_hash_settings']
+        name = c.pop('name')
+
+        # Content address: hash of the pdf-relevant config
+        if 'hash' not in c:
+            hash_config = utils.combine_dicts(c, exclude=c['dont_hash_settings'])
+            c['hash'] = utils.deterministic_hash(hash_config)
+        return name, c
 
     @classmethod
     def _gather_defaults(cls):

@@ -1,0 +1,169 @@
+"""Device-side template building: JaxDensitySource + prefill_anchor_templates.
+
+The check the design targets (SURVEY.md §7 item 6): an 81-anchor XENON-style
+shape-parameter grid is built in ONE batched device call, and the resulting
+templates match the host (scipy, float64) closed forms to 1e-6.
+"""
+
+import numpy as np
+import pytest
+from scipy import stats
+
+import jax.numpy as jnp
+
+from blueice_tpu.likelihood import BinnedLogLikelihood, UnbinnedLogLikelihood
+from blueice_tpu.models import jax_source
+from blueice_tpu.models.jax_source import (JaxDensitySource,
+                                           prefill_anchor_templates)
+from blueice_tpu.test_helpers import conf_for_test
+
+
+def gauss_density(params, x):
+    return jnp.exp(-0.5 * ((x - params['mu']) / params['sigma']) ** 2) \
+        / (params['sigma'] * jnp.sqrt(2 * jnp.pi))
+
+
+def _conf(tmp_path, **kwargs):
+    conf = conf_for_test(n_sources=1, cache_dir=str(tmp_path / 'cache'),
+                         task_dir=str(tmp_path / 'tasks'))
+    conf['default_source_class'] = JaxDensitySource
+    conf['density'] = gauss_density
+    conf['density_params'] = ['mu', 'sigma']
+    conf['analysis_space'] = [['x', np.linspace(-8, 8, 65)]]
+    conf.update(kwargs)
+    return conf
+
+
+def _oracle_pmf(mu, sigma, edges):
+    """Host float64 closed form of the template the device should build:
+    bin-center density x width, normalized over the space."""
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    pmf = stats.norm(mu, sigma).pdf(centers) * np.diff(edges)
+    return pmf / pmf.sum()
+
+
+def test_81_anchor_grid_one_device_call(tmp_path):
+    """9 x 9 shape anchors -> 81 templates from a single batched kernel call,
+    each matching the scipy oracle to 1e-6."""
+    lf = BinnedLogLikelihood(_conf(tmp_path))
+    mus = np.linspace(-2, 2, 9)
+    sigmas = np.linspace(0.6, 1.6, 9)
+    lf.add_shape_parameter('mu', tuple(mus))
+    lf.add_shape_parameter('sigma', tuple(sigmas))
+
+    calls_before = jax_source.DEVICE_CALLS
+    lf.prepare()
+    assert jax_source.DEVICE_CALLS == calls_before + 1, \
+        "all 81 anchors must build in ONE batched device call"
+
+    edges = np.linspace(-8, 8, 65)
+    assert len(lf.anchor_models) == 81
+    for (mu, sigma), model in lf.anchor_models.items():
+        got = model.sources[0].get_pmf_grid()[0]
+        want = _oracle_pmf(mu, sigma, edges)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
+
+
+def test_prefill_seeds_cache_for_second_prepare(tmp_path):
+    conf = _conf(tmp_path)
+    lf = BinnedLogLikelihood(conf)
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    calls0 = jax_source.DEVICE_CALLS
+    lf.prepare()
+    assert jax_source.DEVICE_CALLS == calls0 + 1
+
+    # Same configs again: everything is cached, zero device calls
+    lf2 = BinnedLogLikelihood(_conf(tmp_path))
+    lf2.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    calls1 = jax_source.DEVICE_CALLS
+    lf2.prepare()
+    assert jax_source.DEVICE_CALLS == calls1
+
+
+def test_serial_build_matches_batched(tmp_path):
+    """A source built alone (cold cache, no prefill) produces the same
+    template bytes as the batched path."""
+    conf = _conf(tmp_path, mu=0.123, sigma=1.07)
+    batched = prefill_anchor_templates([conf])
+    assert batched == 1
+    from blueice_tpu.models import Model
+    m_cached = Model(conf)
+
+    # Fresh directories + cleared process tier -> forced serial rebuild
+    conf2 = _conf(tmp_path / 'b', mu=0.123, sigma=1.07)
+    from blueice_tpu.models.source import Source
+    name, c = JaxDensitySource.normalized_config(
+        dict(conf2, name='s0', rate_multiplier=1))
+    Source._data_cache.pop(c['hash'], None)
+    m_serial = Model(conf2)
+
+    np.testing.assert_array_equal(m_serial.sources[0].get_pmf_grid()[0],
+                                  m_cached.sources[0].get_pmf_grid()[0])
+
+
+def test_rate_function_scales_mus_across_anchors(tmp_path):
+    conf = _conf(tmp_path,
+                 rate_function=lambda p: 1.0 + jnp_free_abs(p['mu']))
+    lf = BinnedLogLikelihood(conf)
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+    base = conf['events_per_day']
+    for (mu,), model in lf.anchor_models.items():
+        assert model.sources[0].events_per_day == pytest.approx(
+            base * (1 + abs(mu)))
+
+
+def jnp_free_abs(x):
+    """Host-side abs for rate_function (runs on the host, not traced)."""
+    return abs(float(x))
+
+
+def test_fit_through_compiled_path(tmp_path):
+    """The device-built templates drive a normal compiled fit end-to-end."""
+    conf = _conf(tmp_path)
+    lf = BinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+    rng = np.random.default_rng(7)
+    d = lf.base_model.simulate(rng=rng)
+    lf.set_data(d)
+
+    from blueice_tpu.inference import bestfit_jax, bestfit_scipy
+    fit_j, ll_j = bestfit_jax(lf)
+    fit_s, ll_s = bestfit_scipy(lf)
+    assert fit_j['s0_rate_multiplier'] == pytest.approx(
+        fit_s['s0_rate_multiplier'], rel=1e-3)
+    assert ll_j == pytest.approx(ll_s, abs=1e-3)
+
+
+def test_unbinned_likelihood_with_device_templates(tmp_path):
+    conf = _conf(tmp_path)
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    rng = np.random.default_rng(3)
+    d = lf.base_model.simulate(rng=rng)
+    lf.set_data(d)
+    assert np.isfinite(lf())
+
+
+def test_incompatible_groups_batch_separately(tmp_path):
+    """Two sources with different densities do not batch together, but each
+    group is still a single call."""
+    def flat_density(params, x):
+        return jnp.ones_like(x) * params['sigma'] / params['sigma']
+
+    # sigma value not used by any other test: dodge the (content-addressed,
+    # cache_dir-independent) process-tier template cache
+    conf = _conf(tmp_path, sigma=0.777)
+    conf['sources'] = [
+        {'name': 'gauss'},
+        {'name': 'flat', 'density': flat_density},
+    ]
+    lf = BinnedLogLikelihood(conf)
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    calls0 = jax_source.DEVICE_CALLS
+    lf.prepare()
+    assert jax_source.DEVICE_CALLS == calls0 + 2
+    assert len(lf.anchor_models) == 3

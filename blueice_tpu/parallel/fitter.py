@@ -104,37 +104,10 @@ def _solve_spd_small(A, b):
     return jnp.linalg.solve(A, b)
 
 
-def _coordinate_polish(f, u, fval, f_many=None):
-    """One per-coordinate line-search sweep: a vmapped candidate batch per
-    coordinate. Rescues optima pinned on the axis-aligned C0 kinks of the
-    anchor grid (where Newton directions keep crossing the kink) and costs
-    only value evaluations."""
-    n = u.shape[0]
-    steps = jnp.asarray([0.3, -0.3, 0.1, -0.1, 0.03, -0.03, 0.01, -0.01,
-                         3e-3, -3e-3, 1e-3, -1e-3, 3e-4, -3e-4],
-                        dtype=u.dtype)
-
-    if f_many is None:
-        def f_many(cands):
-            return jax.vmap(f)(cands)
-
-    def per_coord(i, carry):
-        u, fval = carry
-        e = jnp.zeros((n,), dtype=u.dtype).at[i].set(1.0)
-        cands = u[None, :] + steps[:, None] * e[None, :]
-        fs = f_many(cands)
-        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
-        best = jnp.argmin(fs)
-        better = fs[best] < fval
-        return (jnp.where(better, cands[best], u),
-                jnp.where(better, fs[best], fval))
-
-    return lax.fori_loop(0, n, per_coord, (u, fval))
-
-
 def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
                     init_damping=1e-3, vgh=None, polish=4, f_many=None,
-                    kink_coords=None):
+                    kink_coords=None, kink_jumps=(0.3, -0.3, 0.1, -0.1),
+                    freeze=None):
     """Minimize f (smooth scalar function of a small vector) with
     Levenberg-damped Newton steps. Pure jax: jit/vmap-compatible.
 
@@ -145,14 +118,25 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
     spin at max_iter against gradient noise they can never push below a tight
     tol).
 
-    After the Newton loop stops, a per-coordinate line-search sweep verifies
-    the optimum (``polish`` truthy; two rounds): if the sweep improves f (an
-    optimum pinned on an anchor-grid kink the in-loop frozen-coordinate
-    candidates missed), Newton resumes from the improved point. The sweeps
-    live OUTSIDE the while loop on purpose — a vmapped lax.cond executes both
-    branches for the whole batch, so an in-loop polish arm would tax every
-    Newton iteration of every toy.
+    When a lane's stop condition fires it does not exit: it switches to a
+    POLISH mode that line-searches one coordinate per iteration (a 14-step
+    ladder, big kink-escape steps down to noise-floor nudges). If a full
+    sweep over the coordinates improved f — an optimum pinned on an
+    anchor-grid kink — Newton resumes from the improved point (up to
+    ``polish`` rounds); otherwise the lane is done. Everything lives in ONE
+    while loop: under vmap each lane spends exactly the iterations IT needs
+    (Newton, polishing, or finished), and the wall time of the lockstep
+    batch is the slowest lane's total — not the sum of globally sequenced
+    fit/sweep/resume phases. (The newton and polish bodies are selected per
+    lane per iteration; both subgraphs execute under vmap, but the polish
+    body is one value-candidate batch — a fraction of a Newton body.)
 
+    :param freeze: optional float vector (n,), 1 = floating, 0 = frozen: a
+      frozen coordinate keeps its u0 value exactly. This is a *runtime* value
+      (may differ per vmapped lane), which lets a free fit and a conditional
+      fit (target frozen at the hypothesis) run as lanes of ONE lockstep
+      batch — halving the sequenced Newton iterations of a profile-LR toy
+      study versus running two vmapped fits back to back.
     :return: (u_min, f_min, grad_norm, n_iters)
     """
     u0 = jnp.asarray(u0)
@@ -184,15 +168,24 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
                 lambda e: jax.jvp(vg_f, (u,), (e,)))(basis)
             return vs[0], gs[0], Hrows
 
+    # Carry: u, fval, lam, nu, it, done, stall,
+    #        pc (-1 = Newton mode, >= 0 = polishing that coordinate),
+    #        rounds (polish rounds used), improved (this sweep improved f)
     def cond(carry):
-        u, fval, lam, nu, it, done, stall = carry
-        return (~done) & (it < max_iter)
+        return (~carry[5]) & (carry[4] < max_iter)
 
     def newton_step(carry):
-        u, fval, lam, nu, it, done, stall = carry
+        u, fval, lam, nu, it, done, stall, pc, rounds, improved = carry
         _, g, H = val_grad_hess(u)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         H = jnp.where(jnp.isfinite(H), H, 0.0)
+        if freeze is not None:
+            # Project onto the floating subspace: frozen rows/cols of H are
+            # replaced by the identity and the frozen gradient zeroed, so the
+            # Newton solve leaves frozen coordinates exactly in place.
+            g = g * freeze
+            H = (H * (freeze[:, None] * freeze[None, :])
+                 + jnp.diag(1.0 - freeze))
 
         # Marquardt scaling: damp relative to the local curvature scale, so
         # the same lam schedule works whether Hessian entries are ~1 or ~1e5
@@ -218,7 +211,17 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         alphas = jnp.asarray([1.0, 0.4, 0.1], dtype=u.dtype)
         cands_alpha = u[None, :] + alphas[:, None] * du[None, :]
         cands_drop = u[None, :] + du[None, :] * (1.0 - drop_dirs)
-        cands = jnp.concatenate([cands_alpha, cands_drop], axis=0)
+        # Fixed-size jumps ALONG each kink coordinate: a toy pinned in the
+        # wrong anchor cell (a false optimum the local Newton model cannot
+        # see past) escapes DURING the loop, so the post-loop polish sweeps
+        # rarely find anything — which keeps their Newton-resume rounds,
+        # the expensive part of polishing a vmapped batch, almost free.
+        jumps = jnp.asarray(kink_jumps, dtype=u.dtype)
+        jump_dirs = drop_dirs if freeze is None else drop_dirs * freeze
+        cands_jump = (u[None, None, :]
+                      + jumps[:, None, None] * jump_dirs[None, :, :]
+                      ).reshape(-1, n)
+        cands = jnp.concatenate([cands_alpha, cands_drop, cands_jump], axis=0)
         fs = (jax.vmap(f)(cands) if f_many is None else f_many(cands))
         fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
         best = jnp.argmin(fs)
@@ -257,7 +260,10 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         # undamped Newton step (full, or full on the smooth subspace with one
         # kink-pinned coordinate frozen) — a heavily damped crawl can stall
         # while still far from the optimum
-        undamped = (best == 0) | (best >= alphas.shape[0])
+        # (a selected kink jump is NOT a Newton step — exclude it here)
+        undamped = (best == 0) | ((best >= alphas.shape[0])
+                                  & (best < alphas.shape[0]
+                                     + drop_dirs.shape[0]))
         converged = ((gnorm < tol)
                      | (accept & (step < 1e-14))
                      | (accept & (fdelta <= ftol) & (lam < 1e-2)
@@ -266,33 +272,68 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
                      # step and nothing improves f: precision noise floor
                      | (lam_new > 1e8)
                      | (stall_new >= 4))
-        return (u_new, f_new, lam_new, nu_new, it + 1, converged,
-                jnp.where(converged, 0, stall_new))
+        # A converged lane does not exit: it enters a polish sweep (up to
+        # `polish` rounds), which either rescues it or confirms the stop.
+        enter_polish = converged & (rounds < polish)
+        return (u_new, f_new, lam_new, nu_new, it + 1,
+                converged & ~enter_polish,
+                jnp.where(converged, 0, stall_new),
+                jnp.where(enter_polish, 0, pc), rounds,
+                jnp.zeros((), dtype=bool))
+
+    polish_steps = np.array([0.3, -0.3, 0.1, -0.1, 0.03, -0.03, 0.01, -0.01,
+                             3e-3, -3e-3, 1e-3, -1e-3, 3e-4, -3e-4])
+
+    def polish_step(carry):
+        u, fval, lam, nu, it, done, stall, pc, rounds, improved = carry
+        e = eye[jnp.clip(pc, 0, n - 1)]
+        if freeze is not None:
+            e = e * freeze
+        cands = (u[None, :]
+                 + jnp.asarray(polish_steps, dtype=u.dtype)[:, None]
+                 * e[None, :])
+        fs = (jax.vmap(f)(cands) if f_many is None else f_many(cands))
+        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+        best = jnp.argmin(fs)
+        better = fs[best] < fval
+        u_new = jnp.where(better, cands[best], u)
+        f_new = jnp.where(better, fs[best], fval)
+        improved = improved | (fs[best]
+                               < fval - jnp.asarray(ftol, u.dtype) * 0.1)
+
+        last = pc + 1 >= n
+        resume = last & improved            # sweep rescued the lane -> Newton
+        finished = last & ~improved         # sweep confirmed the optimum
+        return (u_new, f_new,
+                jnp.where(resume, jnp.asarray(init_damping, u.dtype), lam),
+                jnp.where(resume, jnp.asarray(2.0, u.dtype), nu),
+                it + 1, done | finished, jnp.zeros((), dtype=jnp.int32),
+                jnp.where(last, -1, pc + 1),
+                rounds + jnp.where(last, 1, 0).astype(rounds.dtype),
+                improved & ~last)
+
+    def body(carry):
+        if not polish:
+            return newton_step(carry)
+        # pc >= 0 selects the (cheap) polish body for this lane; under vmap
+        # both subgraphs run, but the polish body is a single 14-candidate
+        # value batch — a fraction of a Newton body's vgh + line search.
+        return lax.cond(carry[7] >= 0, polish_step, newton_step, carry)
 
     f0 = f(u0)
     carry = (u0, f0, jnp.asarray(init_damping, dtype=u0.dtype),
              jnp.asarray(2.0, dtype=u0.dtype),
              jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=bool),
-             jnp.zeros((), dtype=jnp.int32))
-    carry = lax.while_loop(cond, newton_step, carry)
+             jnp.zeros((), dtype=jnp.int32),
+             -jnp.ones((), dtype=jnp.int32),
+             jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=bool))
+    carry = lax.while_loop(cond, body, carry)
 
-    # Polish rounds OUTSIDE the Newton loop: a per-coordinate line-search
-    # sweep verifies (or rescues) every lane's stop, then Newton resumes for
-    # the lanes the sweep improved. Kept out of the loop body because a
-    # vmapped lax.cond executes BOTH branches for the whole batch — an
-    # in-loop polish arm would tax every Newton iteration of every toy.
-    for _ in range(2 if polish else 0):
-        u, fval, lam, nu, it, done, stall = carry
-        u2, f2 = _coordinate_polish(f, u, fval, f_many=f_many)
-        improved = f2 < fval - jnp.asarray(ftol, u.dtype) * 0.1
-        carry = (u2, f2,
-                 jnp.where(improved, jnp.asarray(init_damping, u.dtype), lam),
-                 jnp.asarray(2.0, dtype=u.dtype), it + 1,
-                 done & ~improved, jnp.zeros((), dtype=jnp.int32))
-        carry = lax.while_loop(cond, newton_step, carry)
-
-    u, fval, lam, nu, it, done, stall = carry
-    return u, fval, jnp.max(jnp.abs(val_grad_hess(u)[1])), it
+    u, fval, it = carry[0], carry[1], carry[4]
+    g_final = val_grad_hess(u)[1]
+    if freeze is not None:
+        g_final = g_final * freeze
+    return u, fval, jnp.max(jnp.abs(g_final)), it
 
 
 def _floating_setup(compiled, fixed, guess=None):
@@ -683,7 +724,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         base_params = dict(compiled.defaults)
         base_params.update(fixed)
 
-        def fit_one(data, mask=None, fixed_values=(), x0=None):
+        def fit_one(data, mask=None, fixed_values=(), x0=None, freeze=None):
             params = dict(base_params)
             for i, rname in enumerate(runtime_fixed):
                 params[rname] = fixed_values[i]
@@ -751,7 +792,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                     runtime_fixed=runtime_fixed, use_pallas=pallas)
             return parts[pallas]
 
-        def fit_one(data, mask=None, fixed_values=(), x0=None):
+        def fit_one(data, mask=None, fixed_values=(), x0=None, freeze=None):
             # data = anchor per-event density tensor (a toy's scored events);
             # None falls back to the set_data-bound tensor
             tensor = jnp.asarray(data if data is not None
@@ -777,7 +818,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             u, fval, gnorm, it = minimize_newton(
                 lambda u: value_fn(u, tensor, event_mask, fixed_values),
                 u_start, max_iter=max_iter, tol=tol, polish=polish,
-                kink_coords=kink_coords, f_many=f_many,
+                kink_coords=kink_coords, f_many=f_many, freeze=freeze,
                 vgh=lambda u: vgh_fn(u, tensor, event_mask, fixed_values))
             return transform.to_x(u), -fval, it
 
@@ -788,7 +829,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             compiled, names, fixed, transform, use_pallas=use_pallas,
             runtime_fixed=runtime_fixed)
 
-        def fit_one(data, mask=None, fixed_values=(), x0=None):
+        def fit_one(data, mask=None, fixed_values=(), x0=None, freeze=None):
             const = compiled.data_constant(data)
             data_flat = jnp.asarray(data).reshape(-1)
             f_many = (None if value_many_fn is None else
@@ -798,13 +839,13 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             u, fval, gnorm, it = minimize_newton(
                 lambda u: value_fn(u, data_flat, fixed_values), u_start,
                 max_iter=max_iter, tol=tol, polish=polish, f_many=f_many,
-                kink_coords=kink_coords,
+                kink_coords=kink_coords, freeze=freeze,
                 vgh=lambda u: vgh_fn(u, data_flat, fixed_values))
             return transform.to_x(u), -fval + const, it
 
         return fit_one, names
 
-    def fit_one(data, mask=None, fixed_values=(), x0=None):
+    def fit_one(data, mask=None, fixed_values=(), x0=None, freeze=None):
         run_fixed = dict(fixed)
         for i, rname in enumerate(runtime_fixed):
             run_fixed[rname] = fixed_values[i]
@@ -827,7 +868,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
         u, fval, gnorm, it = minimize_newton(neg_logl_u, u_start,
                                              max_iter=max_iter, tol=tol,
-                                             polish=polish,
+                                             polish=polish, freeze=freeze,
                                              kink_coords=kink_coords)
         return transform.to_x(u), -fval + const, it
 

@@ -11,11 +11,13 @@ workload, so this is the scaling benchmark for the fused likelihood path.
 import numpy as np
 
 from ..models.source import HistogramPdfSource
+from ..models.jax_source import JaxDensitySource
 from ..ops.hist import Hist
 from ..likelihood import BinnedLogLikelihood, UnbinnedLogLikelihood
 from ..priors import NormalPrior
 
-__all__ = ['GaussianBlobSource', 'build_config', 'build_likelihood']
+__all__ = ['GaussianBlobSource', 'blob_density', 'build_config',
+           'build_likelihood']
 
 
 class GaussianBlobSource(HistogramPdfSource):
@@ -82,16 +84,63 @@ SOURCES = [
 ]
 
 
+def blob_density(mean, sigma, corr, responses):
+    """A jax-traceable 2D-blob density with the example's shape-nuisance
+    responses closed over — the :class:`JaxDensitySource` counterpart of
+    :meth:`GaussianBlobSource.build_histogram`. With this, ALL 81 anchor
+    templates of one source build in a single batched device call
+    (models/jax_source.py) instead of 81 host grid evaluations."""
+    import jax.numpy as jnp
+    (mx0, my0), (sx, sy0) = mean, sigma
+    band_resp, width_resp, tilt_resp = responses
+
+    def density(params, x, y):
+        my = my0 + params['band_shift'] * band_resp
+        sy = sy0 * (1.0 + (params['band_width_scale'] - 1.0) * width_resp)
+        mx = mx0 + params['cs1_tilt'] * tilt_resp
+        dx = (x - mx) / sx
+        dy = (y - my) / sy
+        norm = 1.0 / (2 * jnp.pi * sx * sy * jnp.sqrt(1 - corr ** 2))
+        return norm * jnp.exp(-(dx ** 2 - 2 * corr * dx * dy + dy ** 2)
+                              / (2 * (1 - corr ** 2)))
+    return density
+
+
 def build_config(n_cs1_bins=50, n_cs2_bins=62, livetime_days=278.0,
-                 cache_dir=None, task_dir=None):
+                 cache_dir=None, task_dir=None, jax_templates=False):
+    """:param jax_templates: use JaxDensitySource (device-side batched anchor
+    template building) instead of the host-evaluated GaussianBlobSource.
+    Identical pmf templates; fraction_in_range is 1 by construction on the
+    jax path (the blob variant counts the out-of-space tail), and the jax
+    templates carry no synthetic finite-MC statistics, so use the blob
+    variant for Beeston-Barlow studies."""
     import tempfile
     cache_dir = cache_dir or tempfile.mkdtemp(prefix='xenon_like_cache_')
     task_dir = task_dir or tempfile.mkdtemp(prefix='xenon_like_tasks_')
 
+    def source_entry(name, rate, mean, sigma, corr, resp):
+        entry = dict(name=name, events_per_day=rate,
+                     apply_efficiency=(name == 'wimp'),
+                     efficiency_name='efficiency')
+        if jax_templates:
+            entry.update(
+                density=blob_density(mean, sigma, corr, resp),
+                # 'efficiency' is rate-only (the density ignores it), but
+                # listing it keeps all 3^4 anchor variants of a source in ONE
+                # batch group -> one device call per source
+                density_params=['band_shift', 'band_width_scale',
+                                'cs1_tilt', 'efficiency'])
+        else:
+            entry.update(blob_mean=mean, blob_sigma=sigma, blob_corr=corr,
+                         band_shift_response=resp[0],
+                         width_response=resp[1], tilt_response=resp[2])
+        return entry
+
     config = dict(
         analysis_space=[['cs1', np.linspace(0, 100, n_cs1_bins + 1)],
                         ['log10_cs2', np.linspace(1.0, 4.0, n_cs2_bins + 1)]],
-        default_source_class=GaussianBlobSource,
+        default_source_class=(JaxDensitySource if jax_templates
+                              else GaussianBlobSource),
         livetime_days=livetime_days,
         band_shift=0.0,
         band_width_scale=1.0,
@@ -99,14 +148,7 @@ def build_config(n_cs1_bins=50, n_cs2_bins=62, livetime_days=278.0,
         efficiency=1.0,
         cache_dir=cache_dir,
         task_dir=task_dir,
-        sources=[
-            dict(name=name, events_per_day=rate, blob_mean=mean,
-                 blob_sigma=sigma, blob_corr=corr,
-                 band_shift_response=resp[0], width_response=resp[1],
-                 tilt_response=resp[2],
-                 apply_efficiency=(name == 'wimp'),
-                 efficiency_name='efficiency')
-            for name, rate, mean, sigma, corr, resp in SOURCES],
+        sources=[source_entry(*s) for s in SOURCES],
     )
     return config
 

@@ -148,6 +148,45 @@ def test_unbinned_likelihood_with_device_templates(tmp_path):
     assert np.isfinite(lf())
 
 
+def test_xenon_example_jax_templates_match_host(tmp_path):
+    """The XENON-style example's device-built templates (JaxDensitySource,
+    one batched call per source covering all 3^4 = 81 anchors) match the
+    host-evaluated GaussianBlobSource templates to 1e-6."""
+    from blueice_tpu.examples.xenon_like import build_likelihood
+
+    dirs_host = dict(cache_dir=str(tmp_path / 'host'),
+                     task_dir=str(tmp_path / 'host_t'))
+    dirs_jax = dict(cache_dir=str(tmp_path / 'jax'),
+                    task_dir=str(tmp_path / 'jax_t'))
+    small = dict(n_cs1_bins=14, n_cs2_bins=11)
+
+    lf_host = build_likelihood('binned', **small, **dirs_host)
+    calls0 = jax_source.DEVICE_CALLS
+    lf_jax = build_likelihood('binned', jax_templates=True, **small,
+                              **dirs_jax)
+    # 6 single-template calls while the base model builds (lf construction)
+    # + 6 batched calls in prepare(), each covering a source's remaining 80
+    # anchors in one launch
+    assert jax_source.DEVICE_CALLS == calls0 + 12
+
+    assert len(lf_jax.anchor_models) == 81
+    for zs, m_host in lf_host.anchor_models.items():
+        m_jax = lf_jax.anchor_models[zs]
+        for s_host, s_jax in zip(m_host.sources, m_jax.sources):
+            np.testing.assert_allclose(
+                s_jax.get_pmf_grid()[0], s_host.get_pmf_grid()[0],
+                rtol=1e-6, atol=1e-12)
+
+    # Likelihood values agree once the fraction_in_range convention is the
+    # same: evaluate both at identical expected rates by comparing per-bin
+    # expected-count tensors instead (mus fold fraction_in_range in).
+    ratio = (lf_jax.base_model.expected_events()
+             / lf_host.base_model.expected_events())
+    frac = np.array([s.fraction_in_range
+                     for s in lf_host.base_model.sources])
+    np.testing.assert_allclose(ratio * frac, 1.0, rtol=1e-6)
+
+
 def test_incompatible_groups_batch_separately(tmp_path):
     """Two sources with different densities do not batch together, but each
     group is still a single call."""

@@ -55,6 +55,20 @@ class Transform:
         return jnp.where(self.kinds == 0, x,
                          jnp.where(self.kinds == 1, u_log, u_logistic))
 
+    def to_u_coord(self, i, x):
+        """u values of coordinate ``i`` at the given x values (host numpy;
+        same formulas as :meth:`to_u`, one coordinate vectorized over x)."""
+        kind = int(self.kinds[i])
+        lo = float(self.los[i])
+        x = np.asarray(x, dtype=float)
+        if kind == 0:
+            return x
+        if kind == 1:
+            return np.log(np.maximum(x - lo, 1e-12))
+        hi = float(self.his[i])
+        frac = np.clip((x - lo) / (hi - lo), 1e-9, 1 - 1e-9)
+        return np.log(frac) - np.log1p(-frac)
+
 
 def make_transform(bounds_list):
     """Build a Transform from a list of (lo, hi) tuples (None == unbounded)."""
@@ -107,7 +121,7 @@ def _solve_spd_small(A, b):
 def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
                     init_damping=1e-3, vgh=None, polish=4, f_many=None,
                     kink_coords=None, kink_jumps=(0.3, -0.3, 0.1, -0.1),
-                    freeze=None):
+                    snap_anchors=None, freeze=None):
     """Minimize f (smooth scalar function of a small vector) with
     Levenberg-damped Newton steps. Pure jax: jit/vmap-compatible.
 
@@ -131,6 +145,14 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
     lane per iteration; both subgraphs execute under vmap, but the polish
     body is one value-candidate batch — a fraction of a Newton body.)
 
+    :param snap_anchors: optional list, parallel to ``kink_coords``, of
+      arrays of u-space anchor positions for that coordinate. Adds one
+      line-search candidate per kink coordinate: the Newton step on the other
+      coordinates with this coordinate snapped exactly onto its NEAREST
+      anchor. Rescues the common "optimum sits exactly ON an anchor" case
+      (e.g. nuisances whose truth is an anchor point), where the one-sided
+      local model stalls a fraction of a bin-width away and axis-aligned
+      sweeps cannot cross the correlated valley.
     :param freeze: optional float vector (n,), 1 = floating, 0 = frozen: a
       frozen coordinate keeps its u0 value exactly. This is a *runtime* value
       (may differ per vmapped lane), which lets a free fit and a conditional
@@ -221,7 +243,53 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         cands_jump = (u[None, None, :]
                       + jumps[:, None, None] * jump_dirs[None, :, :]
                       ).reshape(-1, n)
-        cands = jnp.concatenate([cands_alpha, cands_drop, cands_jump], axis=0)
+        # Snap-to-anchor candidates (see docstring). Snapping a coordinate
+        # alone is not enough in a correlated valley — the OTHER coordinates
+        # must move with it. Second-order snap: displace coordinate ci by
+        # delta onto its nearest anchor, then solve the reduced Newton system
+        # for the rest under that displacement:
+        #   du_rest = -H[rest,rest]^-1 (g_rest + H[rest,ci] * delta)
+        cands_snap = []
+        if snap_anchors is not None:
+            for j, ci in enumerate(kink_coords):
+                au = jnp.asarray(snap_anchors[j], dtype=u.dtype)
+                nearest = au[jnp.argmin(jnp.abs(au - u[ci]))]
+                delta = nearest - u[ci]
+                m = 1.0 - eye[ci]
+                gm = (g + H[:, ci] * delta) * m
+                Hm = (H * (m[:, None] * m[None, :])
+                      + eye[ci][:, None] * eye[ci][None, :])
+                dm = jnp.maximum(jnp.abs(jnp.diag(Hm)), 1e-10)
+                du_s = -_solve_spd_small(Hm + lam * (dm * eye), gm)
+                du_s = jnp.where(jnp.all(jnp.isfinite(du_s)), du_s, 0.0)
+                cand = (u + du_s).at[ci].set(nearest)
+                if freeze is not None:
+                    cand = jnp.where(freeze[ci] > 0, cand, u)
+                cands_snap.append(cand)
+        # Active-set candidate: several kink coordinates commonly sit exactly
+        # ON their anchors at once (toys are generated at anchor truths);
+        # each contributes one-sided curvature that pollutes the full Newton
+        # solve. Freeze ALL at-anchor kink coordinates simultaneously and
+        # solve the smooth-subspace system for the rest.
+        if snap_anchors is not None:
+            act = jnp.ones((n,), dtype=u.dtype)
+            for j, ci in enumerate(kink_coords):
+                au = jnp.asarray(snap_anchors[j], dtype=u.dtype)
+                at_anchor = jnp.min(jnp.abs(au - u[ci])) < 1e-6
+                act = act * jnp.where(at_anchor, 1.0 - eye[ci], 1.0)
+            if freeze is not None:
+                act = act * freeze
+            ga = g * act
+            Ha = (H * (act[:, None] * act[None, :])
+                  + jnp.diag(1.0 - act))
+            da = jnp.maximum(jnp.abs(jnp.diag(Ha)), 1e-10)
+            du_a = -_solve_spd_small(Ha + lam * (da * eye), ga)
+            du_a = jnp.where(jnp.all(jnp.isfinite(du_a)), du_a, 0.0)
+            cands_snap.append(u + du_a * act)
+        cands_snap = (jnp.stack(cands_snap) if cands_snap
+                      else jnp.zeros((0, n), dtype=u.dtype))
+        cands = jnp.concatenate([cands_alpha, cands_drop, cands_jump,
+                                 cands_snap], axis=0)
         fs = (jax.vmap(f)(cands) if f_many is None else f_many(cands))
         fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
         best = jnp.argmin(fs)
@@ -281,8 +349,13 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
                 jnp.where(enter_polish, 0, pc), rounds,
                 jnp.zeros((), dtype=bool))
 
+    # Ladder from kink-escape scale down to micro-steps: near-degenerate
+    # models can pin an optimum a few 1e-5 (u-space) OFF an anchor on a
+    # V-shaped wall with one-sided gradients of order 1e4 — worth ~0.1 LL
+    # that coarser ladders overshoot and reject.
     polish_steps = np.array([0.3, -0.3, 0.1, -0.1, 0.03, -0.03, 0.01, -0.01,
-                             3e-3, -3e-3, 1e-3, -1e-3, 3e-4, -3e-4])
+                             3e-3, -3e-3, 1e-3, -1e-3, 3e-4, -3e-4,
+                             1e-4, -1e-4, 3e-5, -3e-5, 1e-5, -1e-5])
 
     def polish_step(carry):
         u, fval, lam, nu, it, done, stall, pc, rounds, improved = carry
@@ -361,7 +434,7 @@ def _floating_setup(compiled, fixed, guess=None):
 
 
 def fit_single(compiled, fixed=None, guess=None, return_errors=True,
-               max_iter=60, tol=1e-8):
+               max_iter=250, tol=1e-8):
     """Fit one (already data-bound) compiled likelihood.
 
     :return: ({name: bestfit, name_error: parabolic error}, max loglikelihood).
@@ -372,6 +445,13 @@ def fit_single(compiled, fixed=None, guess=None, return_errors=True,
     Fixed-parameter *values* enter at runtime, so e.g. the conditional fits of
     a profile-likelihood interval scan reuse ONE compiled program (cached on
     the compiled likelihood, keyed by the fixed-parameter name set).
+
+    The default iteration budget is deliberately generous: a single
+    (un-vmapped) fit pays no lockstep tax, and ridge-shaped many-nuisance
+    profiles (XENON-style) genuinely use ~150-200 damped-Newton + polish
+    iterations — at which point this fit matches or beats scipy's optimum on
+    every measured dataset. Toy STUDIES size their own (smaller) cap for the
+    ensemble bulk and refine stragglers separately.
     """
     from ..exceptions import NoOpimizationNecessary
     fixed = dict(fixed or {})
@@ -746,6 +826,16 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
     if kink_jumps is None:
         kink_jumps = ((0.3, -0.3, 0.1, -0.1) if len(kink_coords) <= 2
                       else ())
+    # u-space anchor positions per kink coordinate, for the snap-to-anchor
+    # line-search candidates (optima sitting exactly ON an anchor are common:
+    # toys are usually generated at anchor-point nuisance truths)
+    snap_anchors = None
+    if kink_coords and compiled.anchor_arrays is not None:
+        shape_idx = {nm: d for d, nm in enumerate(compiled.shape_names)}
+        snap_anchors = [
+            transform.to_u_coord(
+                ci, np.asarray(compiled.anchor_arrays[shape_idx[names[ci]]]))
+            for ci in kink_coords]
 
     if engine in ('analytic', 'pallas') and not (
             _analytic_supported(compiled)
@@ -829,6 +919,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                 lambda u: value_fn(u, tensor, event_mask, fixed_values),
                 u_start, max_iter=max_iter, tol=tol, polish=polish,
                 kink_coords=kink_coords, kink_jumps=kink_jumps,
+                snap_anchors=snap_anchors,
                 f_many=f_many, freeze=freeze,
                 vgh=lambda u: vgh_fn(u, tensor, event_mask, fixed_values))
             return transform.to_x(u), -fval, it
@@ -851,6 +942,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                 lambda u: value_fn(u, data_flat, fixed_values), u_start,
                 max_iter=max_iter, tol=tol, polish=polish, f_many=f_many,
                 kink_coords=kink_coords, kink_jumps=kink_jumps,
+                snap_anchors=snap_anchors,
                 freeze=freeze,
                 vgh=lambda u: vgh_fn(u, data_flat, fixed_values))
             return transform.to_x(u), -fval + const, it
@@ -882,6 +974,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                                              max_iter=max_iter, tol=tol,
                                              polish=polish, freeze=freeze,
                                              kink_jumps=kink_jumps,
+                                             snap_anchors=snap_anchors,
                                              kink_coords=kink_coords)
         return transform.to_x(u), -fval + const, it
 

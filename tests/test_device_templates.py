@@ -187,6 +187,26 @@ def test_xenon_example_jax_templates_match_host(tmp_path):
     np.testing.assert_allclose(ratio * frac, 1.0, rtol=1e-6)
 
 
+def test_xenon_fit_reaches_scipy_optimum(tmp_path):
+    """Regression: the near-degenerate 8-nuisance model pins its optimum a
+    few 1e-5 OFF the band_shift anchor on a V-shaped likelihood wall
+    (one-sided gradient ~4e4). The fit engine's micro-step polish ladder +
+    anchor-aware candidates must reach it — bestfit_jax >= bestfit_scipy."""
+    from blueice_tpu.examples.xenon_like import build_likelihood
+    from blueice_tpu.inference import bestfit_jax, bestfit_scipy
+
+    lf = build_likelihood('binned', jax_templates=True, n_cs1_bins=14,
+                          n_cs2_bins=11, cache_dir=str(tmp_path / 'c'),
+                          task_dir=str(tmp_path / 't'))
+    rng = np.random.default_rng(1)
+    lf.set_data(lf.base_model.simulate(rng=rng))
+    fit_j, ll_j = bestfit_jax(lf)
+    fit_s, ll_s = bestfit_scipy(lf)
+    assert ll_j >= ll_s - 1e-4, (ll_j, ll_s)
+    assert abs(fit_j['wimp_rate_multiplier']
+               - fit_s['wimp_rate_multiplier']) < 5e-3
+
+
 def test_incompatible_groups_batch_separately(tmp_path):
     """Two sources with different densities do not batch together, but each
     group is still a single call."""

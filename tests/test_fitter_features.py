@@ -1,0 +1,96 @@
+"""Unit tests for fit-engine features: runtime freeze-mask, snap-to-anchor
+candidates, micro-step polish ladder."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blueice_tpu.parallel.fitter import minimize_newton
+from blueice_tpu.likelihood import BinnedLogLikelihood
+from blueice_tpu.parallel.fitter import make_toy_fitter
+from blueice_tpu.compile import build_logl
+from blueice_tpu.test_helpers import conf_for_test
+
+
+def _quad(center):
+    center = jnp.asarray(center)
+
+    def f(u):
+        d = u - center
+        return jnp.sum(d * d) + 0.5 * d[0] * d[1]
+    return f
+
+
+def test_freeze_mask_pins_coordinates():
+    f = _quad([1.0, -2.0, 0.5])
+    u0 = jnp.zeros(3)
+
+    # Unfrozen: reaches the center
+    u, fval, gnorm, it = minimize_newton(f, u0, max_iter=50, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(u), [1.0, -2.0, 0.5], atol=1e-6)
+
+    # Coordinate 1 frozen at its start: stays exactly 0, others adjust to the
+    # conditional optimum of the quadratic
+    freeze = jnp.asarray([1.0, 0.0, 1.0])
+    u, fval, gnorm, it = minimize_newton(f, u0, max_iter=50, tol=1e-10,
+                                         freeze=freeze)
+    assert float(u[1]) == 0.0
+    # conditional optimum: minimize over (u0, u2) with u1 = 0
+    # d/du0: 2(u0-1) + 0.5(u1+2) = 0 -> u0 = 1 - 0.5
+    np.testing.assert_allclose(float(u[0]), 1 - 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(u[2]), 0.5, atol=1e-6)
+
+
+def test_freeze_mask_vmapped_lanes():
+    """Free and frozen lanes coexist in one vmapped batch."""
+    f = _quad([2.0, 3.0])
+
+    def fit(u0, freeze):
+        return minimize_newton(f, u0, max_iter=50, tol=1e-10,
+                               freeze=freeze)[0]
+
+    u0s = jnp.zeros((2, 2))
+    freezes = jnp.asarray([[1.0, 1.0], [1.0, 0.0]])
+    us = jax.vmap(fit)(u0s, freezes)
+    np.testing.assert_allclose(np.asarray(us[0]), [2.0, 3.0], atol=1e-6)
+    assert float(us[1][1]) == 0.0
+    # conditional: 2(u0-2) + 0.5(u1-3) = 0 with u1=0 -> u0 = 2 + 0.75
+    np.testing.assert_allclose(float(us[1][0]), 2.75, atol=1e-6)
+
+
+def test_toy_fitter_freeze_equals_runtime_fixed():
+    """fit_one(freeze=...) reproduces the runtime_fixed conditional fit."""
+    conf = conf_for_test(n_sources=2, mc=True, n_events_for_pdf=int(2e4))
+    conf['sources'][1]['mu'] = 2.0
+    lf = BinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('some_multiplier', (0.5, 1.0, 1.5))
+    lf.prepare()
+    rng = np.random.default_rng(4)
+    lf.set_data(lf.base_model.simulate(rng=rng))
+    compiled = build_logl(lf)
+    data = compiled.data
+
+    fit_free, names = make_toy_fitter(compiled, max_iter=60, tol=1e-9)
+    ti = names.index('s0_rate_multiplier')
+
+    # Conditional via runtime_fixed (the classic path)
+    fit_cond, names_cond = make_toy_fitter(
+        compiled, runtime_fixed=['s0_rate_multiplier'], max_iter=60, tol=1e-9)
+    xc, llc, _ = fit_cond(data, None, (jnp.asarray(1.3),))
+
+    # Conditional via freeze-mask on the FREE fitter
+    x0 = np.array([float(compiled.defaults[n]) for n in names])
+    x0[ti] = 1.3
+    freeze = np.ones(len(names))
+    freeze[ti] = 0.0
+    xf, llf, _ = fit_free(data, None, (), jnp.asarray(x0),
+                          jnp.asarray(freeze))
+
+    assert float(llf) == pytest.approx(float(llc), abs=1e-6)
+    assert float(xf[ti]) == pytest.approx(1.3, abs=1e-9)
+    other = [i for i, n in enumerate(names) if n != 's0_rate_multiplier']
+    for io, nc in zip(other, range(len(names_cond))):
+        assert float(xf[io]) == pytest.approx(float(xc[nc]), abs=1e-4)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .binned_vgh import corner_weight_tables
 
-__all__ = ['unbinned_vgh', 'unbinned_ll']
+__all__ = ['unbinned_vgh', 'unbinned_ll', 'reference_center']
 
 
 def _morph_tables(corners, m, t):
@@ -41,7 +41,8 @@ def _morph_tables(corners, m, t):
     return P, D, X
 
 
-def unbinned_vgh(corners, m, t, mask, outlier_likelihood=0.0):
+def unbinned_vgh(corners, m, t, mask, outlier_likelihood=0.0,
+                 inv_ref=None, ref_msum=0.0):
     """Extended-LL value, gradient and Hessian w.r.t. (m, t) for one event set.
 
     :param corners: (2^K, S, E) per-event density corner templates around the
@@ -50,6 +51,14 @@ def unbinned_vgh(corners, m, t, mask, outlier_likelihood=0.0):
     :param t: (K,) per-axis lerp weights.
     :param mask: (E,) validity mask (False = padding).
     :param outlier_likelihood: density floor for non-positive summed densities.
+    :param inv_ref: optional (E,) inverse per-event reference densities: the
+      value becomes the CENTERED log likelihood
+      ``-(sum m - ref_msum) + sum_e log(lam_e * inv_ref_e)`` — every term
+      O(1), so float32 keeps full precision at 1e5+ events where the raw sum
+      of ~|log lam| would round at the 1e-2 level. Gradient/Hessian are
+      unchanged (the center is parameter-independent); add the reference LL
+      back outside if an absolute value is needed.
+    :param ref_msum: sum of the reference expected counts (with inv_ref).
     :return: (ll, g (S+K,), H (S+K, S+K)), parameter order [m_1..S, t_1..K].
     """
     corners = jnp.asarray(corners)
@@ -63,8 +72,12 @@ def unbinned_vgh(corners, m, t, mask, outlier_likelihood=0.0):
     pos = lam > 0
     lam_eff = jnp.where(pos, lam, outlier_likelihood) \
         if outlier_likelihood != 0 else lam
-    log_terms = jnp.where(mask, jnp.log(lam_eff), 0.0)
-    ll = -jnp.sum(m) + jnp.sum(log_terms)
+    if inv_ref is None:
+        log_terms = jnp.where(mask, jnp.log(lam_eff), 0.0)
+        ll = -jnp.sum(m) + jnp.sum(log_terms)
+    else:
+        log_terms = jnp.where(mask, jnp.log(lam_eff * inv_ref), 0.0)
+        ll = -(jnp.sum(m) - ref_msum) + jnp.sum(log_terms)
 
     # Outlier-floored events are constant in the parameters: no grad/curvature
     lam_safe = jnp.where(pos, lam, 1.0)
@@ -91,9 +104,12 @@ def unbinned_vgh(corners, m, t, mask, outlier_likelihood=0.0):
     return ll, g, jnp.concatenate([top, bottom], axis=0)
 
 
-def unbinned_ll(corners, m, t, mask, outlier_likelihood=0.0):
-    """Value-only extended LL on the corner block (cheap accept-step
-    evaluation inside the Newton loop)."""
+def reference_center(corners, m, t, mask, outlier_likelihood=0.0):
+    """Per-toy centering data at a fixed reference parameter point:
+    ``(inv_ref (E,), ref_msum, ref_ll)`` — feed the first two into
+    :func:`unbinned_ll` / :func:`unbinned_vgh` (making their values exact
+    small-number differences in float32) and add ``ref_ll`` back to the
+    optimum for an absolute log likelihood."""
     corners = jnp.asarray(corners)
     m = jnp.asarray(m, dtype=corners.dtype)
     t = jnp.asarray(t, dtype=corners.dtype)
@@ -101,4 +117,26 @@ def unbinned_ll(corners, m, t, mask, outlier_likelihood=0.0):
     lam = jnp.tensordot(m, P, axes=(0, 0))
     lam_eff = jnp.where(lam > 0, lam, outlier_likelihood) \
         if outlier_likelihood != 0 else lam
-    return -jnp.sum(m) + jnp.sum(jnp.where(mask, jnp.log(lam_eff), 0.0))
+    safe = jnp.where(lam_eff > 0, lam_eff, 1.0)
+    inv_ref = jnp.where(mask & (lam_eff > 0), 1.0 / safe, 1.0)
+    ref_msum = jnp.sum(m)
+    ref_ll = -ref_msum + jnp.sum(jnp.where(mask, jnp.log(safe), 0.0))
+    return inv_ref, ref_msum, ref_ll
+
+
+def unbinned_ll(corners, m, t, mask, outlier_likelihood=0.0,
+                inv_ref=None, ref_msum=0.0):
+    """Value-only extended LL on the corner block (cheap accept-step
+    evaluation inside the Newton loop). With ``inv_ref``, returns the
+    CENTERED value (see :func:`unbinned_vgh`)."""
+    corners = jnp.asarray(corners)
+    m = jnp.asarray(m, dtype=corners.dtype)
+    t = jnp.asarray(t, dtype=corners.dtype)
+    P, _, _ = _morph_tables(corners, m, t)
+    lam = jnp.tensordot(m, P, axes=(0, 0))
+    lam_eff = jnp.where(lam > 0, lam, outlier_likelihood) \
+        if outlier_likelihood != 0 else lam
+    if inv_ref is None:
+        return -jnp.sum(m) + jnp.sum(jnp.where(mask, jnp.log(lam_eff), 0.0))
+    return (-(jnp.sum(m) - ref_msum)
+            + jnp.sum(jnp.where(mask, jnp.log(lam_eff * inv_ref), 0.0)))

@@ -607,7 +607,8 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
     — on the Pallas path — events padded to the lane width), so one program
     serves the whole ensemble."""
     from ..ops.binned_vgh import gather_corners
-    from ..ops.unbinned_vgh import unbinned_vgh, unbinned_ll
+    from ..ops.unbinned_vgh import (unbinned_vgh, unbinned_ll,
+                                    reference_center)
     from ..ops import fused_unbinned
 
     K = len(compiled.shape_names)
@@ -651,7 +652,7 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
                 mask, outlier=outlier, interpret=interpret)
 
         return (value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh),
-                value_many_fn)
+                value_many_fn, None)
 
     def _corners(tensor, u, fixed_values):
         if K == 0:
@@ -659,18 +660,37 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
         return gather_corners(tensor.reshape(grid_shape + tensor.shape[1:]),
                               idx_of_u(u, fixed_values), K, 2)
 
-    def value_fn(u, tensor, mask, fixed_values=()):
+    # The reference point for float32 centering is STATIC (defaults for every
+    # parameter, including runtime-fixed ones) so free and conditional fits
+    # of the same toy share the exact same center — their reported maxima
+    # difference (the profile-LR statistic) is then computed entirely in
+    # small, f32-exact numbers.
+    default_fixed = tuple(
+        jnp.asarray(float(compiled.defaults[r])) for r in runtime_fixed)
+
+    def ref_fn(u_ref, tensor, mask):
+        mt = mt_of_u(u_ref, default_fixed)
+        inv_ref, ref_msum, ref_ll = reference_center(
+            _corners(tensor, u_ref, default_fixed), mt[:S], mt[S:], mask,
+            outlier)
+        return (inv_ref, ref_msum), ref_ll
+
+    def value_fn(u, tensor, mask, center, fixed_values=()):
         mt = mt_of_u(u, fixed_values)
+        inv_ref, ref_msum = center if center is not None else (None, 0.0)
         ll = unbinned_ll(_corners(tensor, u, fixed_values), mt[:S], mt[S:],
-                         mask, outlier)
+                         mask, outlier, inv_ref=inv_ref, ref_msum=ref_msum)
         return -(ll + prior_of_u(u, fixed_values))
 
-    def _raw_vgh(u, tensor, mask, fixed_values):
+    def _raw_vgh(u, tensor, mask, center, fixed_values):
         mt = mt_of_u(u, fixed_values)
+        inv_ref, ref_msum = center if center is not None else (None, 0.0)
         return unbinned_vgh(_corners(tensor, u, fixed_values), mt[:S],
-                            mt[S:], mask, outlier)
+                            mt[S:], mask, outlier, inv_ref=inv_ref,
+                            ref_msum=ref_msum)
 
-    return value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh), None
+    return (value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh), None,
+            ref_fn)
 
 
 def _make_analytic_parts(compiled, names, fixed, transform,
@@ -892,6 +912,11 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                     runtime_fixed=runtime_fixed, use_pallas=pallas)
             return parts[pallas]
 
+        # Above this event count, a float32 sum of ~|log lam| rounds at the
+        # 1e-2 level — route to the (centered) analytic engine instead of
+        # the (uncentered) fused kernel
+        CENTER_EVENTS = 32768
+
         def fit_one(data, mask=None, fixed_values=(), x0=None, freeze=None):
             # data = anchor per-event density tensor (a toy's scored events);
             # None falls back to the set_data-bound tensor
@@ -903,26 +928,41 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                           else jnp.ones(E, dtype=bool))
             # The event count is only known here (per trace): take the fused
             # kernel when the toy-block working set fits VMEM
-            pallas = (use_pallas and fused_unbinned.fused_unbinned_supported(
-                (G, S, E), tensor.dtype))
+            f32 = tensor.dtype == jnp.float32
+            pallas = (use_pallas
+                      and not (f32 and E >= CENTER_EVENTS)
+                      and fused_unbinned.fused_unbinned_supported(
+                          (G, S, E), tensor.dtype))
             if pallas:
                 E_pad = fused_unbinned._round_up(E, fused_unbinned.LANE)
                 if E_pad != E:
                     tensor = jnp.pad(tensor, ((0, 0), (0, 0), (0, E_pad - E)))
                     event_mask = jnp.pad(event_mask, (0, E_pad - E))
-            value_fn, vgh_fn, value_many_fn = _parts(pallas)
-            f_many = (None if value_many_fn is None else
-                      (lambda cands: value_many_fn(cands, tensor, event_mask,
-                                                   fixed_values)))
+            value_fn, vgh_fn, value_many_fn, ref_fn = _parts(pallas)
             u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
+            if pallas:
+                value = lambda u: value_fn(u, tensor, event_mask,
+                                           fixed_values)       # noqa: E731
+                vghl = lambda u: vgh_fn(u, tensor, event_mask,
+                                        fixed_values)          # noqa: E731
+                f_many = (lambda cands: value_many_fn(
+                    cands, tensor, event_mask, fixed_values))
+                ref_ll = jnp.zeros((), dtype=tensor.dtype)
+            else:
+                # Center the LL at a fixed per-toy reference so float32 fits
+                # stay exact at any event count (see reference_center)
+                center, ref_ll = ref_fn(u0, tensor, event_mask)
+                value = lambda u: value_fn(u, tensor, event_mask, center,
+                                           fixed_values)       # noqa: E731
+                vghl = lambda u: vgh_fn(u, tensor, event_mask, center,
+                                        fixed_values)          # noqa: E731
+                f_many = None
             u, fval, gnorm, it = minimize_newton(
-                lambda u: value_fn(u, tensor, event_mask, fixed_values),
-                u_start, max_iter=max_iter, tol=tol, polish=polish,
+                value, u_start, max_iter=max_iter, tol=tol, polish=polish,
                 kink_coords=kink_coords, kink_jumps=kink_jumps,
                 snap_anchors=snap_anchors,
-                f_many=f_many, freeze=freeze,
-                vgh=lambda u: vgh_fn(u, tensor, event_mask, fixed_values))
-            return transform.to_x(u), -fval, it
+                f_many=f_many, freeze=freeze, vgh=vghl)
+            return transform.to_x(u), -fval + ref_ll, it
 
         return fit_one, names
 

@@ -260,7 +260,10 @@ def test_unbinned_analytic_engine_matches_ad():
     res_pl = UnbinnedToyStudy(lf, engine='pallas').run(key, n_toys=24)
     np.testing.assert_allclose(res_pl.max_ll, res_an.max_ll,
                                rtol=1e-9, atol=1e-8)
-    np.testing.assert_allclose(res_pl.x, res_an.x, rtol=1e-6, atol=1e-8)
+    # atol 1e-7: the analytic engine centers its objective (a constant
+    # shift), which reorders float rounding relative to the uncentered
+    # kernel at the ~1e-8 level in the fitted parameters
+    np.testing.assert_allclose(res_pl.x, res_an.x, rtol=1e-6, atol=1e-7)
 
     agree = np.all(np.abs(res_an.x - res_ad.x) < 1e-5, axis=1)
     assert agree.mean() >= 0.9, agree.mean()

@@ -41,11 +41,16 @@ def fused_unbinned_supported(per_toy_shape, dtype=jnp.float32,
     return blk * g * s * e_pad * jnp.dtype(dtype).itemsize <= vmem_budget
 
 
-def _uvgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, mask_ref, ps_ref,
-                 ll_ref, g_ref, h_ref, *, S, K, C, pairs, blk, outlier):
+def _uvgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, mask_ref, moff_ref,
+                 invref_ref, ps_ref, ll_ref, g_ref, h_ref,
+                 *, S, K, C, pairs, blk, outlier):
     """Per grid step: ``blk`` toys. ps (blk, G, S, E) VMEM (per-toy anchors);
     ids (blk, C) int32 SMEM; w (blk, C), wd (blk, K|1, C), wx (blk, NP|1, C),
-    m (blk, S), mask (blk, E) VMEM; out ll (blk, 1) SMEM, g (blk, P),
+    m (blk, S), mask (blk, E) VMEM; moff (blk, 1) SMEM: the rate term of the
+    value (sum m uncentered, sum m - sum m_ref centered); invref (blk, E)
+    VMEM: per-event inverse reference densities (ones = uncentered — see
+    ops.unbinned_vgh.reference_center; centering keeps every float32 value
+    term O(1) at any event count). Out: ll (blk, 1) SMEM, g (blk, P),
     h (blk, P, P) VMEM, P = S + K."""
     dtype = ps_ref.dtype
     n_pairs = len(pairs)
@@ -72,8 +77,9 @@ def _uvgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, mask_ref, ps_ref,
         pos = lam > 0
         lam_eff = jnp.where(pos, lam, outlier) if outlier else lam
         lam_safe = jnp.where(pos, lam, 1.0)
-        log_terms = jnp.where(mask > 0, jnp.log(lam_eff), 0.0)
-        ll_ref[ti, 0] = jnp.sum(log_terms) - jnp.sum(m)
+        log_terms = jnp.where(mask > 0,
+                              jnp.log(lam_eff * invref_ref[ti, :]), 0.0)
+        ll_ref[ti, 0] = jnp.sum(log_terms) - moff_ref[ti, 0]
 
         # Outlier-floored / padded events are parameter-constant: zero weight
         active = jnp.where((mask > 0) & pos, 1.0, 0.0).astype(dtype)
@@ -122,14 +128,16 @@ def _uvgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, mask_ref, ps_ref,
     jax.lax.fori_loop(0, blk, one_toy, 0)
 
 
-def _ull_kernel(ids_ref, w_ref, m_ref, mask_ref, ps_ref, ll_ref,
-                *, S, C, A, blk, outlier):
+def _ull_kernel(ids_ref, w_ref, m_ref, mask_ref, moff_ref, invref_ref,
+                ps_ref, ll_ref, *, S, C, A, blk, outlier):
     """Value-only: per grid step, ``blk`` toys x ``A`` parameter candidates
     sharing the toy's events. ids (blk, A, C) SMEM; w (blk, A, C),
-    m (blk, A, S), mask (blk, E), ps (blk, G, S, E) VMEM; out ll (blk, A)
+    m (blk, A, S), mask (blk, E), invref (blk, E) VMEM; moff (blk, A) SMEM
+    (rate value terms, per candidate — see _uvgh_kernel); out ll (blk, A)
     SMEM."""
     def one_toy(ti, _):
         mask = mask_ref[ti, :]
+        invref = invref_ref[ti, :]
         for a in range(A):
             P = None
             for c in range(C):
@@ -139,9 +147,10 @@ def _ull_kernel(ids_ref, w_ref, m_ref, mask_ref, ps_ref, ll_ref,
             m = m_ref[ti, a, :]
             lam = jnp.sum(m[:, None] * P, axis=0)
             lam_eff = jnp.where(lam > 0, lam, outlier) if outlier else lam
-            ll_ref[ti, a] = (jnp.sum(jnp.where(mask > 0, jnp.log(lam_eff),
+            ll_ref[ti, a] = (jnp.sum(jnp.where(mask > 0,
+                                               jnp.log(lam_eff * invref),
                                                0.0))
-                             - jnp.sum(m))
+                             - moff_ref[ti, a])
         return 0
 
     jax.lax.fori_loop(0, blk, one_toy, 0)
@@ -176,6 +185,10 @@ def _build_uvgh_call(dtype_name, G, S, E, K, B, blk, interpret, outlier):
                          memory_space=pltpu.VMEM),             # m
             pl.BlockSpec((blk, E), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),             # mask
+            pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),             # moff
+            pl.BlockSpec((blk, E), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # invref
             pl.BlockSpec((blk, G, S, E), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),             # per-toy ps
         ],
@@ -207,6 +220,10 @@ def _build_ull_call(dtype_name, G, S, E, C, A, B, blk, interpret, outlier):
                          memory_space=pltpu.VMEM),             # m
             pl.BlockSpec((blk, E), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),             # mask
+            pl.BlockSpec((blk, A), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),             # moff
+            pl.BlockSpec((blk, E), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # invref
             pl.BlockSpec((blk, G, S, E), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),             # per-toy ps
         ],
@@ -226,31 +243,34 @@ def _pad_batch(arrs, B, B_pad):
     return out
 
 
-def _uvgh_batched_impl(ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b, interpret,
-                       outlier):
+def _uvgh_batched_impl(ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b, moff_b,
+                       invref_b, interpret, outlier):
     B, G, S, E = ps_b.shape
     C = ids_b.shape[-1]
     K = int(round(np.log2(C)))
     blk = min(TOY_BLOCK, B)
     B_pad = _round_up(B, blk)
-    ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b = _pad_batch(
-        (ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b), B, B_pad)
+    ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b, moff_b, invref_b = _pad_batch(
+        (ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b, moff_b, invref_b),
+        B, B_pad)
     call = _build_uvgh_call(str(ps_b.dtype), G, S, E, K, B_pad, blk,
                             interpret, float(outlier))
-    ll, g, H = call(ids_b, w_b, wd_b, wx_b, m_b, mask_b, ps_b)
+    ll, g, H = call(ids_b, w_b, wd_b, wx_b, m_b, mask_b, moff_b, invref_b,
+                    ps_b)
     return ll[:B, 0], g[:B], H[:B]
 
 
-def _ull_batched_impl(ps_b, ids_b, w_b, m_b, mask_b, interpret, outlier):
+def _ull_batched_impl(ps_b, ids_b, w_b, m_b, mask_b, moff_b, invref_b,
+                      interpret, outlier):
     B, G, S, E = ps_b.shape
     _, A, C = ids_b.shape
     blk = min(TOY_BLOCK, B)
     B_pad = _round_up(B, blk)
-    ps_b, ids_b, w_b, m_b, mask_b = _pad_batch(
-        (ps_b, ids_b, w_b, m_b, mask_b), B, B_pad)
+    ps_b, ids_b, w_b, m_b, mask_b, moff_b, invref_b = _pad_batch(
+        (ps_b, ids_b, w_b, m_b, mask_b, moff_b, invref_b), B, B_pad)
     call = _build_ull_call(str(ps_b.dtype), G, S, E, C, A, B_pad, blk,
                            interpret, float(outlier))
-    return call(ids_b, w_b, m_b, mask_b, ps_b)[:B]
+    return call(ids_b, w_b, m_b, mask_b, moff_b, invref_b, ps_b)[:B]
 
 
 _OP_CACHE = {}
@@ -269,9 +289,10 @@ def _make_uvgh_op(interpret, outlier):
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
-    def op(ps, ids, w, wd, wx, m, mask):
+    def op(ps, ids, w, wd, wx, m, mask, moff, invref):
         ll, g, H = _uvgh_batched_impl(ps[None], ids[None], w[None], wd[None],
                                       wx[None], m[None], mask[None],
+                                      moff[None], invref[None],
                                       interpret, outlier)
         return ll[0], g[0], H[0]
 
@@ -288,9 +309,10 @@ def _make_ull_op(interpret, outlier):
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
-    def op(ps, ids, w, m, mask):
+    def op(ps, ids, w, m, mask, moff, invref):
         return _ull_batched_impl(ps[None], ids[None], w[None], m[None],
-                                 mask[None], interpret, outlier)[0]
+                                 mask[None], moff[None], invref[None],
+                                 interpret, outlier)[0]
 
     @op.def_vmap
     def _vmap(axis_size, in_batched, *args):
@@ -320,7 +342,7 @@ def _corner_ids(strides, idx, K):
 
 
 def unbinned_vgh_fused(ps_toy, strides, idx, t, m, mask, outlier=0.0,
-                       interpret=False):
+                       interpret=False, inv_ref=None, ref_msum=None):
     """Fused (ll, g, H) of the extended unbinned LL via the Pallas kernel.
     Same contract as :func:`blueice_tpu.ops.unbinned_vgh.unbinned_vgh`, but
     gathers the corner templates itself from the toy's flattened-grid tensor.
@@ -330,6 +352,9 @@ def unbinned_vgh_fused(ps_toy, strides, idx, t, m, mask, outlier=0.0,
     :param strides: static tuple of K ints — anchor-grid row strides.
     :param idx: (K,) int32 lower-corner index per axis; t: (K,) lerp weights.
     :param m: (S,) rates; mask: (E,) validity (padding False).
+    :param inv_ref: optional (E,) inverse reference densities + ``ref_msum``:
+      the value becomes the float32-exact CENTERED log likelihood (see
+      ops.unbinned_vgh.reference_center); derivatives are unchanged.
     :return: (ll, g (S+K,), H (S+K, S+K)).
     """
     ps_toy = jnp.asarray(ps_toy)
@@ -348,16 +373,22 @@ def unbinned_vgh_fused(ps_toy, strides, idx, t, m, mask, outlier=0.0,
     wx_in = (jnp.stack([wx[d, e] for d, e in pairs]).astype(dt)
              if pairs else jnp.zeros((1, C), dt))
 
+    m = jnp.asarray(m, dt)
+    moff = jnp.sum(m) - (0.0 if ref_msum is None else ref_msum)
+    invref = (jnp.ones((E,), dt) if inv_ref is None
+              else jnp.asarray(inv_ref, dt))
     op = _get_op('vgh', interpret, outlier)
-    return op(ps_toy, ids, w.astype(dt), wd_in, wx_in, jnp.asarray(m, dt),
-              jnp.asarray(mask, dt))
+    return op(ps_toy, ids, w.astype(dt), wd_in, wx_in, m,
+              jnp.asarray(mask, dt), moff[None].astype(dt), invref)
 
 
 def unbinned_ll_fused_multi(ps_toy, strides, idxs, ts, ms, mask, outlier=0.0,
-                            interpret=False):
+                            interpret=False, inv_ref=None, ref_msum=None):
     """Extended LL at A parameter candidates sharing one toy's events.
 
     :param idxs: (A, K) int32 lower corners; ts: (A, K); ms: (A, S).
+    :param inv_ref: optional (E,) + ``ref_msum``: centered values (see
+      :func:`unbinned_vgh_fused`).
     :return: (A,) log likelihoods.
     """
     ps_toy = jnp.asarray(ps_toy)
@@ -383,5 +414,10 @@ def unbinned_ll_fused_multi(ps_toy, strides, idxs, ts, ms, mask, outlier=0.0,
         ids = jnp.zeros((A, 1), dtype=jnp.int32)
         w = jnp.ones((A, 1), dtype=dt)
 
+    ms = jnp.asarray(ms, dt)
+    moffs = jnp.sum(ms, axis=-1) - (0.0 if ref_msum is None else ref_msum)
+    invref = (jnp.ones((E,), dt) if inv_ref is None
+              else jnp.asarray(inv_ref, dt))
     op = _get_op('ll', interpret, outlier)
-    return op(ps_toy, ids, w, jnp.asarray(ms, dt), jnp.asarray(mask, dt))
+    return op(ps_toy, ids, w, ms, jnp.asarray(mask, dt), moffs.astype(dt),
+              invref)

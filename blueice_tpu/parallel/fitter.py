@@ -620,40 +620,6 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
     strides = tuple(int(np.prod(grid_shape[d + 1:])) for d in range(K))
     interpret = jax.default_backend() != 'tpu'
 
-    if use_pallas:
-        def value_fn(u, tensor, mask, fixed_values=()):
-            mt = mt_of_u(u, fixed_values)
-            idx = idx_of_u(u, fixed_values)
-            idxs = (jnp.stack(idx)[None] if K
-                    else jnp.zeros((1, 0), jnp.int32))
-            ll = fused_unbinned.unbinned_ll_fused_multi(
-                tensor, strides, idxs, mt[None, S:], mt[None, :S], mask,
-                outlier=outlier, interpret=interpret)[0]
-            return -(ll.astype(u.dtype) + prior_of_u(u, fixed_values))
-
-        def value_many_fn(u_cands, tensor, mask, fixed_values=()):
-            mts = jax.vmap(lambda v: mt_of_u(v, fixed_values))(u_cands)
-            priors = jax.vmap(
-                lambda v: prior_of_u(v, fixed_values))(u_cands)
-            if K:
-                idxs = jax.vmap(lambda v: jnp.stack(
-                    idx_of_u(v, fixed_values)))(u_cands)
-            else:
-                idxs = jnp.zeros((u_cands.shape[0], 0), jnp.int32)
-            lls = fused_unbinned.unbinned_ll_fused_multi(
-                tensor, strides, idxs, mts[:, S:], mts[:, :S], mask,
-                outlier=outlier, interpret=interpret)
-            return -(lls.astype(u_cands.dtype) + priors)
-
-        def _raw_vgh(u, tensor, mask, fixed_values):
-            mt = mt_of_u(u, fixed_values)
-            return fused_unbinned.unbinned_vgh_fused(
-                tensor, strides, idx_of_u(u, fixed_values), mt[S:], mt[:S],
-                mask, outlier=outlier, interpret=interpret)
-
-        return (value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh),
-                value_many_fn, None)
-
     def _corners(tensor, u, fixed_values):
         if K == 0:
             return tensor
@@ -674,6 +640,46 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
             _corners(tensor, u_ref, default_fixed), mt[:S], mt[S:], mask,
             outlier)
         return (inv_ref, ref_msum), ref_ll
+
+    if use_pallas:
+        def value_fn(u, tensor, mask, center, fixed_values=()):
+            mt = mt_of_u(u, fixed_values)
+            idx = idx_of_u(u, fixed_values)
+            idxs = (jnp.stack(idx)[None] if K
+                    else jnp.zeros((1, 0), jnp.int32))
+            inv_ref, ref_msum = center if center is not None else (None, None)
+            ll = fused_unbinned.unbinned_ll_fused_multi(
+                tensor, strides, idxs, mt[None, S:], mt[None, :S], mask,
+                outlier=outlier, interpret=interpret,
+                inv_ref=inv_ref, ref_msum=ref_msum)[0]
+            return -(ll.astype(u.dtype) + prior_of_u(u, fixed_values))
+
+        def value_many_fn(u_cands, tensor, mask, center, fixed_values=()):
+            mts = jax.vmap(lambda v: mt_of_u(v, fixed_values))(u_cands)
+            priors = jax.vmap(
+                lambda v: prior_of_u(v, fixed_values))(u_cands)
+            if K:
+                idxs = jax.vmap(lambda v: jnp.stack(
+                    idx_of_u(v, fixed_values)))(u_cands)
+            else:
+                idxs = jnp.zeros((u_cands.shape[0], 0), jnp.int32)
+            inv_ref, ref_msum = center if center is not None else (None, None)
+            lls = fused_unbinned.unbinned_ll_fused_multi(
+                tensor, strides, idxs, mts[:, S:], mts[:, :S], mask,
+                outlier=outlier, interpret=interpret,
+                inv_ref=inv_ref, ref_msum=ref_msum)
+            return -(lls.astype(u_cands.dtype) + priors)
+
+        def _raw_vgh(u, tensor, mask, center, fixed_values):
+            mt = mt_of_u(u, fixed_values)
+            inv_ref, ref_msum = center if center is not None else (None, None)
+            return fused_unbinned.unbinned_vgh_fused(
+                tensor, strides, idx_of_u(u, fixed_values), mt[S:], mt[:S],
+                mask, outlier=outlier, interpret=interpret,
+                inv_ref=inv_ref, ref_msum=ref_msum)
+
+        return (value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh),
+                value_many_fn, ref_fn)
 
     def value_fn(u, tensor, mask, center, fixed_values=()):
         mt = mt_of_u(u, fixed_values)
@@ -912,11 +918,6 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                     runtime_fixed=runtime_fixed, use_pallas=pallas)
             return parts[pallas]
 
-        # Above this event count, a float32 sum of ~|log lam| rounds at the
-        # 1e-2 level — route to the (centered) analytic engine instead of
-        # the (uncentered) fused kernel
-        CENTER_EVENTS = 32768
-
         def fit_one(data, mask=None, fixed_values=(), x0=None, freeze=None):
             # data = anchor per-event density tensor (a toy's scored events);
             # None falls back to the set_data-bound tensor
@@ -928,11 +929,8 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                           else jnp.ones(E, dtype=bool))
             # The event count is only known here (per trace): take the fused
             # kernel when the toy-block working set fits VMEM
-            f32 = tensor.dtype == jnp.float32
-            pallas = (use_pallas
-                      and not (f32 and E >= CENTER_EVENTS)
-                      and fused_unbinned.fused_unbinned_supported(
-                          (G, S, E), tensor.dtype))
+            pallas = (use_pallas and fused_unbinned.fused_unbinned_supported(
+                (G, S, E), tensor.dtype))
             if pallas:
                 E_pad = fused_unbinned._round_up(E, fused_unbinned.LANE)
                 if E_pad != E:
@@ -940,23 +938,17 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                     event_mask = jnp.pad(event_mask, (0, E_pad - E))
             value_fn, vgh_fn, value_many_fn, ref_fn = _parts(pallas)
             u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
-            if pallas:
-                value = lambda u: value_fn(u, tensor, event_mask,
-                                           fixed_values)       # noqa: E731
-                vghl = lambda u: vgh_fn(u, tensor, event_mask,
-                                        fixed_values)          # noqa: E731
-                f_many = (lambda cands: value_many_fn(
-                    cands, tensor, event_mask, fixed_values))
-                ref_ll = jnp.zeros((), dtype=tensor.dtype)
-            else:
-                # Center the LL at a fixed per-toy reference so float32 fits
-                # stay exact at any event count (see reference_center)
-                center, ref_ll = ref_fn(u0, tensor, event_mask)
-                value = lambda u: value_fn(u, tensor, event_mask, center,
-                                           fixed_values)       # noqa: E731
-                vghl = lambda u: vgh_fn(u, tensor, event_mask, center,
-                                        fixed_values)          # noqa: E731
-                f_many = None
+            # Center the LL at a fixed per-toy reference so float32 fits
+            # stay exact at any event count (see reference_center); both
+            # engines take the same center, both report centered + ref_ll.
+            center, ref_ll = ref_fn(u0, tensor, event_mask)
+            value = lambda u: value_fn(u, tensor, event_mask, center,
+                                       fixed_values)           # noqa: E731
+            vghl = lambda u: vgh_fn(u, tensor, event_mask, center,
+                                    fixed_values)              # noqa: E731
+            f_many = (None if value_many_fn is None else
+                      (lambda cands: value_many_fn(
+                          cands, tensor, event_mask, center, fixed_values)))
             u, fval, gnorm, it = minimize_newton(
                 value, u_start, max_iter=max_iter, tol=tol, polish=polish,
                 kink_coords=kink_coords, kink_jumps=kink_jumps,

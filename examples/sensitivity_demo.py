@@ -26,6 +26,15 @@ from blueice_tpu.parallel import BinnedToyStudy, NeymanConstruction, make_mesh
 def main():
     n_toys = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 
+    # A broken/unavailable accelerator plugin should not kill the demo:
+    # fall back to the CPU backend before the first computation.
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print("accelerator backend unavailable (%s); using CPU" %
+              str(e).splitlines()[0])
+        jax.config.update('jax_platforms', 'cpu')
+
     print("1) building likelihood (6 sources, 3^4 anchor models)...")
     t0 = time.time()
     lf = build_likelihood('binned', n_cs1_bins=25, n_cs2_bins=31)

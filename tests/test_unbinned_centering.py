@@ -81,6 +81,37 @@ def test_f32_differences_need_centering():
     assert err_centered < err_plain / 5
 
 
+def test_pallas_kernel_centered_matches_jnp():
+    """The fused kernel's centered value (interpret mode on CPU) equals the
+    jnp engine's centered value; derivatives are center-independent."""
+    from blueice_tpu.ops.fused_unbinned import unbinned_vgh_fused
+    from blueice_tpu.ops.binned_vgh import gather_corners
+
+    rng = np.random.default_rng(3)
+    G, S, E = 3, 2, 256           # 1D grid of 3 anchors -> K=1, E lane-padded
+    ps_toy = jnp.asarray(rng.uniform(0.05, 1.0, size=(G, S, E)))
+    mask = np.ones(E, dtype=bool)
+    mask[-9:] = False
+    m = jnp.asarray([900.0, 150.0])
+    t = jnp.asarray([0.41])
+    idx = [jnp.asarray(1)]
+    corners = gather_corners(ps_toy.reshape((3,) + ps_toy.shape[1:]),
+                             idx, 1, 2)
+
+    inv_ref, ref_msum, ref_ll = reference_center(corners, m, t, mask)
+    ll_j, g_j, H_j = unbinned_vgh(corners, m, t, mask,
+                                  inv_ref=inv_ref, ref_msum=ref_msum)
+    ll_p, g_p, H_p = unbinned_vgh_fused(
+        ps_toy, (1,), idx, t, m, mask, interpret=True,
+        inv_ref=inv_ref, ref_msum=ref_msum)
+    assert float(ll_p) == pytest.approx(float(ll_j), rel=1e-9, abs=1e-9)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(H_p), np.asarray(H_j), rtol=1e-9)
+    # centered + ref == plain
+    ll_plain = unbinned_ll(corners, m, t, mask)
+    assert float(ll_p + ref_ll) == pytest.approx(float(ll_plain), rel=1e-9)
+
+
 def test_f32_fit_at_1e5_events_matches_f64(tmp_path):
     """End to end: an f32 unbinned fit at ~1e5 events lands on the f64
     optimum of the SAME event set (the engine routes big-E float32 fits to

@@ -20,7 +20,6 @@ from copy import deepcopy
 from functools import wraps
 
 import numpy as np
-from scipy import stats
 from scipy.special import gammaln, xlogy
 
 from .exceptions import (NotPreparedException, InvalidParameterSpecification,

@@ -18,7 +18,6 @@ quasi-Newton, which is what matters when one evaluation is a fused XLA kernel.
 """
 
 from collections import OrderedDict
-from functools import partial
 
 import numpy as np
 import jax

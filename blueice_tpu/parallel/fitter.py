@@ -600,11 +600,13 @@ def _chain_vgh(mt_of_u, prior_of_u, raw_vgh):
 
 def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
                          use_pallas=False):
-    """(value_fn, vgh_fn, value_many_fn) for the closed-form unbinned engine.
-    All take (u, flat_ps_tensor, mask, fixed_values): the density tensor
-    arrives at call time (each toy's scored events, grid axes flattened, and
-    — on the Pallas path — events padded to the lane width), so one program
-    serves the whole ensemble."""
+    """(value_fn, vgh_fn, value_many_fn, ref_fn) for the closed-form
+    unbinned engine. value/vgh/value_many take (u[s], flat_ps_tensor, mask,
+    center, fixed_values): the density tensor arrives at call time (each
+    toy's scored events, grid axes flattened, and — on the Pallas path —
+    events padded to the lane width), so one program serves the whole
+    ensemble; ``center = ref_fn(tensor, mask)[0]`` is the per-toy float32
+    centering data (see ops.unbinned_vgh.reference_center)."""
     from ..ops.binned_vgh import gather_corners
     from ..ops.unbinned_vgh import (unbinned_vgh, unbinned_ll,
                                     reference_center)
@@ -625,19 +627,42 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
         return gather_corners(tensor.reshape(grid_shape + tensor.shape[1:]),
                               idx_of_u(u, fixed_values), K, 2)
 
-    # The reference point for float32 centering is STATIC (defaults for every
-    # parameter, including runtime-fixed ones) so free and conditional fits
-    # of the same toy share the exact same center — their reported maxima
-    # difference (the profile-LR statistic) is then computed entirely in
-    # small, f32-exact numbers.
-    default_fixed = tuple(
-        jnp.asarray(float(compiled.defaults[r])) for r in runtime_fixed)
+    # The reference point for float32 centering is built from HOST-SIDE
+    # literal constants (every parameter at its default — ignoring guesses
+    # and runtime-fixed hypothesis values on purpose), so every program that
+    # fits the same toy — free fit, conditional fit, straggler refinement —
+    # embeds the bit-identical reference computation. The centered optima
+    # then difference exactly; the only residual float32 rounding in the
+    # profile-LR statistic is the final add-back of ref_ll (bounded by
+    # ~2 ulp(|ref_ll|)), vs O(ulp) losses in every line-search comparison
+    # without centering.
+    p0 = dict(compiled.defaults)
+    # _make_unbinned_parts can be entered lazily inside a jit trace (the
+    # engine choice depends on the event count, known only per trace);
+    # compute the reference constants eagerly regardless.
+    with jax.ensure_compile_time_eval():
+        m0 = np.asarray(compiled.rates(
+            {k: jnp.asarray(float(v)) for k, v in p0.items()}))
+    idx0, t0 = [], []
+    for d, sp in enumerate(compiled.shape_names):
+        arr = np.asarray(compiled.anchor_arrays[d], dtype=float)
+        z = float(np.clip(float(p0[sp]), arr[0], arr[-1]))
+        i = int(np.clip(np.searchsorted(arr, z, side='right') - 1,
+                        0, len(arr) - 2))
+        idx0.append(i)
+        t0.append(float(np.clip((z - arr[i]) / (arr[i + 1] - arr[i]),
+                                0.0, 1.0)))
 
-    def ref_fn(u_ref, tensor, mask):
-        mt = mt_of_u(u_ref, default_fixed)
+    def ref_fn(tensor, mask):
+        if K:
+            corners0 = gather_corners(
+                tensor.reshape(grid_shape + tensor.shape[1:]),
+                [jnp.asarray(i, jnp.int32) for i in idx0], K, 2)
+        else:
+            corners0 = tensor
         inv_ref, ref_msum, ref_ll = reference_center(
-            _corners(tensor, u_ref, default_fixed), mt[:S], mt[S:], mask,
-            outlier)
+            corners0, jnp.asarray(m0, tensor.dtype),
+            jnp.asarray(t0, tensor.dtype), mask, outlier)
         return (inv_ref, ref_msum), ref_ll
 
     if use_pallas:
@@ -646,7 +671,7 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
             idx = idx_of_u(u, fixed_values)
             idxs = (jnp.stack(idx)[None] if K
                     else jnp.zeros((1, 0), jnp.int32))
-            inv_ref, ref_msum = center if center is not None else (None, None)
+            inv_ref, ref_msum = center
             ll = fused_unbinned.unbinned_ll_fused_multi(
                 tensor, strides, idxs, mt[None, S:], mt[None, :S], mask,
                 outlier=outlier, interpret=interpret,
@@ -662,7 +687,7 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
                     idx_of_u(v, fixed_values)))(u_cands)
             else:
                 idxs = jnp.zeros((u_cands.shape[0], 0), jnp.int32)
-            inv_ref, ref_msum = center if center is not None else (None, None)
+            inv_ref, ref_msum = center
             lls = fused_unbinned.unbinned_ll_fused_multi(
                 tensor, strides, idxs, mts[:, S:], mts[:, :S], mask,
                 outlier=outlier, interpret=interpret,
@@ -671,7 +696,7 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
 
         def _raw_vgh(u, tensor, mask, center, fixed_values):
             mt = mt_of_u(u, fixed_values)
-            inv_ref, ref_msum = center if center is not None else (None, None)
+            inv_ref, ref_msum = center
             return fused_unbinned.unbinned_vgh_fused(
                 tensor, strides, idx_of_u(u, fixed_values), mt[S:], mt[:S],
                 mask, outlier=outlier, interpret=interpret,
@@ -682,14 +707,14 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
 
     def value_fn(u, tensor, mask, center, fixed_values=()):
         mt = mt_of_u(u, fixed_values)
-        inv_ref, ref_msum = center if center is not None else (None, 0.0)
+        inv_ref, ref_msum = center
         ll = unbinned_ll(_corners(tensor, u, fixed_values), mt[:S], mt[S:],
                          mask, outlier, inv_ref=inv_ref, ref_msum=ref_msum)
         return -(ll + prior_of_u(u, fixed_values))
 
     def _raw_vgh(u, tensor, mask, center, fixed_values):
         mt = mt_of_u(u, fixed_values)
-        inv_ref, ref_msum = center if center is not None else (None, 0.0)
+        inv_ref, ref_msum = center
         return unbinned_vgh(_corners(tensor, u, fixed_values), mt[:S],
                             mt[S:], mask, outlier, inv_ref=inv_ref,
                             ref_msum=ref_msum)
@@ -940,7 +965,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             # Center the LL at a fixed per-toy reference so float32 fits
             # stay exact at any event count (see reference_center); both
             # engines take the same center, both report centered + ref_ll.
-            center, ref_ll = ref_fn(u0, tensor, event_mask)
+            center, ref_ll = ref_fn(tensor, event_mask)
             value = lambda u: value_fn(u, tensor, event_mask, center,
                                        fixed_values)           # noqa: E731
             vghl = lambda u: vgh_fn(u, tensor, event_mask, center,

@@ -145,16 +145,35 @@ def build_logl_sum(sum_lf, dtype=None, include_livetime=False,
     # shared source names stay at their defaults, matching the host Sum's
     # routing (reference: blueice/likelihood.py:895-927)
     routed = [set(names) for names in sum_lf.likelihood_parameters]
+    if include_livetime:
+        # livetime is not a declared parameter; every child that compiled
+        # with it shares the single joint livetime value
+        for i, c in enumerate(children):
+            if 'livetime_days' in c.param_names:
+                routed[i].add('livetime_days')
+
+    def _intersect(b0, b1):
+        """Joint bounds of a shared parameter (None = unbounded), matching
+        the host Sum's intersection semantics (composition.get_bounds)."""
+        lo = (b1[0] if b0[0] is None else b0[0] if b1[0] is None
+              else max(b0[0], b1[0]))
+        hi = (b1[1] if b0[1] is None else b0[1] if b1[1] is None
+              else min(b0[1], b1[1]))
+        return lo, hi
 
     defaults = OrderedDict()
     bounds = OrderedDict()
     param_names = []
     for i, c in enumerate(children):
         for p in c.param_names:
-            if p in routed[i] and p not in defaults:
+            if p not in routed[i]:
+                continue
+            if p not in defaults:
                 defaults[p] = c.defaults[p]
                 bounds[p] = c.bounds[p]
                 param_names.append(p)
+            else:
+                bounds[p] = _intersect(bounds[p], c.bounds[p])
 
     def _child_params(params, i):
         c = children[i]

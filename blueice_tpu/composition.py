@@ -115,7 +115,12 @@ class LogLikelihoodSum:
                     % parameter_name)
             return lo, hi
         if parameter_name.endswith(RATE_SUFFIX):
-            return 0, float('inf')
+            source = parameter_name[:-len(RATE_SUFFIX)]
+            for ll in self.likelihood_list:
+                if (source in getattr(ll, 'rate_parameters', ())
+                        or source in getattr(ll, 'source_name_list', ())):
+                    return 0, float('inf')
+            # fall through: no child knows this source — surface the typo
         raise InvalidParameter("Non-existing parameter %s" % parameter_name)
 
 
@@ -245,10 +250,16 @@ class LogLikelihoodReParam:
     def base_model(self):
         """The wrapped base model with ``simulate`` routed through the
         transform, so toys can be drawn at new-parameter points:
-        ``base_model.simulate(kwargs=dict(np0=2))``."""
-        model = deepcopy(self._likelihood.base_model)
-        model.simulate = self._simulate
-        return model
+        ``base_model.simulate(kwargs=dict(np0=2))``. The patched copy is
+        cached — deep-copying all source templates per property access made
+        innocuous-looking attribute chains O(model size)."""
+        cached = getattr(self, '_patched_base_model', None)
+        if cached is None or cached[0] is not self._likelihood.base_model:
+            model = deepcopy(self._likelihood.base_model)
+            model.simulate = self._simulate
+            cached = (self._likelihood.base_model, model)
+            self._patched_base_model = cached
+        return cached[1]
 
     def _simulate(self, kwargs=None, livetime_days=None):
         # Accept bare source names for rate multipliers (simulate convention)

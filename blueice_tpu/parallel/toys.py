@@ -63,11 +63,11 @@ def _refine_stragglers(fit_long, data_tree, x, ll, it, cap, extra_args=(),
     n_toys = it.shape[0]
     if bucket is None:
         bucket = min(n_toys, max(8, n_toys // 16))
-    data_np = jax.tree_util.tree_map(np.asarray, data_tree)
     for start in range(0, idx.size, bucket):
         sel = idx[start:start + bucket]
         pad = np.resize(sel, bucket)        # repeat-fill to the fixed shape
-        d_sel = jax.tree_util.tree_map(lambda c: jnp.asarray(c[pad]), data_np)
+        # Gather on-device (typed PRNG-key leaves cannot round-trip numpy)
+        d_sel = jax.tree_util.tree_map(lambda c: c[pad], data_tree)
         xs, lls, its = fit_long(d_sel, jnp.asarray(x[pad]), *extra_args)
         keep = slice(0, sel.size)
         better = np.asarray(lls)[keep] >= ll[sel]
@@ -497,12 +497,28 @@ class UnbinnedToyStudy:
         return self._score_one_tensor(self._pdf_tensor, coords)
 
     def expected_weights(self, **truth):
-        """(n_sources, *bins) expected counts per source and bin at truth."""
+        """(n_sources, *bins) expected counts per source and bin at truth.
+        Warns when the simulation truth outgrows the study's padded event
+        capacity ``n_max`` (sized at construction from the DEFAULT-parameter
+        expectation): events beyond n_max are silently dropped by the
+        fixed-shape sampler, which would bias high-rate ensembles — pass an
+        explicit ``n_max`` to the study instead."""
         p = self.compiled.params_from_kwargs(**truth)
         mus = self.compiled.rates(p)
         pdfs = self._morph_pdf(p)
         pmf = pdfs * jnp.asarray(self.bin_volumes, dtype=pdfs.dtype)
-        return mus[(...,) + (None,) * self.ndim] * pmf
+        weights = mus[(...,) + (None,) * self.ndim] * pmf
+        mu_tot = float(jnp.sum(weights))
+        if self.n_max < mu_tot + 4 * np.sqrt(mu_tot + 1):
+            import warnings
+            warnings.warn(
+                "UnbinnedToyStudy.n_max=%d is within 4 sigma of the "
+                "simulated expectation (%.0f events at this truth): toys "
+                "will be truncated. Construct the study with n_max >= %d."
+                % (self.n_max, mu_tot,
+                   int(mu_tot + 6 * np.sqrt(mu_tot + 1) + 10)),
+                stacklevel=2)
+        return weights
 
     def _morph_pdf(self, params):
         lf = self.lf

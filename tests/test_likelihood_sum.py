@@ -175,3 +175,47 @@ def test_ancillary_func_kwargs_and_order():
                                  func_kwargs={'scale': 3.0})
     assert anc() == -3.0 * ((1 - 1) ** 2 + (2 - 1) ** 2)
     assert seen['order'] == ['a', 'b']   # declared parameter order preserved
+
+
+def test_sum_bounds_typo_raises():
+    """A misspelled source's rate multiplier must not silently get (0, inf)."""
+    s = LogLikelihoodSum([_lf(1)])
+    assert s.get_bounds('s0_rate_multiplier') == (0, float('inf'))
+    with pytest.raises(InvalidParameter):
+        s.get_bounds('typo_source_rate_multiplier')
+
+
+def test_compiled_sum_bounds_intersection():
+    """The compiled Sum intersects shared-parameter bounds like the host Sum
+    (first-child-wins would let the fitter probe regions where another child
+    is out of bounds)."""
+    from blueice_tpu.compile import build_logl
+
+    lf1 = UnbinnedLogLikelihood(conf_for_test())
+    lf1.add_shape_parameter('some_multiplier', (0.25, 1, 2))
+    lf1.prepare()
+    lf1.set_data(lf1.base_model.simulate(rng=np.random.default_rng(3)))
+    lf2 = UnbinnedLogLikelihood(conf_for_test(events_per_day=500.))
+    lf2.add_shape_parameter('some_multiplier', (0.5, 1, 1.5))
+    lf2.prepare()
+    lf2.set_data(lf2.base_model.simulate(rng=np.random.default_rng(4)))
+
+    s = LogLikelihoodSum([lf1, lf2])
+    c = build_logl(s)
+    assert tuple(c.bounds['some_multiplier']) == s.get_bounds(
+        'some_multiplier') == (0.5, 1.5)
+
+
+def test_compiled_sum_livetime():
+    """include_livetime=True exposes one joint livetime on the compiled Sum."""
+    from blueice_tpu.compile import build_logl
+
+    lf1 = _lf(1, livetime_days=1.0)
+    lf2 = _lf(2, events_per_day=500., livetime_days=1.0)
+    s = LogLikelihoodSum([lf1, lf2])
+    c = build_logl(s, include_livetime=True)
+    assert 'livetime_days' in c.param_names
+    assert almost_equal(float(c(livetime_days=2.0)),
+                        lf1(livetime_days=2.0) + lf2(livetime_days=2.0),
+                        1e-9)
+    assert almost_equal(float(c()), s(), 1e-9)

@@ -262,3 +262,46 @@ def test_unbinned_profile_ts():
     assert (t >= 0).all()
     frac = (t < stats.chi2(1).ppf(0.9)).mean()
     assert 0.75 < frac < 1.0, frac
+
+
+def test_unbinned_n_max_truncation_warns():
+    """Simulating at a truth far above the default-parameter expectation must
+    warn (the fixed-shape sampler would silently drop events)."""
+    import warnings
+    conf = conf_for_test(mc=True, events_per_day=200.,
+                         n_events_for_pdf=int(1e5))
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    study = UnbinnedToyStudy(lf, max_iter=5)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        study.expected_weights(s0_rate_multiplier=10.0)
+    assert any('truncated' in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        study.expected_weights()
+    assert not any('truncated' in str(x.message) for x in w)
+
+
+def test_refine_stragglers_typed_prng_keys():
+    """The straggler pass gathers its data tree on-device: new-style typed
+    PRNG keys (jax.random.key) cannot round-trip through numpy."""
+    from blueice_tpu.parallel.toys import _refine_stragglers
+
+    n, k = 8, 2
+    keys = jax.random.split(jax.random.key(0), n)   # typed key array
+    x = np.zeros((n, k))
+    ll = np.full(n, -5.0)
+    it = np.array([1, 1, 9, 1, 9, 1, 1, 1])        # two lanes at the cap
+
+    def fit_long(key_batch, x0_batch):
+        b = x0_batch.shape[0]
+        return (jax.numpy.ones((b, k)), jax.numpy.full((b,), -1.0),
+                jax.numpy.full((b,), 3, dtype='int32'))
+
+    x2, ll2, it2, n_ref = _refine_stragglers(fit_long, keys, x, ll, it,
+                                             cap=9, bucket=4)
+    assert n_ref == 2
+    assert (ll2[[2, 4]] == -1.0).all()          # refined lanes improved
+    assert (ll2[[0, 1, 3, 5, 6, 7]] == -5.0).all()

@@ -204,6 +204,13 @@ class LogLikelihoodReParam:
     # -- parameter registry views -------------------------------------------------
 
     @property
+    def _build_version(self):
+        """Payload version of the WRAPPED likelihood: compiled-program caches
+        (inference.bestfit_jax) key on this, so a set_data() on the inner
+        likelihood invalidates programs compiled through the wrapper too."""
+        return ('reparam', getattr(self._likelihood, '_build_version', None))
+
+    @property
     def rate_parameters(self):
         """The wrapped rate parameters minus those now derived via the
         transform."""

@@ -221,6 +221,12 @@ class LogLikelihoodBase:
 
     def _prepare_source_wise_anchors(self):
         """Create per-source morphers; return the union of model anchor tuples."""
+        if self.config['morpher'] != 'GridInterpolator':
+            raise NotImplementedError(
+                "source_wise_interpolation requires a deterministic anchor "
+                "grid per source (morpher 'GridInterpolator'); scattered-"
+                "anchor morphers sample bound-dependent random anchors that "
+                "cannot be matched up across the per-source builds")
         self.source_morphers = OrderedDict()
         for sn, shape_pars in self.source_shape_parameters.items():
             self.source_morphers[sn] = MORPHERS[self.config['morpher']](
@@ -388,11 +394,14 @@ class LogLikelihoodBase:
             anchor_settings = list(self.shape_parameters[parameter_name][0].keys())
             return min(anchor_settings), max(anchor_settings)
         elif parameter_name.endswith('_rate_multiplier'):
+            # Exact source-name match: prefix matching would let a source
+            # named 'bg' donate its allow_negative bounds to 'bg2', and a
+            # misspelled source would silently get (0, inf)
             for source_name, allow_negative in zip(self.source_name_list,
                                                    self.source_allowed_negative):
-                if parameter_name.startswith(source_name) and allow_negative:
-                    return float('-inf'), float('inf')
-            return 0, float('inf')
+                if parameter_name == source_name + '_rate_multiplier':
+                    return ((float('-inf'), float('inf')) if allow_negative
+                            else (0, float('inf')))
         raise InvalidParameter("Non-existing parameter %s" % parameter_name)
 
     # -- evaluation (host path) ------------------------------------------------------

@@ -46,7 +46,10 @@ def expand_source_configs(config):
         merged = utils.combine_dicts(config, entry, exclude=_MODEL_ONLY_KEYS)
         own_multiplier_key = '%s_rate_multiplier' % merged.get(
             'name', 'unnamed_source')
-        multiplier = merged.get(own_multiplier_key, 1)
+        # Precedence: a global '<name>_rate_multiplier' setting, else the
+        # entry's own documented 'rate_multiplier', else 1
+        multiplier = merged.get(own_multiplier_key,
+                                merged.get('rate_multiplier', 1))
         merged = {k: v for k, v in merged.items()
                   if not k.endswith('_rate_multiplier')}
         merged['rate_multiplier'] = multiplier

@@ -133,9 +133,16 @@ class Source:
         del c['extra_dont_hash_settings']
         name = c.pop('name')
 
-        # Content address: hash of the pdf-relevant config
+        # Content address: hash of the pdf-relevant config PLUS the source
+        # class itself — two classes with identical configs compute different
+        # templates (their compute_pdf/simulate differ), and colliding them
+        # would silently bind one source's template to the other. The name is
+        # deliberately NOT hashed: same-physics sources under different names
+        # legitimately share one cached template.
         if 'hash' not in c:
             hash_config = utils.combine_dicts(c, exclude=c['dont_hash_settings'])
+            hash_config['__source_class__'] = '%s.%s' % (cls.__module__,
+                                                         cls.__qualname__)
             c['hash'] = utils.deterministic_hash(hash_config)
         return name, c
 
@@ -323,11 +330,13 @@ class MonteCarloSource(DensityEstimatingSource):
                     dont_hash_settings=['pdf_sampling_batch_size'])
 
     def get_events_for_density_estimate(self):
-        # Simulate in batches to bound memory (reference: blueice/source.py:338-348)
-        n_events = (self.config['n_events_for_pdf']
-                    * self.config['pdf_sampling_multiplier'])
-        batch_size = self.config['pdf_sampling_batch_size']
-        if n_events <= batch_size:
-            batch_size = n_events
-        for _ in range(int(n_events // batch_size)):
-            yield self.simulate(n_events=int(batch_size)), int(batch_size)
+        # Simulate in batches to bound memory (reference: blueice/source.py:338-348).
+        # The last batch covers the remainder, so non-integer multiples of the
+        # batch size still produce the full configured MC statistics.
+        n_todo = int(round(self.config['n_events_for_pdf']
+                           * self.config['pdf_sampling_multiplier']))
+        batch_size = int(self.config['pdf_sampling_batch_size'])
+        while n_todo > 0:
+            n = min(batch_size, n_todo)
+            yield self.simulate(n_events=n), n
+            n_todo -= n

@@ -244,3 +244,17 @@ def test_livetime_scaling():
     with pytest.raises(ValueError):
         lf_zero(livetime_days=1)
     assert lf_zero() == lf(s0_rate_multiplier=0)
+
+
+def test_rate_bounds_exact_source_match():
+    """Rate-multiplier bounds must match source names exactly: a source named
+    'bg' must not donate its allow_negative bounds to 'bg2', and misspelled
+    sources must raise."""
+    conf = conf_for_test(n_sources=2)
+    conf['sources'][0].update(name='bg', allow_negative=True)
+    conf['sources'][1].update(name='bg2')
+    lf = UnbinnedLogLikelihood(conf)
+    assert lf.get_bounds('bg_rate_multiplier') == (float('-inf'), float('inf'))
+    assert lf.get_bounds('bg2_rate_multiplier') == (0, float('inf'))
+    with pytest.raises(InvalidParameter):
+        lf.get_bounds('nope_rate_multiplier')

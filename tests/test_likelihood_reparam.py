@@ -127,3 +127,22 @@ def test_reparam_parameters_and_bounds():
     # Simulation through the reparameterized model works
     d = lf_reparam.base_model.simulate(kwargs=dict(np0=2))
     assert len(d) > 0
+
+
+def test_reparam_bestfit_jax_refreshes_on_set_data():
+    """bestfit_jax through the ReParam wrapper must recompile after the
+    wrapped likelihood's data changes (stale-program regression)."""
+    lf = UnbinnedLogLikelihood(conf_for_reparam_test())
+    for sn in ('op0', 'op1', 'op2'):
+        lf.add_rate_parameter(sn)
+    lfr = LogLikelihoodReParam(lf, BASE_CONV_CONFIG)
+
+    rng = np.random.default_rng(0)
+    lf.set_data(lf.base_model.simulate(rng=rng))
+    fit1, ll1 = lfr.bestfit_jax(return_errors=False)
+
+    d2 = lf.base_model.simulate(rate_multipliers={'op0': 3.0}, rng=rng)
+    lf.set_data(d2)
+    fit2, ll2 = lfr.bestfit_jax(return_errors=False)
+    fit2_ref, ll2_ref = lfr.bestfit_scipy()
+    assert abs(ll2 - ll2_ref) < 1e-3, (ll2, ll2_ref, ll1)

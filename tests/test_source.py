@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 from scipy import stats
 
 from blueice_tpu.test_helpers import conf_for_test
@@ -50,3 +51,48 @@ def test_force_and_never_cache():
     m = Model(conf_for_test(mc=True, n_events_for_pdf=int(1e4), sigma=2.2,
                             force_recalculation=True))
     assert not m.sources[0].from_cache
+
+
+def test_hash_distinguishes_source_classes():
+    """Two source classes with identical configs must not share a cached
+    template (their compute_pdf/simulate differ)."""
+    from blueice_tpu.test_helpers import GaussianSource, GaussianMCSource
+
+    conf = conf_for_test()['sources'][0]
+    base = conf_for_test()
+    base.update(name='s0', rate_multiplier=1)
+    _, c1 = GaussianSource.normalized_config(dict(base))
+    _, c2 = GaussianMCSource.normalized_config(dict(base))
+    assert c1['hash'] != c2['hash']
+    # ... while the name stays out of the hash (same-physics sources under
+    # different names legitimately share one template)
+    _, c3 = GaussianSource.normalized_config(dict(base, name='other'))
+    assert c1['hash'] == c3['hash']
+
+
+def test_mc_sampling_batches_cover_remainder():
+    """Non-integer multiples of the batch size still simulate the configured
+    statistics (the remainder batch must not be dropped)."""
+    from blueice_tpu.test_helpers import GaussianMCSource
+
+    conf = conf_for_test(mc=True, n_events_for_pdf=int(2.5e4),
+                         pdf_sampling_batch_size=1e4)
+    conf = dict(conf, **conf['sources'][0], rate_multiplier=1,
+                livetime_days=1)
+    s = GaussianMCSource(dict(conf, name='s0', force_recalculation=True))
+    assert float(s._n_events_histogram.n) == pytest.approx(2.5e4, rel=0.02)
+
+
+def test_source_entry_rate_multiplier_respected():
+    """A per-entry 'rate_multiplier' source setting must reach the source
+    (a global '<name>_rate_multiplier' still takes precedence)."""
+    from blueice_tpu.models.model import expand_source_configs
+
+    conf = conf_for_test()
+    conf['sources'] = [dict(name='s0', rate_multiplier=2.5)]
+    (_, merged), = expand_source_configs(conf)
+    assert merged['rate_multiplier'] == 2.5
+
+    conf['s0_rate_multiplier'] = 4.0
+    (_, merged), = expand_source_configs(conf)
+    assert merged['rate_multiplier'] == 4.0

@@ -151,9 +151,10 @@ def binned_ll(corners, m, t, observed):
     return jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
 
 
-def gather_corners(tensor, idx, K, extra_ndim):
+def gather_corners(tensor, idx, K):
     """Corner block (2^K, *extra) around integer lower-corner indices ``idx``
-    from a tensor with K leading anchor axes."""
+    from a tensor with K leading anchor axes (the extra shape is everything
+    after the K anchor axes)."""
     tensor = jnp.asarray(tensor)
     extra_shape = tensor.shape[K:]
     zero = jnp.zeros((), dtype=jnp.int32)

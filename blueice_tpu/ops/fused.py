@@ -114,10 +114,12 @@ def _vgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, obs_ref, anchor_hbm,
                                 - (lam - obs))
 
         inv_lam = 1.0 / lam_safe
+        # Keep r = -1 in empty-model bins (matching ops/binned_vgh.py): a bin
+        # with lam == 0 at the evaluation point can still have nonzero corner
+        # DIFFERENCES (one empty corner template on a cell edge), and its
+        # -Dbar contribution to g_t is real. Padded bins are harmless either
+        # way — their P and D rows are identically zero.
         r = obs * inv_lam - 1.0
-        # r contributes through factors that vanish in all-zero bins, but keep
-        # it clean there anyway
-        r = jnp.where((obs == 0) & (lam == 0), 0.0, r)
         q = obs * inv_lam * inv_lam
 
         # Gradient
@@ -360,8 +362,7 @@ def _batched_impl(anchor_flat, ids_b, w_b, wd_b, wx_b, m_b, obs_b,
     m_b (B, S), obs_b (B, N) -> (ll (B,), g (B, P), H (B, P, P))."""
     G, S, N = anchor_flat.shape
     B, C = ids_b.shape
-    K = int(np.log2(C)) if C > 1 else (wd_b.shape[1] if wd_b.shape[1] else 0)
-    # C == 2^K; recover K robustly from C
+    # C == 2^K; recover K from C
     K = int(round(np.log2(C)))
 
     blk = min(TOY_BLOCK, B)

@@ -625,7 +625,7 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
         if K == 0:
             return tensor
         return gather_corners(tensor.reshape(grid_shape + tensor.shape[1:]),
-                              idx_of_u(u, fixed_values), K, 2)
+                              idx_of_u(u, fixed_values), K)
 
     # The reference point for float32 centering is built from HOST-SIDE
     # literal constants (every parameter at its default — ignoring guesses
@@ -657,7 +657,7 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
         if K:
             corners0 = gather_corners(
                 tensor.reshape(grid_shape + tensor.shape[1:]),
-                [jnp.asarray(i, jnp.int32) for i in idx0], K, 2)
+                [jnp.asarray(i, jnp.int32) for i in idx0], K)
         else:
             corners0 = tensor
         inv_ref, ref_msum, ref_ll = reference_center(
@@ -770,7 +770,7 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     def _corners_of(tensor_flat, u, fixed_values):
         if K == 0:
             return tensor_flat[None]
-        return gather_corners(tensor_flat, idx_of_u(u, fixed_values), K, 2)
+        return gather_corners(tensor_flat, idx_of_u(u, fixed_values), K)
 
     def _corners(u, fixed_values):
         return _corners_of(ps_flat, u, fixed_values)

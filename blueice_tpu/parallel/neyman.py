@@ -42,8 +42,12 @@ class NeymanConstruction:
 
     def scan(self, key, hypotheses, n_toys=1000):
         """Run the toy ensembles: for each hypothesis h, simulate n_toys
-        datasets with target=h and collect the profile-LR distribution."""
-        self.hypotheses = np.asarray(hypotheses, dtype=float)
+        datasets with target=h and collect the profile-LR distribution.
+        The hypothesis grid is sorted internally (np.interp over a
+        non-monotonic grid would silently return nonsense)."""
+        hypotheses = np.asarray(hypotheses, dtype=float)
+        order = np.argsort(hypotheses)
+        self.hypotheses = hypotheses[order]
         ts = self.study.profile_ts_scan(
             key, self.target, self.hypotheses, n_toys,
             fixed=self.fixed, mesh=self.mesh, truth=self.truth,
@@ -60,6 +64,13 @@ class NeymanConstruction:
         # brentq in one_parameter_interval passes the quantile wrapped in a
         # sequence; accept scalars or length-1 containers
         quantile = float(np.asarray(quantile).reshape(-1)[0])
+        # one_parameter_interval passes quantile = 1 - CL (lower limits) or
+        # the tail probability (central): for the NONNEGATIVE profile-LR
+        # statistic the relevant critical value is always the upper tail —
+        # mirror small quantiles like Wilks' norm.ppf(q)^2 does implicitly
+        # (it is symmetric in q <-> 1-q); without this, lower limits would
+        # compare against a ~0 critical value and collapse to the best fit.
+        quantile = max(quantile, 1.0 - quantile)
         hypothesis = float(np.asarray(hypothesis).reshape(-1)[0])
         n = self.t_sorted.shape[1]
         # quantile within each hypothesis's sorted toy statistics

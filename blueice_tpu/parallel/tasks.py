@@ -63,10 +63,14 @@ def compute_many(hashes, n_cpus=1, *args, **kwargs):
 
 
 def compute_all(input_dir='./pdf_tasks', *args, **kwargs):
-    """Compute every pending task file in input_dir."""
+    """Compute every pending task file in input_dir. Dotfiles are skipped:
+    a hard-killed atomic write can leave a '.tmp_*.part' behind in the task
+    dir, and a resumed run must step over it rather than abort on a
+    truncated pickle."""
     if not os.path.exists(input_dir):
         raise FileNotFoundError("Input directory %s does not exist" % input_dir)
-    compute_many(os.listdir(input_dir), *args, **kwargs)
+    compute_many([h for h in os.listdir(input_dir) if not h.startswith('.')],
+                 *args, **kwargs)
 
 
 def create_models_ipyparallel(configs, ipp_client=None, block=False):

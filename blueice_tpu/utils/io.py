@@ -78,8 +78,17 @@ def save_pickle(stuff, filename):
 def save_npz(arrays, filename):
     """Atomically save a dict of numpy arrays (plus scalars) as an .npz payload."""
     import io as _io
+    payload = {k: np.asarray(v) for k, v in arrays.items()}
+    for k, v in payload.items():
+        if v.dtype == object:
+            # np.savez would silently pickle it and load_npz
+            # (allow_pickle=False) would then fail at READ time, possibly on
+            # a different worker — surface the error to the writer instead
+            raise TypeError(
+                "save_npz: %r has object dtype (not a numeric array); "
+                "use save_pickle for arbitrary payloads" % k)
     buf = _io.BytesIO()
-    np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items()})
+    np.savez(buf, **payload)
     atomic_write_bytes(buf.getvalue(), filename)
 
 

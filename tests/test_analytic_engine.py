@@ -55,7 +55,7 @@ def test_binned_vgh_matches_autodiff():
 
 def test_gather_corners():
     tensor = jnp.arange(3 * 4 * 2 * 5.0).reshape(3, 4, 2, 5)
-    block = gather_corners(tensor, [jnp.asarray(1), jnp.asarray(2)], 2, 2)
+    block = gather_corners(tensor, [jnp.asarray(1), jnp.asarray(2)], 2)
     assert block.shape == (4, 2, 5)
     np.testing.assert_array_equal(np.asarray(block[0]),
                                   np.asarray(tensor[1, 2]))

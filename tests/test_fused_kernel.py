@@ -39,7 +39,7 @@ def test_fused_matches_jnp(K):
     ll_f, g_f, H_f = binned_vgh_fused(anchor_flat, strides, idx, t, m,
                                       observed, interpret=True)
 
-    corners = (gather_corners(tensor_p, idx, K, 2).reshape(
+    corners = (gather_corners(tensor_p, idx, K).reshape(
         (2 ** K, anchor_flat.shape[1], anchor_flat.shape[2]))
         if K else anchor_flat)
     ll_j, g_j, H_j = binned_vgh(corners, m, t, observed)
@@ -70,7 +70,7 @@ def test_fused_under_vmap():
 
     for i in range(n_toys):
         corners = gather_corners(tensor_p, [idx_b[i, d] for d in range(K)],
-                                 K, 2).reshape((4, 3, -1))
+                                 K).reshape((4, 3, -1))
         ll_j, g_j, H_j = binned_vgh(corners, m_b[i], t_b[i], obs_b[i])
         np.testing.assert_allclose(float(ll_b[i]), float(ll_j), rtol=1e-10)
         np.testing.assert_allclose(np.asarray(g_b[i]), np.asarray(g_j),

@@ -96,7 +96,7 @@ def test_pallas_kernel_centered_matches_jnp():
     t = jnp.asarray([0.41])
     idx = [jnp.asarray(1)]
     corners = gather_corners(ps_toy.reshape((3,) + ps_toy.shape[1:]),
-                             idx, 1, 2)
+                             idx, 1)
 
     inv_ref, ref_msum, ref_ll = reference_center(corners, m, t, mask)
     ll_j, g_j, H_j = unbinned_vgh(corners, m, t, mask,

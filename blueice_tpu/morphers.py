@@ -80,6 +80,14 @@ class GridInterpolator(Morpher):
         self.anchor_z_arrays = [
             np.array(sorted(anchors.keys()), dtype=float)
             for setting_name, (anchors, _, _) in shape_parameters.items()]
+        for name, arr in zip(shape_parameters, self.anchor_z_arrays):
+            if len(arr) < 2:
+                from .exceptions import InvalidParameterSpecification
+                raise InvalidParameterSpecification(
+                    "Shape parameter %r has %d anchor point(s); grid "
+                    "morphing needs at least 2 per axis (to pin a setting, "
+                    "put it in the config instead of declaring it a shape "
+                    "parameter)" % (name, len(arr)))
         self.anchor_z_grid = arrays_to_grid(self.anchor_z_arrays)
 
     @inherit_docstring_from(Morpher)

@@ -25,15 +25,33 @@ _LIB = None
 _TRIED = False
 
 
+def _cpu_identity():
+    """A short digest of this machine's ISA: -march=native binaries cached
+    on a shared (e.g. NFS) home must not be loaded by a host with different
+    CPU features (SIGILL mid-template-build)."""
+    import platform
+    ident = platform.machine()
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('flags', 'Features')):
+                    ident += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(ident.encode()).hexdigest()[:8]
+
+
 def _build_and_load():
-    """Compile fasthist.cpp (cached by source hash) and load it."""
+    """Compile fasthist.cpp (cached by source + CPU hash) and load it."""
     with open(_SRC, 'rb') as f:
         src_hash = hashlib.sha1(f.read()).hexdigest()[:12]
     cache_dir = os.environ.get(
         'BLUEICE_TPU_NATIVE_CACHE',
         os.path.join(os.path.expanduser('~'), '.cache', 'blueice_tpu'))
     os.makedirs(cache_dir, exist_ok=True)
-    lib_path = os.path.join(cache_dir, 'fasthist_%s.so' % src_hash)
+    lib_path = os.path.join(cache_dir, 'fasthist_%s_%s.so'
+                            % (src_hash, _cpu_identity()))
 
     if not os.path.exists(lib_path):
         tmp_path = lib_path + '.tmp.%d' % os.getpid()
@@ -92,6 +110,13 @@ def histogram_nd(sample, edges, weights=None):
     if sample.ndim == 1:
         sample = sample[:, None]
     ndim = sample.shape[1]
+    if len(edges) != ndim:
+        raise ValueError("Got %d edge arrays for %d sample dimensions"
+                         % (len(edges), ndim))
+    if weights is not None and len(weights) != sample.shape[0]:
+        # numpy raises here too; the C++ path would read out of bounds
+        raise ValueError("weights has length %d, expected %d"
+                         % (len(weights), sample.shape[0]))
     lib = _get_lib()
     if lib is None or ndim > 16:
         h, _ = np.histogramdd(sample, bins=edges, weights=weights)

@@ -29,6 +29,11 @@ inline int64_t bin_index(const Axis& ax, double x) {
     if (!(x >= ax.lo && x <= ax.hi))    // also rejects NaN
         return -1;
     const int64_t n_bins = ax.n_edges - 1;
+    if (n_bins <= 0)
+        // Degenerate single-edge axis: no bins. Without this guard the
+        // uniform path computes (x-lo)*inv_width = 0*inf/NaN and casting
+        // NaN to int64 is undefined behavior.
+        return -1;
     if (ax.uniform) {
         int64_t i = (int64_t)((x - ax.lo) * ax.inv_width);
         if (i >= n_bins) i = n_bins - 1;          // right edge of last bin

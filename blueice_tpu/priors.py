@@ -59,7 +59,12 @@ class UniformPrior:
 
     def __call__(self, x):
         if _is_host_value(x):
-            return 0.0 if self.lo <= x <= self.hi else -float('inf')
+            # Elementwise like NormalPrior: chained comparisons would crash
+            # on numpy arrays (ambiguous truth value)
+            import numpy as np
+            inside = (np.asarray(x) >= self.lo) & (np.asarray(x) <= self.hi)
+            out = np.where(inside, 0.0, -np.inf)
+            return float(out) if np.ndim(x) == 0 else out
         import jax.numpy as jnp
         x = jnp.asarray(x)
         inside = (x >= self.lo) & (x <= self.hi)

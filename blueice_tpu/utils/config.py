@@ -53,7 +53,9 @@ def hashablize(obj):
         if isinstance(obj, dict):
             return tuple((k, hashablize(v)) for (k, v) in sorted(obj.items()))
         elif isinstance(obj, np.ndarray):
-            return tuple(obj.tolist())
+            # Recurse: a >= 2-d array's tolist() is a list of LISTS, which
+            # would still be unhashable
+            return hashablize(obj.tolist())
         elif hasattr(obj, '__iter__'):
             return tuple(hashablize(o) for o in obj)
         else:

@@ -82,3 +82,17 @@ def test_latin():
                                    np.arange(5) / 4.0, rtol=1e-12)
     boxed = morphers.latin(4, 1, box=[(10, 20)], shuffle_steps=5)
     assert (boxed >= 10).all() and (boxed <= 20).all()
+
+
+def test_single_anchor_axis_rejected():
+    """Grid morphing needs >= 2 anchors per axis; a single anchor must raise
+    a clear error instead of crashing inside jit with a slice-size failure."""
+    from blueice_tpu.morphers import MORPHERS
+    from blueice_tpu.exceptions import InvalidParameterSpecification
+    from collections import OrderedDict
+
+    shape_parameters = OrderedDict(
+        mu=({-1.0: -1.0, 0.0: 0.0, 1.0: 1.0}, None, None),
+        sigma=({1.0: 1.0}, None, None))
+    with pytest.raises(InvalidParameterSpecification, match='at least 2'):
+        MORPHERS['GridInterpolator']({}, shape_parameters)

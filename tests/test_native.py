@@ -55,3 +55,16 @@ def test_native_speed_sanity():
     np.histogramdd(sample, bins=edges)
     t_numpy = time.time() - t0
     assert t_native < max(2 * t_numpy, 0.5), (t_native, t_numpy)
+
+
+def test_histogram_nd_validates_weights_and_dims():
+    from blueice_tpu.native import histogram_nd
+    sample = np.full((5, 1), 0.25)
+    edges = [np.linspace(0, 1, 3)]
+    with pytest.raises(ValueError):
+        histogram_nd(sample, edges, weights=np.ones(3))
+    with pytest.raises(ValueError):
+        histogram_nd(sample, edges + edges)
+    # well-formed call still matches numpy
+    h = histogram_nd(sample, edges, weights=np.full(5, 2.0))
+    np.testing.assert_array_equal(h, [10.0, 0.0])

@@ -135,3 +135,11 @@ def test_sample_from_template():
     assert ((pts[:, 0] >= 1) & (pts[:, 0] < 2)).sum() == 0
     frac_hi = (pts[:, 0] >= 2).mean()
     assert abs(frac_hi - 0.75) < 0.02
+
+
+def test_uniform_prior_host_arrays():
+    from blueice_tpu.priors import UniformPrior
+    p = UniformPrior(0.0, 1.0)
+    assert p(0.5) == 0.0 and p(2.0) == -float('inf')
+    out = p(np.array([0.5, 2.0, -1.0, 1.0]))
+    np.testing.assert_array_equal(out, [0.0, -np.inf, -np.inf, 0.0])

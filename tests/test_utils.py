@@ -90,3 +90,18 @@ def test_hashablize():
         __hash__ = None
     with pytest.raises(TypeError):
         hashablize(Unhashable())
+
+
+def test_hashablize_2d_array():
+    """2-d (and deeper) arrays must hashablize to nested tuples, not tuples
+    of (unhashable) lists."""
+    from blueice_tpu.utils import hashablize
+    h = hashablize({'a': np.ones((2, 2)), 'b': [np.arange(3)]})
+    hash(h)   # must not raise
+
+
+def test_save_npz_rejects_object_dtype(tmp_path):
+    from blueice_tpu.utils import save_npz
+    with pytest.raises(TypeError, match='object dtype'):
+        save_npz({'labels': np.array(['a', None], dtype=object)},
+                 str(tmp_path / 'x.npz'))

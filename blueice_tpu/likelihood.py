@@ -721,12 +721,17 @@ class BinnedLogLikelihood(LogLikelihoodBase):
         return mus, pmfs
 
     def _compute_likelihood(self, mus, pmfs):
-        """Sum over bins of Poisson logpmf(observed; sum_s mu_s pmf_s)."""
+        """Sum over bins of Poisson logpmf(observed; sum_s mu_s pmf_s).
+        Negative per-bin expectations (allow_negative sources) take a steep
+        linear penalty, matching the compiled path
+        (ops.poisson.binned_poisson_logl) — without it, empty observed bins
+        would REWARD negative expectations through the -lambda term."""
         expected = np.tensordot(np.asarray(mus, dtype=float),
                                 np.asarray(pmfs, dtype=float), axes=(0, 0))
         observed = self.data_events_per_bin.values
+        penalty = 1e6 * float(np.sum(np.minimum(expected, 0.0)))
         return float(np.sum(xlogy(observed, expected) - expected
-                            - gammaln(observed + 1.0)))
+                            - gammaln(observed + 1.0))) + penalty
 
 
 ##

@@ -83,11 +83,19 @@ def bb_single_adjust(mus, pmfs, n_model_events, observed, source_i):
                               pmfs[source_i] / safe_a * n_mc_total,
                               0.0)
 
-    A_general = beeston_barlow_root2(a_bins, w_calibration * p_calibration,
-                                     u_bins, observed)
-    # U == 0 bins: the general root is singular, use the dedicated closed form
+    # Empty-MC bins (a == 0 -> w == 0) make the general root 0/0: evaluate
+    # it at a SAFE p there and zero the result afterwards (double-where —
+    # a jnp.where over a NaN branch still back-propagates NaN)
+    p_eff = jnp.where(w_calibration > 0,
+                      w_calibration * p_calibration, 1.0)
+    A_general = beeston_barlow_root2(a_bins, p_eff, u_bins, observed)
+    # U == 0 bins: the general root is singular, use the dedicated closed
+    # form. Uses the bare p_calibration — matching the reference's special
+    # case exactly (reference: blueice/likelihood.py:651-653), which assumes
+    # pmf == a/n_mc_total (w == 1) in such bins.
     A_special = (observed + a_bins) / (1.0 + p_calibration)
     A_bins = jnp.where(u_bins == 0, A_special, A_general)
+    A_bins = jnp.where(w_calibration > 0, A_bins, 0.0)
 
     new_raw = A_bins * w_calibration
     new_pmf = new_raw / jnp.sum(new_raw)

@@ -148,7 +148,11 @@ def binned_ll(corners, m, t, observed):
     lam = jnp.tensordot(m, P, axes=(0, 0))
     lam_safe = jnp.maximum(lam, jnp.finfo(corners.dtype).tiny)
     k_safe = jnp.where(observed > 0, observed, 1.0)
-    return jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
+    # Penalize negative expectations (allow_negative sources) like
+    # ops.poisson.binned_poisson_logl — the line search then rejects
+    # candidates in the unphysical region
+    return (jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
+            + 1e6 * jnp.sum(jnp.minimum(lam, 0.0)))
 
 
 def gather_corners(tensor, idx, K):

@@ -55,6 +55,11 @@ def binned_poisson_logl(mus, pmfs, observed, include_constant=True):
     k_safe = jnp.where(observed > 0, observed, 1.0)
     ll = jnp.sum(xlogy(observed, jnp.maximum(expected, tiny) / k_safe)
                  - (expected - observed))
+    # NEGATIVE per-bin expectations (possible with allow_negative sources
+    # even when the total rate is physical) must not be rewarded: with the
+    # log floored, the linear -(lambda - k) term would otherwise grow the LL
+    # without bound as a bin goes negative. Steep linear penalty instead.
+    ll = ll + 1e6 * jnp.sum(jnp.minimum(expected, 0.0))
     if include_constant:
         ll = ll + binned_poisson_logl_constant(observed)
     return ll
@@ -84,6 +89,11 @@ def extended_logl(mus, ps, outlier_likelihood=0.0, mask=None):
     mus = jnp.asarray(mus)
     ps = jnp.asarray(ps)
     p_events = jnp.nansum(mus[:, None] * ps, axis=0)
+    if mask is not None:
+        # Double-where: floor the PADDED events' density BEFORE the log.
+        # Masking only the log's output leaves log(0) = -inf in the
+        # computation, whose VJP (0 * 1/0) poisons every gradient with NaN.
+        p_events = jnp.where(mask, p_events, 1.0)
     if outlier_likelihood != 0:
         p_events = jnp.where(p_events > 0, p_events, outlier_likelihood)
     log_terms = jnp.log(p_events)

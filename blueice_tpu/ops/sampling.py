@@ -29,7 +29,9 @@ def sample_from_template(key, weights, edges, n):
     logits = jnp.log(jnp.where(flat > 0, flat, 0.0))
     bin_i = jax.random.categorical(k_bin, logits, shape=(n,))
     multi = jnp.unravel_index(bin_i, shape)
-    u = jax.random.uniform(k_uni, (n, len(shape)), dtype=flat.dtype)
+    # weights may arrive as integer MC-count templates; uniform needs a float
+    u_dtype = jnp.promote_types(flat.dtype, jnp.float32)
+    u = jax.random.uniform(k_uni, (n, len(shape)), dtype=u_dtype)
     cols = []
     for d, e in enumerate(edges):
         e = jnp.asarray(e)

@@ -919,8 +919,13 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         G = int(np.prod(ps.shape[:K])) if K else 1
         n_bins = int(np.prod(ps.shape[K + 1:]))
         per_toy_payload = S * fused._round_up(n_bins, fused.LANE)
+        # allow_negative models need the negative-expectation penalty that
+        # only the jnp value paths carry — keep them off the Pallas kernels
+        has_negative = any(getattr(compiled.lf, 'source_allowed_negative',
+                                   ()))
         if (jax.default_backend() == 'tpu'
                 and per_toy_payload >= 4096
+                and not has_negative
                 and fused.fused_vgh_supported((G, S, n_bins), ps.dtype)):
             engine = 'pallas'
         else:

@@ -29,12 +29,17 @@ def progress_iter(iterable, desc=None, total=None):
     if not _ENABLED:
         yield from iterable
         return
+    # Import in its OWN try: wrapping the yield-from would also catch an
+    # ImportError raised inside the CALLER's loop body (thrown into the
+    # generator), silently swallowing it and re-iterating the sequence
+    # through the fallback ticker below.
     try:
         from tqdm import tqdm
+    except ImportError:
+        tqdm = None
+    if tqdm is not None:
         yield from tqdm(iterable, desc=desc, total=total)
         return
-    except ImportError:
-        pass
 
     if total is None:
         try:

@@ -143,3 +143,65 @@ def test_uniform_prior_host_arrays():
     assert p(0.5) == 0.0 and p(2.0) == -float('inf')
     out = p(np.array([0.5, 2.0, -1.0, 1.0]))
     np.testing.assert_array_equal(out, [0.0, -np.inf, -np.inf, 0.0])
+
+
+def test_extended_logl_masked_grad_no_nan():
+    """Padded (zero-density) events must not poison gradients, even with the
+    outlier floor disabled (double-where regression)."""
+    import jax
+    from blueice_tpu.ops.poisson import extended_logl
+
+    ps = jnp.asarray([[0.2, 0.3, 0.0], [0.1, 0.4, 0.0]])   # last = padding
+    mask = jnp.asarray([True, True, False])
+
+    def f(mus):
+        return extended_logl(mus, ps, outlier_likelihood=0.0, mask=mask)
+
+    g = jax.grad(f)(jnp.asarray([5.0, 3.0]))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_binned_logl_penalizes_negative_expectations():
+    """With an allow_negative source, empty observed bins must not REWARD a
+    negative expectation through the -(lambda - k) term."""
+    from blueice_tpu.ops.poisson import binned_poisson_logl
+
+    pmfs = jnp.asarray([[0.5, 0.5], [1.0, 0.0]])
+    observed = jnp.asarray([0.0, 0.0])
+    ll_ok = float(binned_poisson_logl(jnp.asarray([1.0, 0.0]), pmfs, observed))
+    ll_neg = float(binned_poisson_logl(jnp.asarray([1.0, -3.0]), pmfs,
+                                       observed))
+    assert ll_neg < ll_ok - 1e5
+
+
+def test_bb_adjust_empty_mc_bin_no_nan():
+    """A finite-MC source with an EMPTY bin overlapping other sources must
+    not poison the whole adjusted pmf with NaN (0/0 in the general root)."""
+    import jax
+    from blueice_tpu.ops.beeston_barlow import bb_single_adjust
+
+    pmfs = jnp.asarray([[0.6, 0.4, 0.0], [0.3, 0.3, 0.4]])
+    nme = jnp.asarray([[30.0, 20.0, 0.0], [10.0, 10.0, 10.0]])
+    observed = jnp.asarray([4.0, 3.0, 2.0])
+
+    mus_adj, pmf_adj = bb_single_adjust(jnp.asarray([5.0, 7.0]), pmfs, nme,
+                                        observed, 0)
+    assert np.isfinite(np.asarray(mus_adj)).all()
+    assert np.isfinite(np.asarray(pmf_adj)).all()
+    assert float(pmf_adj[0, 2]) == 0.0     # empty-MC bin stays empty
+
+    def f(mus):
+        a, p = bb_single_adjust(mus, pmfs, nme, observed, 0)
+        return jnp.sum(a) + jnp.sum(p)
+    g = jax.grad(f)(jnp.asarray([5.0, 7.0]))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sample_from_template_integer_weights():
+    import jax
+    from blueice_tpu.ops.sampling import sample_from_template
+    edges = [jnp.linspace(0.0, 1.0, 3)]
+    out = sample_from_template(jax.random.PRNGKey(0),
+                               jnp.asarray([3, 1]), edges, 50)
+    assert out.shape == (50, 1)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()

@@ -121,7 +121,7 @@ class LogLikelihoodSum:
                         or source in getattr(ll, 'source_name_list', ())):
                     return 0, float('inf')
             # fall through: no child knows this source — surface the typo
-        raise InvalidParameter("Non-existing parameter %s" % parameter_name)
+        raise InvalidParameter("No parameter named %s in this likelihood" % parameter_name)
 
 
 class ParameterTransform:
@@ -307,7 +307,7 @@ class LogAncillaryLikelihood:
             return [self.get_bounds(p) for p in self.shape_parameters]
         if parameter_name not in self.shape_parameters:
             raise InvalidParameter(
-                "Non-existing parameter %s" % parameter_name)
+                "No parameter named %s in this likelihood" % parameter_name)
         return -np.inf, np.inf
 
     def __call__(self, **kwargs):

@@ -153,16 +153,30 @@ def build_config(n_cs1_bins=50, n_cs2_bins=62, livetime_days=278.0,
     return config
 
 
-def build_likelihood(kind='binned', n_anchors=3, prepare=True, **kwargs):
+def build_likelihood(kind='binned', n_anchors=3, prepare=True, bb=False,
+                     **kwargs):
     """The full 6-source, 4-shape-nuisance likelihood.
 
     Shape nuisances (3 anchors each by default -> 3^4 = 81 anchor models):
     band_shift, band_width_scale, cs1_tilt (morphing) + efficiency (rate-like,
     applied to the wimp source). Background rates carry Gaussian constraints.
+
+    :param bb: enable ``bb_single`` Beeston-Barlow finite-MC-statistics
+      handling on the dominant 'er' background (reference:
+      blueice/likelihood.py:618-660). Requires the blob templates (the
+      default), which carry synthetic per-bin MC counts; binned only.
     """
     config = build_config(**kwargs)
     cls = BinnedLogLikelihood if kind == 'binned' else UnbinnedLogLikelihood
-    lf = cls(config)
+    likelihood_config = None
+    if bb:
+        if kind != 'binned' or kwargs.get('jax_templates'):
+            raise ValueError("Beeston-Barlow needs the binned likelihood "
+                             "over blob templates (which carry MC counts)")
+        likelihood_config = {
+            'model_statistical_uncertainty_handling': 'bb_single',
+            'bb_single_source': 'er'}
+    lf = cls(config, likelihood_config=likelihood_config)
 
     lf.add_rate_parameter('wimp')
     lf.add_rate_parameter('er', log_prior=NormalPrior(1, 0.05))

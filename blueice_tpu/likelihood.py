@@ -60,7 +60,7 @@ def _needs_data(f):
     def wrapper(self, *args, **kwargs):
         if not self.is_data_set:
             raise NotPreparedException(
-                "%s requires you to first set the data using set_data()"
+                "%s needs data: call set_data() first"
                 % f.__name__)
         return f(self, *args, **kwargs)
     return wrapper
@@ -254,7 +254,7 @@ class LogLikelihoodBase:
         # Pass 1 writes task files; workers compute; pass 2 loads from cache
         from .parallel import compute_many
         models = [Model(c) for c in progress_iter(
-            configs, desc="Preparing model computation tasks")]
+            configs, desc="Writing anchor-model task files")]
         # Fan the pending hashes out PER (task_dir, cache_dir) pair: sources
         # may legitimately use different directories, and computing a task
         # into an arbitrary pop()'d directory would silently miss it.
@@ -350,8 +350,8 @@ class LogLikelihoodBase:
         if not isinstance(anchors, dict):
             if not is_numeric:
                 raise InvalidParameterSpecification(
-                    "When specifying anchors only by setting values, the base "
-                    "setting must have a numerical default.")
+                    "Anchors given as a bare list of setting values need the "
+                    "base setting to have a numeric default")
             anchors = {z: z for z in anchors}
 
         if not is_numeric:
@@ -362,7 +362,8 @@ class LogLikelihoodBase:
                     "represents the default (base model) setting")
         if is_numeric and base_value is not None:
             raise InvalidParameterSpecification(
-                "For numeric settings, base_value is an unnecessary argument.")
+                "base_value only applies to non-numeric settings; numeric "
+                "anchors are their own base values")
 
         self.shape_parameters[setting_name] = (anchors, log_prior, base_value)
 
@@ -402,7 +403,7 @@ class LogLikelihoodBase:
                 if parameter_name == source_name + '_rate_multiplier':
                     return ((float('-inf'), float('inf')) if allow_negative
                             else (0, float('inf')))
-        raise InvalidParameter("Non-existing parameter %s" % parameter_name)
+        raise InvalidParameter("No parameter named %s in this likelihood" % parameter_name)
 
     # -- evaluation (host path) ------------------------------------------------------
 
@@ -423,7 +424,7 @@ class LogLikelihoodBase:
             if compute_pdf:
                 if self._has_non_numeric:
                     raise NotImplementedError(
-                        "compute_pdf only works for numerical values")
+                        "compute_pdf requires numeric shape-parameter values")
                 mus, ps, n_model_events = self._compute_single_pdf(**kwargs)
             else:
                 zs = []
@@ -457,11 +458,14 @@ class LogLikelihoodBase:
         # Livetime scaling
         if livetime_days is not None:
             if 'livetime_days' not in self.pdf_base_config:
-                raise ValueError("Cannot scale live-time, base value absent")
+                raise ValueError(
+                    "livetime scaling needs a livetime_days entry in the "
+                    "base config to scale relative to")
             if self.pdf_base_config['livetime_days'] == 0:
                 if livetime_days != 0:
                     raise ValueError("Cannot scale from 0 to non-0 livetime")
-                assert np.all(mus == 0), "Got non-0 mus with 0 livetime?!"
+                assert np.all(mus == 0), \
+                    "zero base livetime must mean zero expectations"
             else:
                 mus = mus * (livetime_days / self.pdf_base_config['livetime_days'])
 
@@ -513,7 +517,7 @@ class LogLikelihoodBase:
                     and k[:-len('_rate_multiplier')] in self.source_name_list:
                 continue
             raise InvalidParameter(
-                "%s is not a known shape or rate parameter!" % k)
+                "%s matches neither a rate nor a shape parameter" % k)
 
         shape_settings = dict()
         for setting_name, (_, _, base_value) in self.shape_parameters.items():

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from .binned_vgh import corner_weight_tables
 
-__all__ = ['bb_lambda', 'binned_bb_vgh', 'binned_bb_ll']
+__all__ = ['bb_lambda', 'bb_lam_parts', 'bb_lam_vgh', 'binned_bb_vgh',
+           'binned_bb_ll']
 
 
 def bb_lambda(P, N, U, M, T, d):
@@ -65,7 +66,12 @@ def bb_lambda(P, N, U, M, T, d):
 
 
 # Per-bin gradient and Hessian of LAM w.r.t. its five inputs, vectorized over
-# bins. d is a non-differentiated auxiliary.
+# bins. d is a non-differentiated auxiliary. These autodiff twins are kept as
+# the test oracle for the closed forms below (tests/test_BeestonBarlow.py);
+# production paths use bb_lam_parts / bb_lam_vgh, whose graph is a flat
+# elementwise expression (the vmapped per-bin autodiff Hessian used through
+# round 2 produced programs the remote TPU compiler could not handle at the
+# full 50x62-bin XENON scale).
 def _lam_of_v(v, d):
     return bb_lambda(v[0], v[1], v[2], v[3], v[4], d)
 
@@ -73,6 +79,178 @@ def _lam_of_v(v, d):
 _lam_grad = jax.vmap(jax.grad(_lam_of_v), in_axes=(0, 0))
 _lam_hess = jax.vmap(jax.hessian(_lam_of_v), in_axes=(0, 0))
 _lam_val = jax.vmap(_lam_of_v, in_axes=(0, 0))
+
+
+def bb_lam_parts(P, N, U, M, T, d):
+    """Closed-form value, gradient and Hessian of :func:`bb_lambda` w.r.t. its
+    five inputs, elementwise (no autodiff — safe inside Pallas kernels and
+    cheap for XLA at any bin count).
+
+    The general-branch root A solves the quadratic
+
+        F(A) = a A^2 + b A + c = 0,
+        a = pw (pw + 1),  b = U (pw + 1) - pw (N + d),  c = -U N
+
+    (the reference's discriminant, blueice/likelihood.py:704-706, is exactly
+    b^2 - 4ac under this identification), so all derivatives follow from
+    implicit differentiation with dF/dA = sqrt(disc):
+
+        A_th   = -F_th / R
+        A_thph = -(F_thph + F_thA A_ph + F_phA A_th + 2 a A_th A_ph) / R
+
+    chained through pw = M P / N.  Branch selection (pw <= 0 inert bin,
+    U == 0 special case, general root) mirrors the jnp.where structure of
+    bb_lambda, so gradients agree with its autodiff to rounding.
+
+    :return: (lam, gam, om): lam elementwise; gam a 5-tuple of elementwise
+      d lam / d(P, N, U, M, T); om a dict {(i, j): elementwise d2 lam} over
+      upper-triangle input pairs i <= j (absent keys are identically zero).
+    """
+    dtype = jnp.result_type(P, N, U, M, T)
+    one = jnp.ones((), dtype)
+    P, N, U, M, T, d = (jnp.asarray(x, dtype) * one
+                        for x in (P, N, U, M, T, d))
+    tiny = jnp.finfo(dtype).tiny
+
+    has_mc = N > 0
+    N_s = jnp.where(has_mc, N, 1.0)
+    p = jnp.where(has_mc, M * P / N_s, 0.0)
+    active = p > 0
+    p_s = jnp.where(active, p, 1.0)
+
+    # ---- general branch (active, U != 0) ----
+    a = p_s * (p_s + 1.0)
+    b = U * (p_s + 1.0) - p_s * (N + d)
+    disc = b * b + 4.0 * U * N * a
+    R = jnp.sqrt(jnp.maximum(disc, tiny))
+    A = (-b + R) / (2.0 * a)
+
+    F_p = (2.0 * p_s + 1.0) * A * A + (U - N - d) * A
+    F_U = (p_s + 1.0) * A - N
+    F_N = -p_s * A - U
+    inv_R = 1.0 / R
+    A_p = -F_p * inv_R
+    A_U = -F_U * inv_R
+    A_N = -F_N * inv_R
+
+    F_pA = 2.0 * (2.0 * p_s + 1.0) * A + (U - N - d)
+    F_UA = p_s + 1.0
+    F_NA = -p_s
+    two_a = 2.0 * a
+    A_pp = -(2.0 * A * A + 2.0 * F_pA * A_p + two_a * A_p * A_p) * inv_R
+    A_pU = -(A + F_pA * A_U + F_UA * A_p + two_a * A_p * A_U) * inv_R
+    A_pN = -(-A + F_pA * A_N + F_NA * A_p + two_a * A_p * A_N) * inv_R
+    A_UU = -(2.0 * F_UA * A_U + two_a * A_U * A_U) * inv_R
+    A_UN = -(-1.0 + F_UA * A_N + F_NA * A_U + two_a * A_U * A_N) * inv_R
+    A_NN = -(2.0 * F_NA * A_N + two_a * A_N * A_N) * inv_R
+
+    L_p = A + p_s * A_p
+    L_U = 1.0 + p_s * A_U
+    L_N = p_s * A_N
+    L_pp = 2.0 * A_p + p_s * A_pp
+    L_pU = A_U + p_s * A_pU
+    L_pN = A_N + p_s * A_pN
+    L_UU = p_s * A_UU
+    L_UN = p_s * A_UN
+    L_NN = p_s * A_NN
+
+    # pw = M P / N partials (exact in the active branch where P, M, N > 0)
+    inv_N = 1.0 / N_s
+    p_P = M * inv_N
+    p_M = P * inv_N
+    p_N = -p_s * inv_N
+    p2_PN = -p_P * inv_N
+    p2_PM = inv_N
+    p2_NN = 2.0 * p_s * inv_N * inv_N
+    p2_NM = -p_M * inv_N
+
+    g_gen = (L_p * p_P,
+             L_N + L_p * p_N,
+             L_U,
+             L_p * p_M,
+             jnp.zeros_like(p))
+    o_gen = {
+        (0, 0): L_pp * p_P * p_P,
+        (0, 1): L_pp * p_P * p_N + L_pN * p_P + L_p * p2_PN,
+        (0, 2): L_pU * p_P,
+        (0, 3): L_pp * p_P * p_M + L_p * p2_PM,
+        (1, 1): (L_pp * p_N * p_N + 2.0 * L_pN * p_N + L_NN
+                 + L_p * p2_NN),
+        (1, 2): L_pU * p_N + L_UN,
+        (1, 3): L_pp * p_N * p_M + L_pN * p_M + L_p * p2_NM,
+        (2, 2): L_UU,
+        (2, 3): L_pU * p_M,
+        (3, 3): L_pp * p_M * p_M,
+    }
+
+    # ---- special branch (active, U == 0): A = (d + N) / (1 + M / T) ----
+    T_s = jnp.where(T > 0, T, 1.0)
+    beta = 1.0 + M / T_s
+    inv_b = 1.0 / beta
+    inv_T = 1.0 / T_s
+    As = (d + N) * inv_b
+    As_N = inv_b
+    As_M = -As * inv_b * inv_T
+    As_T = As * M * inv_b * inv_T * inv_T
+    As_NM = -inv_b * inv_b * inv_T
+    As_NT = M * inv_b * inv_b * inv_T * inv_T
+    As_MM = 2.0 * (d + N) * inv_b ** 3 * inv_T * inv_T
+    As_MT = (d + N) * (inv_b ** 2 * inv_T ** 2
+                       - 2.0 * M * inv_b ** 3 * inv_T ** 3)
+    As_TT = (d + N) * M * (2.0 * M * inv_b ** 3 * inv_T ** 4
+                           - 2.0 * inv_b ** 2 * inv_T ** 3)
+
+    g_spe = (p_P * As,
+             p_N * As + p_s * As_N,
+             jnp.ones_like(p),
+             p_M * As + p_s * As_M,
+             p_s * As_T)
+    o_spe = {
+        (0, 1): p2_PN * As + p_P * As_N,
+        (0, 3): p2_PM * As + p_P * As_M,
+        (0, 4): p_P * As_T,
+        (1, 1): p2_NN * As + 2.0 * p_N * As_N,
+        (1, 3): p2_NM * As + p_N * As_M + p_M * As_N + p_s * As_NM,
+        (1, 4): p_N * As_T + p_s * As_NT,
+        (3, 3): 2.0 * p_M * As_M + p_s * As_MM,
+        (3, 4): p_M * As_T + p_s * As_MT,
+        (4, 4): p_s * As_TT,
+    }
+
+    # ---- select branches (inert bins: lam = U, d lam / dU = 1) ----
+    special = active & (U == 0)
+    general = active & (U != 0)
+    A_sel = jnp.where(special, As, A)
+    lam = U + jnp.where(active, p_s * A_sel, 0.0)
+
+    zero = jnp.zeros_like(p)
+    gam = []
+    for i in range(5):
+        gi = jnp.where(general, g_gen[i], zero)
+        gi = jnp.where(special, g_spe[i], gi)
+        if i == 2:
+            gi = jnp.where(active, gi, 1.0)
+        gam.append(gi)
+    om = {}
+    for key in set(o_gen) | set(o_spe):
+        v = jnp.where(general, o_gen.get(key, zero), zero)
+        v = jnp.where(special, o_spe.get(key, zero), v)
+        om[key] = v
+    return lam, tuple(gam), om
+
+
+def bb_lam_vgh(v, d):
+    """Stacked-layout wrapper over :func:`bb_lam_parts` matching the autodiff
+    twins: v (N, 5) -> (lam (N,), gam (N, 5), om (N, 5, 5))."""
+    lam, gam, om_d = bb_lam_parts(v[:, 0], v[:, 1], v[:, 2], v[:, 3],
+                                  v[:, 4], d)
+    gam = jnp.stack(gam, axis=-1)
+    zero = jnp.zeros_like(lam)
+    om = jnp.stack([
+        jnp.stack([om_d.get((min(i, j), max(i, j)), zero)
+                   for j in range(5)], axis=-1)
+        for i in range(5)], axis=-2)
+    return lam, gam, om
 
 
 def _morphed(corners_ps, corners_nme, m, t, bb_i):
@@ -131,9 +309,7 @@ def binned_bb_vgh(corners_ps, corners_nme, m, t, observed, bb_i):
         corners_ps, corners_nme, m, t, bb_i)
     N = v.shape[0]
 
-    lam = _lam_val(v, observed)
-    gam = _lam_grad(v, observed)                                # (N, 5)
-    om = _lam_hess(v, observed)                                 # (N, 5, 5)
+    lam, gam, om = bb_lam_vgh(v, observed)                      # closed form
 
     # Input Jacobian J (N, 5, n_par) and second-derivative tensor T2
     # (N, 5, n_par, n_par); inputs are multilinear in (m, t), so these are the

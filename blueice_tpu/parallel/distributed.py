@@ -1,0 +1,180 @@
+"""Multi-host (process-spanning) toy ensembles.
+
+The reference scales past one machine by shipping dill-pickled model configs
+to an ipyparallel cluster over a shared filesystem
+(blueice/parallel.py:76-103). The TPU-native successor keeps the same
+embarrassingly-parallel structure but expresses it as SPMD over a global
+device mesh: every host runs the same program, ``jax.distributed`` wires the
+processes together, the toy axis is sharded over ALL chips of the slice (ICI
+within a host's chips, DCN between hosts), and XLA partitions the vmapped fit
+with zero cross-toy communication — the only collective is the final result
+gather.
+
+Flow (every process runs this identically):
+
+    init_distributed(coordinator, num_processes, process_id)   # once
+    mesh = global_mesh()                                       # all chips
+    t, free, cond = profile_ts_distributed(study, key, n, target, h,
+                                           mesh=mesh)          # replicated
+
+Toy assignment is layout-invariant: the ensemble is simulated from one PRNG
+key with global shapes, so toy i's dataset — and therefore every statistic —
+is bit-identical whether the mesh spans 1 process or 16 (pinned by the
+two-process CPU test in tests/test_distributed.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ['init_distributed', 'global_mesh', 'to_global_toys',
+           'gather_to_hosts', 'profile_ts_distributed', 'run_distributed']
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, **kwargs):
+    """Opt-in ``jax.distributed.initialize`` wrapper (idempotent).
+
+    On Cloud TPU pods the arguments are auto-detected from the environment and
+    may all be None; for manual process groups (including the CPU contract
+    test) pass coordinator/num_processes/process_id explicitly. Must be called
+    before any other JAX API touches the backend.
+
+    :return: (process_index, process_count) after initialization.
+    """
+    # Idempotence check WITHOUT querying the backend: jax.process_count()
+    # would itself initialize XLA, after which initialize() refuses to run
+    try:
+        from jax._src.distributed import global_state
+        already = global_state.client is not None
+    except Exception:           # pragma: no cover - jax internals moved
+        already = False
+    if not already and (num_processes is None or int(num_processes) > 1):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id, **kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def global_mesh(axis_name='toys', devices=None):
+    """A 1-d mesh over every device of every process, ordered so the toy axis
+    maps to each process's devices as one contiguous block (process-local
+    simulation then feeds its rows without a shuffle)."""
+    devices = list(jax.devices() if devices is None else devices)
+    devices.sort(key=lambda d: (d.process_index, d.id))
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def to_global_toys(mesh, tree, axis_name='toys'):
+    """Assemble global device arrays from host values whose leading axis is
+    the FULL toy axis (every process passes the same full-ensemble array; each
+    contributes the rows its devices own).
+
+    This is the multi-process generalisation of :func:`toys.shard_toys` — on a
+    single process it reduces to exactly that placement.
+    """
+    n_local = len(mesh.local_devices)
+    n_total = int(mesh.devices.size)
+    # This process's contiguous block of the (device-blocked) toy axis
+    first = [d for d in mesh.devices.flat].index(mesh.local_devices[0])
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        rows_per_dev = x.shape[0] // n_total
+        lo = first * rows_per_dev
+        hi = lo + n_local * rows_per_dev
+        return jax.make_array_from_process_local_data(
+            sharding, x[lo:hi], x.shape)
+    return jax.tree_util.tree_map(put, tree)
+
+
+def gather_to_hosts(tree):
+    """Fully-replicated numpy values of (possibly non-addressable) global
+    arrays on every process — the cross-host result gather."""
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+
+    def gather(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(gather, tree)
+
+
+def _simulate_full(study, key, n_toys, truth, mesh):
+    """Layout-invariant full-ensemble simulation on host: the same key yields
+    the same toys at any process count (the Poisson draw is cheap next to the
+    fits, so every process drawing the full ensemble is a non-cost; memory
+    stays bounded because only this process's rows go to its devices)."""
+    from .toys import _round_up_toys
+    n_toys = _round_up_toys(n_toys, mesh)
+    counts = study.simulate(key, n_toys, truth, mesh=None)
+    return n_toys, counts
+
+
+def profile_ts_distributed(study, key, n_toys, target, hypothesis,
+                           truth=None, fixed=None, mesh=None,
+                           axis_name='toys'):
+    """Multi-host twin of ``study.profile_ts``: the free+conditional double
+    fit runs as ONE SPMD program over the global mesh; results come back
+    fully replicated on every process.
+
+    Straggler refinement (the two-stage pass) runs on replicated host arrays
+    after the gather — every process refits the (few) stragglers identically,
+    which keeps the programs single-host and the results deterministic.
+
+    :return: (t (n_toys,), free ToyResults, cond ToyResults) — identical on
+      every process, and identical to the single-process mesh result for the
+      same key.
+    """
+    from .toys import ToyResults, _refine_stragglers
+
+    mesh = global_mesh(axis_name) if mesh is None else mesh
+    n_toys, counts_host = _simulate_full(study, key, n_toys, truth, mesh)
+    counts = to_global_toys(mesh, counts_host, axis_name)
+
+    entry = study._profile_fn(target, fixed)
+    both, free_long, cond_long, names_free, names_cond = entry
+    h = jnp.asarray(float(hypothesis))
+    t, free, cond = both(counts, h)
+
+    t, free, cond = gather_to_hosts((t, free, cond))
+    if free_long is not None:
+        counts_np = jax.tree_util.tree_map(np.asarray, counts_host)
+        xf, llf, itf = _refine_stragglers(
+            free_long, counts_np, *free, cap=study.max_iter)[:3]
+        xc, llc, itc = _refine_stragglers(
+            cond_long, counts_np, *cond, cap=study.max_iter,
+            extra_args=(h,))[:3]
+        free, cond = (xf, llf, itf), (xc, llc, itc)
+        t = np.maximum(2.0 * (llf - llc), 0.0)
+    return (np.asarray(t), ToyResults(names_free, *free),
+            ToyResults(names_cond, *cond))
+
+
+def run_distributed(study, key, n_toys, truth=None, fixed=None, mesh=None,
+                    axis_name='toys'):
+    """Multi-host twin of ``study.run`` (simulate + free fit only)."""
+    from .toys import ToyResults, _refine_stragglers
+
+    mesh = global_mesh(axis_name) if mesh is None else mesh
+    n_toys, counts_host = _simulate_full(study, key, n_toys, truth, mesh)
+    counts = to_global_toys(mesh, counts_host, axis_name)
+
+    frozen = (study._freeze(fixed), study._freeze(None))
+    if frozen not in study._fit_cache:
+        study.fit_toys(jax.tree_util.tree_map(lambda x: x[:1], counts_host),
+                       fixed=fixed)    # populate the jit cache
+    fit, long_j, names = study._fit_cache[frozen]
+    x, ll, it = gather_to_hosts(fit(counts))
+    if long_j is not None:
+        counts_np = jax.tree_util.tree_map(np.asarray, counts_host)
+        x, ll, it, _ = _refine_stragglers(long_j, counts_np, x, ll, it,
+                                          study.max_iter)
+    return ToyResults(names, x, ll, it)

@@ -750,11 +750,11 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
     has_bb = compiled.has_bb
     if has_bb:
-        assert not use_pallas
         bb_i = compiled.bb_source_i
         nme_flat = compiled.nme_tensor.reshape(grid_shape + (S, -1))
 
     if use_pallas:
+        from ..ops import fused_bb
         n_bins = int(np.prod(ps_tensor.shape[K + 1:]))
         G = int(np.prod(grid_shape)) if K else 1
         anchor_flat = jnp.asarray(fused.pad_bins(
@@ -762,6 +762,10 @@ def _make_analytic_parts(compiled, names, fixed, transform,
         n_pad = anchor_flat.shape[-1] - n_bins
         strides = tuple(int(np.prod(grid_shape[d + 1:])) for d in range(K))
         interpret = jax.default_backend() != 'tpu'
+        if has_bb:
+            nme_bb = np.asarray(nme_flat)[..., bb_i, :].reshape(G, n_bins)
+            nme_bb_flat = jnp.asarray(
+                np.pad(nme_bb, ((0, 0), (0, n_pad))) if n_pad else nme_bb)
 
     runtime_fixed = list(runtime_fixed)
     params_of_u, mt_of_u, idx_of_u, prior_of_u = _make_param_graph(
@@ -788,6 +792,13 @@ def _make_analytic_parts(compiled, names, fixed, transform,
 
     def _raw_vgh(u, data_flat, fixed_values):
         mt = mt_of_u(u, fixed_values)
+        if has_bb and use_pallas:
+            data_padded = (jnp.pad(data_flat, (0, n_pad)) if n_pad
+                           else data_flat)
+            return fused_bb.binned_bb_vgh_fused(
+                anchor_flat, nme_bb_flat, strides,
+                idx_of_u(u, fixed_values), mt[S:], mt[:S], data_padded,
+                bb_i, interpret=interpret)
         if has_bb:
             return binned_bb_vgh(_corners(u, fixed_values),
                                  _corners_of(nme_flat, u, fixed_values),
@@ -818,9 +829,14 @@ def _make_analytic_parts(compiled, names, fixed, transform,
                 idxs = jnp.zeros((u_cands.shape[0], 0), jnp.int32)
             data_padded = (jnp.pad(data_flat, (0, n_pad)) if n_pad
                            else data_flat)
-            lls = fused.binned_ll_fused_multi(
-                anchor_flat, strides, idxs, mts[:, S:], mts[:, :S],
-                data_padded, interpret=interpret)
+            if has_bb:
+                lls = fused_bb.binned_bb_ll_fused_multi(
+                    anchor_flat, nme_bb_flat, strides, idxs, mts[:, S:],
+                    mts[:, :S], data_padded, bb_i, interpret=interpret)
+            else:
+                lls = fused.binned_ll_fused_multi(
+                    anchor_flat, strides, idxs, mts[:, S:], mts[:, :S],
+                    data_padded, interpret=interpret)
             return -(lls.astype(u_cands.dtype) + priors)
 
     return value_fn, vgh_fn, value_many_fn
@@ -895,11 +911,25 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                          "(with Beeston-Barlow, the n_model_events tensor "
                          "must be on the same layout; source-wise grids and "
                          "likelihood sums use the AD engine)")
-    if engine == 'pallas' and compiled.has_bb:
-        raise ValueError("The fused Pallas kernel does not cover "
-                         "Beeston-Barlow yet; use engine='analytic'")
     if engine == 'auto' and compiled.has_bb and _analytic_supported(compiled):
-        engine = 'analytic'
+        # Closed-form BB derivative engine; on real TPUs take the fused
+        # Pallas kernel (pmf anchors + the finite-MC source's count rows
+        # VMEM-resident) when both fit the budget
+        from ..ops import fused_bb
+        K_ = len(compiled.shape_names)
+        S_ = len(compiled.rate_names)
+        ps = compiled.ps_tensor
+        G_ = int(np.prod(ps.shape[:K_])) if K_ else 1
+        n_bins_ = int(np.prod(ps.shape[K_ + 1:]))
+        has_negative = any(getattr(compiled.lf, 'source_allowed_negative',
+                                   ()))
+        if (jax.default_backend() == 'tpu'
+                and not has_negative
+                and fused_bb.fused_bb_supported((G_, S_, n_bins_),
+                                                ps.dtype)):
+            engine = 'pallas'
+        else:
+            engine = 'analytic'
     if engine == 'auto' and _unbinned_analytic_supported(compiled):
         # Fused per-toy kernel on real TPUs; the event count is only known at
         # call time, so fit_one falls back to the jnp engine per trace when a

@@ -1,0 +1,254 @@
+"""Roofline / MFU accounting for the fit-engine kernels.
+
+"Fast vs a 1-core host" says nothing about whether a kernel is fast *for the
+chip*. This module answers that: per-fit-engine FLOP and byte counts (analytic
+for the Pallas kernels — XLA's ``cost_analysis`` cannot see inside a custom
+call — and compiler-reported for XLA programs), hardware peaks, and a
+microbenchmark that times one kernel invocation at ensemble batch size and
+reports achieved throughput as a fraction of the *binding* roofline.
+
+Peak numbers (PEAKS) and derivations:
+
+* ``hbm_gbps``: TPU v5e HBM bandwidth, 819 GB/s (public spec).
+* ``mxu_bf16``: 197 TFLOP/s (public spec); ``mxu_f32`` ~= 1/4 of bf16.
+* ``vpu_f32``: the VPU executes elementwise ops on (8, 128) vregs across 4
+  ALUs at ~940 MHz: 8*128*4*0.94e9 ~= 3.85 TFLOP/s. The fused likelihood
+  kernels are elementwise-dominated (per-bin residual math; the only MXU work
+  is the tiny (S+K)^2 curvature contraction), so THIS is their compute
+  roofline, not the MXU number.
+
+The kernels keep the anchor tensors VMEM-resident (ops/fused*.py), so per-toy
+HBM traffic is only the toy's own inputs/outputs — by design the binned
+engines sit far up the arithmetic-intensity axis, pinned against the VPU
+compute roof, and the roofline verdict states exactly that with numbers.
+"""
+
+import time
+
+import numpy as np
+
+__all__ = ['PEAKS', 'binned_vgh_cost', 'bb_vgh_cost', 'unbinned_vgh_cost',
+           'xla_cost', 'measure_binned_kernel', 'measure_bb_kernel',
+           'measure_unbinned_kernel', 'roofline_verdict', 'format_report']
+
+PEAKS = {
+    'tpu-v5e': dict(hbm_gbps=819e9, mxu_bf16=197e12, mxu_f32=49e12,
+                    vpu_f32=3.85e12),
+    # 1-core host CPU (the bench baseline machine): ~3 GHz * 8-wide FMA
+    'cpu-1core': dict(hbm_gbps=2e10, mxu_bf16=5e10, mxu_f32=5e10,
+                      vpu_f32=5e10),
+}
+
+
+def _pairs(K):
+    return K * (K - 1) // 2
+
+
+def binned_vgh_cost(G, S, N, K, dtype_bytes=4):
+    """Per-toy FLOPs / bytes of one fused binned (ll, g, H) kernel call
+    (ops/fused.py:_vgh_kernel). Dominant terms only (elementwise transcendental
+    ops counted as 1 flop, like the compiler does).
+
+    :return: dict(flops, hbm_bytes, vmem_bytes) per toy per invocation.
+    """
+    C = 2 ** K
+    NP = _pairs(K)
+    acc = 1 + K + NP                 # accumulated corner-combine targets
+    P = S + K
+    flops = N * (
+        2 * C * acc * S              # corner gather+lerp (FMA = 2 flops)
+        + 2 * S + 12                 # lam + residual elementwise chain
+        + 2 * S                      # g_m
+        + 2 * K * S + 2 * K          # Dbar + g_t
+        + 2 * S * S + S              # H_mm (+ Pq scale)
+        + 4 * S * K + 2 * K * S      # H_mt (dot + D*r reduction)
+        + 2 * K * K + K              # H_tt
+        + NP * (2 * S + 2))          # cross-pair reductions
+    # Per-toy HBM: inputs (ids, weights, m, obs) + outputs (ll, g, H); the
+    # anchor tensor is amortized over the whole batch (one DMA per launch)
+    hbm = dtype_bytes * (N + C * (2 + K + NP) + S + 1 + P + P * P)
+    # VMEM reads: C corner rows for each accumulation target + the working
+    # arrays ((1 + K + NP) ~(S, N) accumulators re-read by each reduction)
+    vmem = dtype_bytes * N * S * (C * acc + 4 * acc + 2 * S + 2 * K)
+    return dict(flops=flops, hbm_bytes=hbm, vmem_bytes=vmem)
+
+
+def bb_vgh_cost(G, S, N, K, dtype_bytes=4):
+    """Per-toy FLOPs / bytes of one fused Beeston-Barlow (ll, g, H) call
+    (ops/fused_bb.py). Adds to the plain binned cost: the count-row corner
+    combine (one extra pseudo-source), ~200 flops/bin of closed-form per-bin
+    root derivatives (ops/bb_vgh.py:bb_lam_parts), the 5-input chain-rule
+    assembly, and ~19 (v, w) Hessian outer-product contractions."""
+    C = 2 ** K
+    NP = _pairs(K)
+    acc = 1 + K + NP
+    P = S + K
+    flops = N * (
+        2 * C * acc * (S + 1)        # pmf + bb-count corner combine
+        + 2 * S + 2                  # U, T reductions
+        + 200                        # bb_lam_parts closed forms per bin
+        + 2 * 5 * P                  # dlam = sum_v gam_v * Gv
+        + 2 * P * P                  # -q dlam dlam^T
+        + 19 * (P + 2 * P * P) / 4   # om (v,w) contractions (sparse Gv rows:
+                                     # ~1/4 of entries are nonzero)
+        + 2 * K * S + NP * 8)        # T2 extras
+    hbm = dtype_bytes * (N + C * (2 + K + NP) + S + 1 + P + P * P)
+    vmem = dtype_bytes * N * (S + 1) * (C * acc + 6 * acc + 3 * S)
+    return dict(flops=flops, hbm_bytes=hbm, vmem_bytes=vmem)
+
+
+def unbinned_vgh_cost(G, S, E, K, dtype_bytes=4):
+    """Per-toy FLOPs / bytes of one fused unbinned (ll, g, H) call
+    (ops/fused_unbinned.py). Structurally the binned kernel over the event
+    axis, except the per-toy anchor tensor (G, S, E) itself streams from HBM
+    every call — the density tensor is per-toy data, not a shared constant."""
+    c = binned_vgh_cost(G, S, E, K, dtype_bytes)
+    c['hbm_bytes'] += dtype_bytes * (G * S * E + 2 * E)  # ps_toy + mask/invref
+    return c
+
+
+def xla_cost(fn, *args, backend=None):
+    """Compiler-reported (flops, bytes accessed) of a jitted XLA program —
+    for the non-Pallas engines. Returns dict(flops, hbm_bytes) or None when
+    the backend offers no cost analysis."""
+    import jax
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return dict(flops=float(ca.get('flops', 0.0)),
+                    hbm_bytes=float(ca.get('bytes accessed', 0.0)))
+    except Exception:
+        return None
+
+
+def _time_op(run, warmup=2, repeats=5):
+    for _ in range(warmup):
+        run()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def roofline_verdict(per_call, elapsed, batch, chip='tpu-v5e',
+                     compute_peak='vpu_f32'):
+    """Turn (per-toy cost, measured seconds, batch size) into the roofline
+    verdict: achieved rates, the time each roof alone would take, which bound
+    binds, and the fraction of that binding roof achieved."""
+    peaks = PEAKS[chip]
+    flops = per_call['flops'] * batch
+    hbm = per_call['hbm_bytes'] * batch
+    t_comp = flops / peaks[compute_peak]
+    t_hbm = hbm / peaks['hbm_gbps']
+    binding = 'compute' if t_comp >= t_hbm else 'hbm'
+    t_bound = max(t_comp, t_hbm)
+    out = dict(
+        batch=batch, elapsed_s=elapsed,
+        gflops_achieved=flops / elapsed / 1e9,
+        gbps_hbm_achieved=hbm / elapsed / 1e9,
+        intensity_flops_per_hbm_byte=flops / max(hbm, 1.0),
+        compute_roof=compute_peak,
+        t_compute_s=t_comp, t_hbm_s=t_hbm, binding=binding,
+        frac_of_binding_roof=t_bound / elapsed,
+        frac_of_compute_roof=(flops / elapsed) / peaks[compute_peak],
+        frac_of_hbm_roof=(hbm / elapsed) / peaks['hbm_gbps'])
+    return out
+
+
+def _common_setup(G, S, N, K, B, seed=0):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    anchor = jnp.asarray(rng.uniform(0.01, 1.0, (G, S, N)), jnp.float32)
+    grid_per_axis = max(2, int(round(G ** (1 / K)))) if K else 1
+    strides = tuple(int(grid_per_axis ** (K - 1 - d)) for d in range(K))
+    max_idx = max(grid_per_axis - 2, 0)
+    idx_b = jnp.asarray(rng.integers(0, max_idx + 1, (B, K)), jnp.int32)
+    t_b = jnp.asarray(rng.uniform(0, 1, (B, K)), jnp.float32)
+    m_b = jnp.asarray(rng.uniform(1, 10, (B, S)), jnp.float32)
+    obs_b = jnp.asarray(rng.poisson(3.0, (B, N)).astype(np.float32))
+    return anchor, strides, idx_b, t_b, m_b, obs_b
+
+
+def measure_binned_kernel(G=81, S=6, N=3200, K=3, B=1024, chip='tpu-v5e'):
+    """Microbenchmark the fused binned vgh kernel at ensemble batch size and
+    return its roofline verdict."""
+    import jax
+    from ..ops.fused import binned_vgh_fused
+    interpret = jax.default_backend() != 'tpu'
+    anchor, strides, idx_b, t_b, m_b, obs_b = _common_setup(G, S, N, K, B)
+
+    fn = jax.jit(jax.vmap(lambda i, t, m, o: binned_vgh_fused(
+        anchor, strides, [i[d] for d in range(K)], t, m, o,
+        interpret=interpret)))
+
+    def run():
+        out = fn(idx_b, t_b, m_b, obs_b)
+        jax.block_until_ready(out)
+    elapsed = _time_op(run)
+    v = roofline_verdict(binned_vgh_cost(G, S, N, K), elapsed, B, chip)
+    v['kernel'] = 'binned_vgh_fused(G=%d,S=%d,N=%d,K=%d)' % (G, S, N, K)
+    return v
+
+
+def measure_bb_kernel(G=81, S=6, N=3200, K=3, B=256, bb_i=0, chip='tpu-v5e'):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.fused_bb import binned_bb_vgh_fused
+    interpret = jax.default_backend() != 'tpu'
+    anchor, strides, idx_b, t_b, m_b, obs_b = _common_setup(G, S, N, K, B)
+    rng = np.random.default_rng(1)
+    nme = jnp.asarray(rng.uniform(1, 40, (G, N)), jnp.float32)
+
+    fn = jax.jit(jax.vmap(lambda i, t, m, o: binned_bb_vgh_fused(
+        anchor, nme, strides, [i[d] for d in range(K)], t, m, o, bb_i,
+        interpret=interpret)))
+
+    def run():
+        out = fn(idx_b, t_b, m_b, obs_b)
+        jax.block_until_ready(out)
+    elapsed = _time_op(run)
+    v = roofline_verdict(bb_vgh_cost(G, S, N, K), elapsed, B, chip)
+    v['kernel'] = 'binned_bb_vgh_fused(G=%d,S=%d,N=%d,K=%d)' % (G, S, N, K)
+    return v
+
+
+def measure_unbinned_kernel(G=3, S=2, E=2304, K=1, B=256, chip='tpu-v5e'):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.fused_unbinned import unbinned_vgh_fused
+    interpret = jax.default_backend() != 'tpu'
+    rng = np.random.default_rng(2)
+    ps_b = jnp.asarray(rng.uniform(0.001, 0.4, (B, G, S, E)), jnp.float32)
+    idx_b = jnp.zeros((B, K), jnp.int32)
+    t_b = jnp.asarray(rng.uniform(0, 1, (B, K)), jnp.float32)
+    m_b = jnp.asarray(rng.uniform(100, 2000, (B, S)), jnp.float32)
+    mask_b = jnp.ones((B, E), bool)
+    strides = tuple(1 for _ in range(K))
+
+    fn = jax.jit(jax.vmap(lambda ps, i, t, m, mk: unbinned_vgh_fused(
+        ps, strides, [i[d] for d in range(K)], t, m, mk,
+        interpret=interpret)))
+
+    def run():
+        out = fn(ps_b, idx_b, t_b, m_b, mask_b)
+        jax.block_until_ready(out)
+    elapsed = _time_op(run)
+    v = roofline_verdict(unbinned_vgh_cost(G, S, E, K), elapsed, B, chip)
+    v['kernel'] = 'unbinned_vgh_fused(G=%d,S=%d,E=%d,K=%d)' % (G, S, E, K)
+    return v
+
+
+def format_report(verdicts):
+    """Human-readable roofline table."""
+    lines = ["%-44s %9s %9s %8s %8s %s" % (
+        'kernel', 'GFLOP/s', 'HBM GB/s', 'AI', '%roof', 'binding')]
+    for v in verdicts:
+        lines.append("%-44s %9.1f %9.2f %8.1f %7.1f%% %s" % (
+            v['kernel'], v['gflops_achieved'], v['gbps_hbm_achieved'],
+            v['intensity_flops_per_hbm_byte'],
+            100 * v['frac_of_binding_roof'], v['binding']))
+    return "\n".join(lines)

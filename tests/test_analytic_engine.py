@@ -194,9 +194,14 @@ def test_bb_through_analytic_engine():
     ll_host = lf(s0_rate_multiplier=float(x_an[0][0]), mu=float(x_an[0][1]))
     assert abs(float(ll_an[0]) - ll_host) < 1e-6 * abs(ll_host)
 
-    # Pallas stays off for BB
-    with pytest.raises(ValueError, match="Beeston-Barlow"):
-        make_toy_fitter(study.compiled, engine='pallas')
+    # The fused Pallas BB engine (interpret mode here) agrees with both
+    fit_pl, names3 = make_toy_fitter(study.compiled, engine='pallas')
+    assert names == names3
+    x_pl, ll_pl, _ = jax.jit(jax.vmap(lambda d: fit_pl(d)))(counts)
+    np.testing.assert_allclose(np.asarray(ll_pl), np.asarray(ll_an),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_an),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_analytic_engine_coverage_boundaries():

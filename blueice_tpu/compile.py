@@ -630,13 +630,23 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
     compiled.has_bb = bb_source_i is not None
     compiled.prior_terms = prior_terms
     compiled.outlier_likelihood = outlier_likelihood
+    # _host twins keep the numpy payloads around so engine setup (e.g. the
+    # Pallas kernels' pad_bins) never round-trips multi-MB tensors back from
+    # the device — a d2h pull through the remote-TPU tunnel costs minutes
+    # when the link is degraded
+    def _np_host(x):
+        x = np.asarray(x)
+        return x.astype(np.dtype(dtype)) if dtype is not None else x
+
     if ('ps' in lf._builds and ps_build_kind == 'global'
             and hasattr(_ps_morpher, 'anchor_z_arrays')):
         compiled.ps_tensor = _as_dev(lf._builds['ps'][2])
+        compiled.ps_tensor_host = _np_host(lf._builds['ps'][2])
         compiled.anchor_arrays = [np.asarray(a, dtype=float)
                                   for a in _ps_morpher.anchor_z_arrays]
     elif ps_build_kind == 'constant' and 'ps' in lf._builds:
         compiled.ps_tensor = _as_dev(lf._builds['ps'][1])
+        compiled.ps_tensor_host = _np_host(lf._builds['ps'][1])
         compiled.anchor_arrays = []
     elif (ps_build_kind == 'global'
           and hasattr(_ps_morpher, 'anchor_z_arrays')):
@@ -652,14 +662,18 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
     else:
         compiled.ps_tensor = None
         compiled.anchor_arrays = None
+    if compiled.ps_tensor is None:
+        compiled.ps_tensor_host = None
     # n_model_events tensor on the same anchor layout (the fast Beeston-Barlow
     # engine needs it alongside ps_tensor)
     compiled.bb_source_i = bb_source_i
     nme_build = lf._builds.get('n_model_events')
     if (compiled.ps_tensor is not None and nme_build is not None
             and nme_build[0] == ps_build_kind):
-        compiled.nme_tensor = _as_dev(nme_build[2] if ps_build_kind == 'global'
-                                      else nme_build[1])
+        nme_np = nme_build[2] if ps_build_kind == 'global' else nme_build[1]
+        compiled.nme_tensor = _as_dev(nme_np)
+        compiled.nme_tensor_host = _np_host(nme_np)
     else:
         compiled.nme_tensor = None
+        compiled.nme_tensor_host = None
     return compiled

@@ -26,7 +26,7 @@ DEFAULT_BESTFIT_ROUTINE = 'scipy'
 
 __all__ = ['best_anchor', 'make_objective', 'bestfit_scipy', 'bestfit_minuit',
            'bestfit_jax', 'plot_likelihood_ratio', 'one_parameter_interval',
-           'bestfit_emcee']
+           'bestfit_emcee', 'bestfit_emcee_device']
 
 
 def best_anchor(lf):
@@ -381,5 +381,15 @@ def plot_likelihood_ratio(lf, *space, vmax=15, bestfit_routine=None,
         plt.ylabel(dims[1])
 
 
+def bestfit_emcee_device(ll, **kwargs):
+    """Device-side ensemble MCMC twin of :func:`bestfit_emcee`: the whole
+    stretch-move chain runs as one scanned XLA program over the compiled
+    likelihood (see :mod:`blueice_tpu.parallel.mcmc`). Needs prepare() +
+    set_data(); the host sampler remains the non-compiled fallback."""
+    from .parallel.mcmc import bestfit_emcee_device as _impl
+    return _impl(ll, **kwargs)
+
+
 BESTFIT_ROUTINES = dict(scipy=bestfit_scipy, minuit=bestfit_minuit,
-                        emcee=bestfit_emcee, jax=bestfit_jax)
+                        emcee=bestfit_emcee, jax=bestfit_jax,
+                        emcee_device=bestfit_emcee_device)

@@ -34,6 +34,12 @@ class Transform:
 
     # kinds: 0 identity, 1 log (x = lo + exp(u)), 2 logistic in (lo, hi)
     def __init__(self, kinds, los, his):
+        # Host twins first: one-time setup math (u0, snap anchors) runs in
+        # numpy so engine construction never does per-scalar device pulls
+        # (ruinous through a degraded remote-TPU link)
+        self.kinds_np = np.asarray(kinds)
+        self.los_np = np.asarray(los, dtype=float)
+        self.his_np = np.asarray(his, dtype=float)
         self.kinds = jnp.asarray(kinds)
         self.los = jnp.asarray(los)
         self.his = jnp.asarray(his)
@@ -54,17 +60,29 @@ class Transform:
         return jnp.where(self.kinds == 0, x,
                          jnp.where(self.kinds == 1, u_log, u_logistic))
 
+    def to_u_np(self, x):
+        """Host-numpy :meth:`to_u` for one-time setup values."""
+        x = np.asarray(x, dtype=float)
+        safe_hi = np.where(np.isfinite(self.his_np), self.his_np,
+                           self.los_np + 1.0)
+        u_log = np.log(np.maximum(x - self.los_np, 1e-12))
+        frac = np.clip((x - self.los_np) / (safe_hi - self.los_np),
+                       1e-9, 1 - 1e-9)
+        u_logistic = np.log(frac) - np.log1p(-frac)
+        return np.where(self.kinds_np == 0, x,
+                        np.where(self.kinds_np == 1, u_log, u_logistic))
+
     def to_u_coord(self, i, x):
         """u values of coordinate ``i`` at the given x values (host numpy;
         same formulas as :meth:`to_u`, one coordinate vectorized over x)."""
-        kind = int(self.kinds[i])
-        lo = float(self.los[i])
+        kind = int(self.kinds_np[i])
+        lo = float(self.los_np[i])
         x = np.asarray(x, dtype=float)
         if kind == 0:
             return x
         if kind == 1:
             return np.log(np.maximum(x - lo, 1e-12))
-        hi = float(self.his[i])
+        hi = float(self.his_np[i])
         frac = np.clip((x - lo) / (hi - lo), 1e-9, 1 - 1e-9)
         return np.log(frac) - np.log1p(-frac)
 
@@ -757,13 +775,23 @@ def _make_analytic_parts(compiled, names, fixed, transform,
         from ..ops import fused_bb
         n_bins = int(np.prod(ps_tensor.shape[K + 1:]))
         G = int(np.prod(grid_shape)) if K else 1
+        # Use the host twin of the anchor tensor when available: padding on a
+        # pulled-back device array costs a multi-MB d2h round trip (minutes
+        # on a degraded remote-TPU link)
+        ps_host = getattr(compiled, 'ps_tensor_host', None)
+        ps_np = (np.asarray(ps_host) if ps_host is not None
+                 else np.asarray(ps_flat))
         anchor_flat = jnp.asarray(fused.pad_bins(
-            np.asarray(ps_flat).reshape(G, S, n_bins)))
+            ps_np.reshape(G, S, n_bins)))
         n_pad = anchor_flat.shape[-1] - n_bins
         strides = tuple(int(np.prod(grid_shape[d + 1:])) for d in range(K))
         interpret = jax.default_backend() != 'tpu'
         if has_bb:
-            nme_bb = np.asarray(nme_flat)[..., bb_i, :].reshape(G, n_bins)
+            nme_host = getattr(compiled, 'nme_tensor_host', None)
+            nme_np = (np.asarray(nme_host) if nme_host is not None
+                      else np.asarray(nme_flat))
+            nme_bb = nme_np.reshape(grid_shape + (S, n_bins))[
+                ..., bb_i, :].reshape(G, n_bins)
             nme_bb_flat = jnp.asarray(
                 np.pad(nme_bb, ((0, 0), (0, n_pad))) if n_pad else nme_bb)
 
@@ -885,7 +913,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             return (jnp.zeros((0,)), ll, jnp.zeros((), dtype=jnp.int32))
         return fit_one, []
 
-    u0 = transform.to_u(jnp.asarray(x0))
+    u0 = jnp.asarray(transform.to_u_np(x0))
     # Only shape (morph-weight) coordinates can pin on anchor-grid kinks
     kink_coords = tuple(i for i, nm in enumerate(names)
                         if nm in compiled.shape_names)

@@ -162,7 +162,11 @@ class BinnedToyStudy:
         For a compiled LogLikelihoodSum this is a tuple with one count tensor
         per child (empty for dataset-free constraint terms)."""
         p = self.compiled.params_from_kwargs(**truth)
-        return self.compiled.expected_counts(p)
+        # jit the payload chain: eagerly it is dozens of small dispatches,
+        # which a degraded remote-TPU link turns into minutes of setup
+        if not hasattr(self, '_expected_jit'):
+            self._expected_jit = jax.jit(self.compiled.expected_counts)
+        return self._expected_jit(p)
 
     def simulate(self, key, n_toys, truth=None, mesh=None):
         """(n_toys, *bins) Poisson count tensors at the truth parameters (a

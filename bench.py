@@ -163,6 +163,8 @@ def bench_host_baseline(lf, n_toys=48, target='s0_rate_multiplier',
             except OptimizationFailed:
                 pass    # reference behavior: a failed toy costs the same time
             times.append(time.time() - t0)
+            # Always finish at least one toy (the BB host path can exceed the
+            # cap on its own), then respect the cap
             if time.time() - start > time_cap:
                 break
     med = float(np.median(times))

@@ -41,6 +41,196 @@ def fused_unbinned_supported(per_toy_shape, dtype=jnp.float32,
     return blk * g * s * e_pad * jnp.dtype(dtype).itemsize <= vmem_budget
 
 
+# Anchor grids up to this size use the block-vectorized kernels: corner
+# weights are scattered onto the FULL grid axis and the whole toy block is
+# processed as (blk, ...) batched array ops. At a few thousand events and a
+# handful of sources, the per-toy-loop kernel's ops are only ~S*E elements —
+# far under the VPU's appetite — and per-op issue overhead dominates; the
+# block form makes every op blk x bigger. For large grids the dense
+# full-grid morph would waste G/2^K x the FLOPs, so the per-toy gather
+# kernel takes over.
+FULL_GRID_MAX = 16
+BLOCK_VMEM = 6 * 2 ** 20
+
+
+def _block_blk(G, S, E, K, n_pairs, A=1, dtype_bytes=4):
+    """Toy-block size for the block-vectorized kernels under the scoped-VMEM
+    budget: the ps block + the morphed accumulators + (value kernel) the
+    per-candidate event vectors, which Mosaic's static allocator does not
+    reliably reuse across the unrolled candidate loop."""
+    per_toy = (G * S * E + (1 + K + n_pairs) * S * E
+               + (2 * A + 8) * E) * dtype_bytes
+    blk = int(max(8, min(64, BLOCK_VMEM // max(per_toy, 1))))
+    return (blk // 8) * 8       # sublane-dim blocks must be multiples of 8
+
+
+def _scatter_full_grid(ids_b, w_b, G):
+    """(B, C) corner ids/weights -> dense (B, G) full-grid weights."""
+    B = ids_b.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], ids_b.shape)
+    return jnp.zeros((B, G), w_b.dtype).at[rows, ids_b].add(w_b)
+
+
+def _uvgh_block_kernel(wf_ref, wdf_ref, wxf_ref, m_ref, mask_ref, moff_ref,
+                       invref_ref, ps_ref, ll_ref, g_ref, h_ref,
+                       *, S, K, G, E, pairs, outlier):
+    """Block-vectorized vgh: the whole (blk,) toy block in batched array ops.
+
+    All arrays are kept 2-D with the toy block on the sublane axis and S*E on
+    the lane axis (per-source values addressed by STATIC lane slices), so
+    every broadcast is lanes-only — Mosaic does not implement
+    sublane+lane double broadcasts, which the natural (blk, S, E) layout
+    would need.
+
+    wf (blk, G), wdf (blk, K|1, G), wxf (blk, NP|1, G) FULL-grid weights;
+    m (blk, S), mask/invref (blk, E), moff (blk, 1), ps (blk, G, S*E); out
+    ll (blk, 1), g (blk, P), h (blk, P, P), all VMEM."""
+    dtype = ps_ref.dtype
+    n_pairs = len(pairs)
+    mask = mask_ref[...]                                  # (blk, E)
+
+    def morph(wg):                                        # (blk, G) ->
+        out = None                                        #   (blk, S*E)
+        for g in range(G):
+            term = wg[:, g:g + 1] * ps_ref[:, g]
+            out = term if out is None else out + term
+        return out
+
+    def src(v, s):                                        # (blk, S*E) ->
+        return v[:, s * E:(s + 1) * E]                    #   (blk, E)
+
+    def msum(v):                                          # rate-weighted
+        out = None                                        #   source sum
+        for s in range(S):
+            term = m_ref[:, s:s + 1] * src(v, s)
+            out = term if out is None else out + term
+        return out                                        # (blk, E)
+
+    P = morph(wf_ref[...])
+    D = [morph(wdf_ref[:, k]) for k in range(K)]
+    X = [morph(wxf_ref[:, pi]) for pi in range(n_pairs)]
+
+    lam = msum(P)                                         # (blk, E)
+    pos = lam > 0
+    lam_eff = jnp.where(pos, lam, outlier) if outlier else lam
+    lam_safe = jnp.where(pos, lam, 1.0)
+    log_terms = jnp.where(mask > 0, jnp.log(lam_eff * invref_ref[...]), 0.0)
+    ll_ref[...] = (jnp.sum(log_terms, axis=1)
+                   - moff_ref[:, 0])[:, None]
+
+    active = jnp.where((mask > 0) & pos, 1.0, 0.0).astype(dtype)
+    inv = active / lam_safe
+    q = inv / lam_safe
+
+    Dbar = [msum(D[k]) for k in range(K)]
+    gs = [jnp.sum(src(P, s) * inv, axis=1) - 1.0 for s in range(S)]
+    gs += [jnp.sum(Dbar[k] * inv, axis=1) for k in range(K)]
+    g_ref[...] = jnp.stack(gs, axis=1)
+
+    # Hessian: (S+K)^2/2 pairwise (blk, E) reductions + chain corrections —
+    # identical math to the per-toy kernel, batched over the block
+    P_dim = S + K
+    vecs = [src(P, s) for s in range(S)] + Dbar           # each (blk, E)
+    H = [[None] * P_dim for _ in range(P_dim)]
+    for i in range(P_dim):
+        for j in range(i, P_dim):
+            H[i][j] = -jnp.sum(vecs[i] * q * vecs[j], axis=1)
+    for s in range(S):
+        for k in range(K):
+            H[s][S + k] = H[s][S + k] + jnp.sum(src(D[k], s) * inv, axis=1)
+    for pi, (d, e) in enumerate(pairs):
+        H[S + d][S + e] = H[S + d][S + e] + jnp.sum(msum(X[pi]) * inv,
+                                                    axis=1)
+    h_ref[...] = jnp.stack(
+        [jnp.stack([H[min(i, j)][max(i, j)] for j in range(P_dim)], axis=1)
+         for i in range(P_dim)], axis=1)
+
+
+def _ull_block_kernel(wf_ref, m_ref, mask_ref, moff_ref, invref_ref, ps_ref,
+                      ll_ref, *, S, G, E, A, outlier):
+    """Block-vectorized value-only kernel: A candidates x the toy block.
+    Same 2-D (blk, S*E) layout as :func:`_uvgh_block_kernel`.
+    wf (blk, A, G), m (blk, A, S), moff (blk, A); out ll (blk, A) VMEM."""
+    mask = mask_ref[...]
+    invref = invref_ref[...]
+    lls = []
+    # Static unroll over candidates (dynamic candidate indexing would need
+    # Mosaic-unprovable lane/sublane alignment); lam is accumulated directly
+    # with combined (w_g * m_s) coefficients — materializing the morphed
+    # (blk, S*E) template per candidate blows the scoped-VMEM budget
+    for a in range(A):
+        lam = None
+        for g in range(G):
+            for s in range(S):
+                coeff = wf_ref[:, a, g:g + 1] * m_ref[:, a, s:s + 1]
+                term = coeff * ps_ref[:, g, s * E:(s + 1) * E]
+                lam = term if lam is None else lam + term
+        lam_eff = jnp.where(lam > 0, lam, outlier) if outlier else lam
+        lls.append(jnp.sum(jnp.where(mask > 0,
+                                     jnp.log(lam_eff * invref), 0.0),
+                           axis=1)
+                   - moff_ref[:, a])
+    ll_ref[...] = jnp.stack(lls, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_uvgh_block_call(dtype_name, G, S, E, K, B, blk, interpret,
+                           outlier):
+    pairs = tuple((d, e) for d in range(K) for e in range(d + 1, K))
+    n_pairs_in = max(len(pairs), 1)
+    wd_dim = max(K, 1)
+    P_dim = S + K
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_uvgh_block_kernel, S=S, K=K, G=G, E=E,
+                             pairs=pairs, outlier=outlier)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=(jax.ShapeDtypeStruct((B, 1), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim, P_dim), dtype)),
+        in_specs=[
+            pl.BlockSpec((blk, G), lambda i: (i, 0)),             # wf
+            pl.BlockSpec((blk, wd_dim, G), lambda i: (i, 0, 0)),  # wdf
+            pl.BlockSpec((blk, n_pairs_in, G),
+                         lambda i: (i, 0, 0)),                    # wxf
+            pl.BlockSpec((blk, S), lambda i: (i, 0)),             # m
+            pl.BlockSpec((blk, E), lambda i: (i, 0)),             # mask
+            pl.BlockSpec((blk, 1), lambda i: (i, 0)),             # moff
+            pl.BlockSpec((blk, E), lambda i: (i, 0)),             # invref
+            pl.BlockSpec((blk, G, S * E), lambda i: (i, 0, 0)),   # ps
+        ],
+        out_specs=(pl.BlockSpec((blk, 1), lambda i: (i, 0)),
+                   pl.BlockSpec((blk, P_dim), lambda i: (i, 0)),
+                   pl.BlockSpec((blk, P_dim, P_dim),
+                                lambda i: (i, 0, 0))),
+        interpret=bool(interpret),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ull_block_call(dtype_name, G, S, E, A, B, blk, interpret,
+                          outlier):
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_ull_block_kernel, S=S, G=G, E=E, A=A,
+                             outlier=outlier)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=jax.ShapeDtypeStruct((B, A), dtype),
+        in_specs=[
+            pl.BlockSpec((blk, A, G), lambda i: (i, 0, 0)),       # wf
+            pl.BlockSpec((blk, A, S), lambda i: (i, 0, 0)),       # m
+            pl.BlockSpec((blk, E), lambda i: (i, 0)),             # mask
+            pl.BlockSpec((blk, A), lambda i: (i, 0)),             # moff
+            pl.BlockSpec((blk, E), lambda i: (i, 0)),             # invref
+            pl.BlockSpec((blk, G, S * E), lambda i: (i, 0, 0)),   # ps
+        ],
+        out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0)),
+        interpret=bool(interpret),
+    )
+
+
 def _uvgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, mask_ref, moff_ref,
                  invref_ref, ps_ref, ll_ref, g_ref, h_ref,
                  *, S, K, C, pairs, blk, outlier):
@@ -248,6 +438,35 @@ def _uvgh_batched_impl(ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b, moff_b,
     B, G, S, E = ps_b.shape
     C = ids_b.shape[-1]
     K = int(round(np.log2(C)))
+    n_pairs = K * (K - 1) // 2
+    if G <= FULL_GRID_MAX:
+        # Block-vectorized path: full-grid weights, whole-block array ops
+        wf = _scatter_full_grid(ids_b, w_b, G)                   # (B, G)
+        wd_dim = max(K, 1)
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None, None],
+                                (B, wd_dim, C))
+        ks = jnp.broadcast_to(jnp.arange(wd_dim)[None, :, None],
+                              (B, wd_dim, C))
+        ids3 = jnp.broadcast_to(ids_b[:, None, :], (B, wd_dim, C))
+        wdf = jnp.zeros((B, wd_dim, G), w_b.dtype).at[rows, ks, ids3].add(
+            wd_b)
+        np_dim = max(n_pairs, 1)
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None, None],
+                                (B, np_dim, C))
+        pis = jnp.broadcast_to(jnp.arange(np_dim)[None, :, None],
+                               (B, np_dim, C))
+        ids3 = jnp.broadcast_to(ids_b[:, None, :], (B, np_dim, C))
+        wxf = jnp.zeros((B, np_dim, G), w_b.dtype).at[rows, pis, ids3].add(
+            wx_b[:, :np_dim])
+        blk = min(_block_blk(G, S, E, K, n_pairs), B)
+        B_pad = _round_up(B, blk)
+        ps2 = ps_b.reshape(B, G, S * E)       # 2-D (blk, S*E) kernel layout
+        ps2, wf, wdf, wxf, m_b, mask_b, moff_b, invref_b = _pad_batch(
+            (ps2, wf, wdf, wxf, m_b, mask_b, moff_b, invref_b), B, B_pad)
+        call = _build_uvgh_block_call(str(ps2.dtype), G, S, E, K, B_pad,
+                                      blk, interpret, float(outlier))
+        ll, g, H = call(wf, wdf, wxf, m_b, mask_b, moff_b, invref_b, ps2)
+        return ll[:B, 0], g[:B], H[:B]
     blk = min(TOY_BLOCK, B)
     B_pad = _round_up(B, blk)
     ps_b, ids_b, w_b, wd_b, wx_b, m_b, mask_b, moff_b, invref_b = _pad_batch(
@@ -264,6 +483,18 @@ def _ull_batched_impl(ps_b, ids_b, w_b, m_b, mask_b, moff_b, invref_b,
                       interpret, outlier):
     B, G, S, E = ps_b.shape
     _, A, C = ids_b.shape
+    if G <= FULL_GRID_MAX:
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, A, C))
+        cands = jnp.broadcast_to(jnp.arange(A)[None, :, None], (B, A, C))
+        wf = jnp.zeros((B, A, G), w_b.dtype).at[rows, cands, ids_b].add(w_b)
+        blk = min(_block_blk(G, S, E, 0, 0, A=A), B)
+        B_pad = _round_up(B, blk)
+        ps2 = ps_b.reshape(B, G, S * E)
+        ps2, wf, m_b, mask_b, moff_b, invref_b = _pad_batch(
+            (ps2, wf, m_b, mask_b, moff_b, invref_b), B, B_pad)
+        call = _build_ull_block_call(str(ps2.dtype), G, S, E, A, B_pad,
+                                     blk, interpret, float(outlier))
+        return call(wf, m_b, mask_b, moff_b, invref_b, ps2)[:B]
     blk = min(TOY_BLOCK, B)
     B_pad = _round_up(B, blk)
     ps_b, ids_b, w_b, m_b, mask_b, moff_b, invref_b = _pad_batch(

@@ -196,7 +196,10 @@ class BinnedToyStudy:
                 if fit_long is not None else None)
             self._fit_cache[key] = (jax.jit(jax.vmap(fit_one)), long_j, names)
         fit, long_j, names = self._fit_cache[key]
-        x, ll, it = fit(counts)
+        # One batched device->host transfer: through a remote-TPU link each
+        # separate np.asarray() is a full round-trip, which dominated the
+        # post-program time at ensemble scale
+        x, ll, it = jax.device_get(fit(counts))
         if long_j is not None:
             x, ll, it, _ = _refine_stragglers(long_j, counts, x, ll, it,
                                               self.max_iter)
@@ -222,7 +225,7 @@ class BinnedToyStudy:
         entry = self._profile_fn(target, fixed)
         both, free_long, cond_long, names_free, names_cond = entry
         h = jnp.asarray(float(hypothesis))
-        t, free, cond = both(counts, h)
+        t, free, cond = jax.device_get(both(counts, h))
         if free_long is not None:
             xf, llf, itf = _refine_stragglers(
                 free_long, counts, *free, cap=self.max_iter)[:3]
@@ -421,13 +424,27 @@ class UnbinnedToyStudy:
         n = jnp.minimum(jax.random.poisson(k_n, mu_tot), self.n_max)
         mask = jnp.arange(self.n_max) < n
 
-        flat = weights_sb.reshape(-1)
-        logits = jnp.log(jnp.where(flat > 0, flat, 0.0))
-        choice = jax.random.categorical(k_bin, logits, shape=(self.n_max,))
-        bin_flat = choice % int(np.prod(weights_sb.shape[1:]))
+        # Inverse-CDF bin choice as a dense (n_max, n_bins) comparison.
+        # random.categorical materializes an (n_max, n_sources*n_bins) Gumbel
+        # matrix — threefry bits + log per cell, by far the most expensive
+        # stage of the pipeline. searchsorted is worse still on TPU (serial
+        # binary-search gathers starve the VPU — measured 3x slower than
+        # Gumbel). Counting cdf < target is the TPU shape of the draw: n_max
+        # random numbers total and one dense compare+sum, and the source axis
+        # is marginalized out first since only the bin index is used.
+        # Zero-weight bins have zero-width CDF intervals: selection needs
+        # cdf[j-1] < target <= cdf[j], so they are never drawn (the target is
+        # in (0, tot] because 1-u is in (0, 1]).
+        wb = jnp.sum(weights_sb, axis=0).reshape(-1)
+        cdf = jnp.cumsum(wb)
+        u = jax.random.uniform(k_bin, (self.n_max,), dtype=wb.dtype)
+        target = (1.0 - u) * cdf[-1]
+        bin_flat = jnp.sum(target[:, None] > cdf[None, :],
+                           axis=1, dtype=jnp.int32)
+        bin_flat = jnp.minimum(bin_flat, wb.shape[0] - 1)
         multi = jnp.unravel_index(bin_flat, weights_sb.shape[1:])
         u = jax.random.uniform(k_uni, (self.n_max, self.ndim),
-                               dtype=flat.dtype)
+                               dtype=wb.dtype)
         cols = []
         for d, e in enumerate(self.edges):
             e = jnp.asarray(e)
@@ -508,11 +525,19 @@ class UnbinnedToyStudy:
         fixed-shape sampler, which would bias high-rate ensembles — pass an
         explicit ``n_max`` to the study instead."""
         p = self.compiled.params_from_kwargs(**truth)
-        mus = self.compiled.rates(p)
-        pdfs = self._morph_pdf(p)
-        pmf = pdfs * jnp.asarray(self.bin_volumes, dtype=pdfs.dtype)
-        weights = mus[(...,) + (None,) * self.ndim] * pmf
-        mu_tot = float(jnp.sum(weights))
+        # jit the payload chain (cf. BinnedToyStudy.expected_counts): eagerly
+        # it is dozens of small dispatches + a blocking sum, which a remote
+        # device link turns into ~100 ms of per-call latency
+        if not hasattr(self, '_weights_jit'):
+            def _w(p):
+                mus = self.compiled.rates(p)
+                pdfs = self._morph_pdf(p)
+                pmf = pdfs * jnp.asarray(self.bin_volumes, dtype=pdfs.dtype)
+                weights = mus[(...,) + (None,) * self.ndim] * pmf
+                return weights, jnp.sum(weights)
+            self._weights_jit = jax.jit(_w)
+        weights, mu_tot = self._weights_jit(p)
+        mu_tot = float(mu_tot)
         if self.n_max < mu_tot + 4 * np.sqrt(mu_tot + 1):
             import warnings
             warnings.warn(
@@ -580,7 +605,7 @@ class UnbinnedToyStudy:
         keys = jax.random.split(key, n_toys)
         if mesh is not None:
             keys = shard_toys(mesh, keys)
-        x, ll, it = run_fn(keys, weights)
+        x, ll, it = jax.device_get(run_fn(keys, weights))
         if long_j is not None:
             x, ll, it, _ = _refine_stragglers(long_j, keys, x, ll, it,
                                               self.max_iter,
@@ -603,7 +628,7 @@ class UnbinnedToyStudy:
         entry = self._profile_fn(target, fixed)
         run_fn, free_long, cond_long, names_free, names_cond = entry
         h = jnp.asarray(float(hypothesis))
-        t, free, cond = run_fn(keys, weights, h)
+        t, free, cond = jax.device_get(run_fn(keys, weights, h))
         if free_long is not None:
             xf, llf, itf = _refine_stragglers(
                 free_long, keys, *free, cap=self.max_iter,

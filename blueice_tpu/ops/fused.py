@@ -32,6 +32,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's scoped-VMEM compile check defaults to 16 MB; its static
+# allocator's demand can run several x the block working-set model.
+# v5e VMEM is 128 MB — raise the limit so block sizing is the only gate.
+_VMEM_LIMIT = 64 * 2 ** 20
+
 from .binned_vgh import corner_weight_tables
 
 __all__ = ['binned_vgh_fused', 'binned_ll_fused_multi', 'fused_vgh_supported',
@@ -224,6 +229,8 @@ def _build_ll_call(dtype_name, G, S, N, C, A, B, blk, interpret):
         scratch_shapes=[pltpu.VMEM((G, S, N), dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )
 
 
@@ -353,6 +360,8 @@ def _build_batched_call(dtype_name, G, S, N, K, B, blk, interpret):
         scratch_shapes=[pltpu.VMEM((G, S, N), dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )
 
 

@@ -31,6 +31,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's scoped-VMEM compile check defaults to 16 MB; its static
+# allocator's demand can run several x the block working-set model.
+# v5e VMEM is 128 MB — raise the limit so block sizing is the only gate.
+_VMEM_LIMIT = 64 * 2 ** 20
+
 from .binned_vgh import corner_weight_tables
 from .bb_vgh import bb_lam_parts, bb_lambda
 
@@ -296,6 +301,8 @@ def _build_bb_vgh_call(dtype_name, G, S, N, K, B, blk, bb_i, interpret):
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )
 
 
@@ -328,6 +335,8 @@ def _build_bb_ll_call(dtype_name, G, S, N, K, A, B, blk, bb_i, interpret):
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )
 
 

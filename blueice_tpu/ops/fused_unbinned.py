@@ -52,6 +52,13 @@ def fused_unbinned_supported(per_toy_shape, dtype=jnp.float32,
 FULL_GRID_MAX = 16
 BLOCK_VMEM = 6 * 2 ** 20
 
+# Mosaic's scoped-VMEM compile check defaults to 16 MB, and its static
+# allocator's real demand runs ~3-4x the _block_blk working-set model (temps
+# of the unrolled candidate loop are not reused) — programs right at the
+# boundary compiled or OOM'd depending on layout luck. v5e VMEM is 128 MB;
+# raise the limit so the budget model, with margin, is the only gate.
+_VMEM_LIMIT = 64 * 2 ** 20
+
 
 def _block_blk(G, S, E, K, n_pairs, A=1, dtype_bytes=4):
     """Toy-block size for the block-vectorized kernels under the scoped-VMEM
@@ -205,6 +212,8 @@ def _build_uvgh_block_call(dtype_name, G, S, E, K, B, blk, interpret,
                    pl.BlockSpec((blk, P_dim, P_dim),
                                 lambda i: (i, 0, 0))),
         interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )
 
 
@@ -228,6 +237,8 @@ def _build_ull_block_call(dtype_name, G, S, E, A, B, blk, interpret,
         ],
         out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0)),
         interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )
 
 
@@ -389,6 +400,8 @@ def _build_uvgh_call(dtype_name, G, S, E, K, B, blk, interpret, outlier):
                    pl.BlockSpec((blk, P_dim, P_dim), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )
 
 
@@ -420,6 +433,8 @@ def _build_ull_call(dtype_name, G, S, E, C, A, B, blk, interpret, outlier):
         out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0),
                                memory_space=pltpu.SMEM),
         interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )
 
 

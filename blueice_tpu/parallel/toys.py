@@ -140,6 +140,7 @@ class BinnedToyStudy:
         # compile once and are reused across run()/profile_ts() invocations
         self._fit_cache = {}
         self._profile_cache = {}
+        self._sim_cache = {}
 
     def _make_fitter(self, **opts):
         """(stage-1 fit_one, long-cap fit_one or None, names)."""
@@ -176,11 +177,19 @@ class BinnedToyStudy:
         if mesh is not None:
             n_toys = _round_up_toys(n_toys, mesh)
         expected = self.expected_counts(**(truth or {}))
+
+        # One jitted program for the whole Poisson draw (vs one eager
+        # split + one eager poisson dispatch per leaf — round-trips on a
+        # remote device link); cached per toy count
+        def _draw(key, leaves):
+            ks = jax.random.split(key, len(leaves))
+            return [jax.random.poisson(k, e, shape=(n_toys,) + e.shape)
+                    .astype(e.dtype) for k, e in zip(ks, leaves)]
+        sim_jit = self._sim_cache.get(n_toys)
+        if sim_jit is None:
+            sim_jit = self._sim_cache[n_toys] = jax.jit(_draw)
         leaves, treedef = jax.tree_util.tree_flatten(expected)
-        keys = jax.random.split(key, len(leaves))
-        counts = jax.tree_util.tree_unflatten(treedef, [
-            jax.random.poisson(k, e, shape=(n_toys,) + e.shape).astype(e.dtype)
-            for k, e in zip(keys, leaves)])
+        counts = jax.tree_util.tree_unflatten(treedef, sim_jit(key, leaves))
         if mesh is not None:
             counts = shard_toys(mesh, counts)
         return counts

@@ -716,7 +716,14 @@ class BinnedLogLikelihood(LogLikelihoodBase):
             # U == 0 bins: the general solution is singular, use the special case
             A_special = (observed + a_bins) / (1.0 + p_calibration)
             A_bins = np.where(u_bins == 0, A_special, A_bins_2)
-            assert np.all(0 <= A_bins)
+            # The physical root is mathematically >= 0: the quadratic has
+            # f(0) = -U*a <= 0 with positive leading coefficient, so its
+            # larger root cannot be negative. sqrt rounding can still leave
+            # it at -epsilon when U*a ~ 0; clamp instead of crashing the fit
+            # (the reference asserts here and dies on the same rounding
+            # noise, /root/reference/blueice/likelihood.py:655).
+            assert np.all(A_bins >= -1e-6 * np.maximum(1.0, observed + a_bins))
+            A_bins = np.maximum(A_bins, 0.0)
 
             raw = A_bins * w_calibration
             pmfs[source_i] = raw / raw.sum()
@@ -764,18 +771,42 @@ def _bb_discriminant(a, p, U, d):
             + d**2 * p**2)
 
 
+def _bb_quadratic_parts(a, p, U, d):
+    """Coefficients (A2, b) of the per-bin quadratic A2*x^2 + b*x + c with
+    c = -U*a, plus s = sqrt(discriminant). Since c <= 0, s >= |b| always."""
+    A2 = p * (p + 1.0)
+    b = U * (p + 1.0) - p * (np.asarray(a, dtype=float) + d)
+    s = np.sqrt(_bb_discriminant(a, p, U, d))
+    return A2, b, s
+
+
 def beeston_barlow_root1(a, p, U, d):
     """Unphysical root of the per-bin Beeston-Barlow quadratic (kept only for
     regression checking, like the reference)."""
-    return ((-U * p - U + a * p + d * p - np.sqrt(_bb_discriminant(a, p, U, d)))
-            / (2 * p * (p + 1)))
+    A2, b, s = _bb_quadratic_parts(a, p, U, d)
+    tiny = np.finfo(float).tiny
+    # Citardauq on the b<0 side keeps the smaller root cancellation-free;
+    # p == 0 (A2 == 0) degenerates the quadratic to linear and sends this
+    # root to -inf — the tiny guard caps it at a huge negative instead
+    return np.where(b >= 0, -(b + s) / np.maximum(2.0 * A2, tiny),
+                    -2.0 * U * a / np.maximum(s - b, tiny))
 
 
 def beeston_barlow_root2(a, p, U, d):
     """Physical root of the per-bin Beeston-Barlow quadratic: profiled per-bin MC
-    expectation for one finite-statistics source among infinite-statistics ones."""
-    return ((-U * p - U + a * p + d * p + np.sqrt(_bb_discriminant(a, p, U, d)))
-            / (2 * p * (p + 1)))
+    expectation for one finite-statistics source among infinite-statistics ones.
+
+    Evaluated in the cancellation-free form per sign of the linear coefficient
+    (Citardauq for b >= 0): the naive (-b + sqrt(disc))/(2*A2) loses all
+    precision as p -> 0 with U > 0 (numerator is a difference of
+    nearly-equal terms over a vanishing denominator; observed to return
+    -0.098 for a true root of +0.001 at p ~ 7e-17). Since the constant
+    coefficient -U*a is <= 0, sqrt(disc) >= |b| and both stable branches are
+    nonnegative in floating point."""
+    A2, b, s = _bb_quadratic_parts(a, p, U, d)
+    tiny = np.finfo(float).tiny
+    return np.where(b >= 0, 2.0 * U * a / np.maximum(b + s, tiny),
+                    (s - b) / np.maximum(2.0 * A2, tiny))
 
 
 def beeston_barlow_roots(a, p, U, d):

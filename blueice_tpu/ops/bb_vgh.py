@@ -56,8 +56,20 @@ def bb_lambda(P, N, U, M, T, d):
             + N ** 2 * pw_safe ** 2 + 2 * N * d * pw_safe ** 2
             + d ** 2 * pw_safe ** 2)
     root = jnp.sqrt(jnp.maximum(disc, tiny))
-    A_general = ((-U * pw_safe - U + N * pw_safe + d * pw_safe + root)
-                 / (2 * pw_safe * (pw_safe + 1)))
+    # Stable larger root (Citardauq for b >= 0): the naive (-b + root)/(2a)
+    # cancels catastrophically as pw -> 0 with U > 0 (see
+    # likelihood.beeston_barlow_root2). The constant coefficient -U*N is
+    # <= 0, so root >= |b| and both branches are nonnegative in fp.
+    b_lin = U * (pw_safe + 1.0) - pw_safe * (N + d)
+    sel_hi = b_lin >= 0
+    # Double-where: each branch's denominator is where-guarded to 1 on the
+    # rows it does not serve BEFORE the division — otherwise reverse-mode AD
+    # of the unselected branch (cotangent 0) meets an inf partial and
+    # produces 0 * inf = NaN
+    den_hi = jnp.maximum(jnp.where(sel_hi, b_lin + root, 1.0), tiny)
+    den_lo = jnp.where(sel_hi, 1.0, 2.0 * pw_safe * (pw_safe + 1.0))
+    A_general = jnp.where(sel_hi, 2.0 * U * N / den_hi,
+                          (root - b_lin) / den_lo)
     # U == 0 bins use the dedicated closed form, which couples in the global
     # MC total through p_calibration = M / T
     A_special = (d + N) / (1.0 + M / T)
@@ -123,7 +135,14 @@ def bb_lam_parts(P, N, U, M, T, d):
     b = U * (p_s + 1.0) - p_s * (N + d)
     disc = b * b + 4.0 * U * N * a
     R = jnp.sqrt(jnp.maximum(disc, tiny))
-    A = (-b + R) / (2.0 * a)
+    # Stable larger root (Citardauq for b >= 0; see bb_lambda above,
+    # including the double-where denominator guards). The implicit-
+    # differentiation derivatives below depend only on (A, R, a, b), not on
+    # which algebraic form produced A.
+    sel_hi = b >= 0
+    den_hi = jnp.maximum(jnp.where(sel_hi, b + R, 1.0), tiny)
+    den_lo = jnp.where(sel_hi, 1.0, 2.0 * a)
+    A = jnp.where(sel_hi, 2.0 * U * N / den_hi, (R - b) / den_lo)
 
     F_p = (2.0 * p_s + 1.0) * A * A + (U - N - d) * A
     F_U = (p_s + 1.0) * A - N

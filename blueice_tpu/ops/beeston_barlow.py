@@ -25,16 +25,32 @@ def _bb_discriminant(a, p, U, d):
             + a ** 2 * p ** 2 + 2 * a * d * p ** 2 + d ** 2 * p ** 2)
 
 
+def _bb_quadratic_parts(a, p, U, d):
+    """(A2, b, s) of the per-bin quadratic A2*x^2 + b*x + c with c = -U*a;
+    s = sqrt(discriminant) >= |b| since c <= 0."""
+    A2 = p * (p + 1.0)
+    b = U * (p + 1.0) - p * (a + d)
+    s = jnp.sqrt(_bb_discriminant(a, p, U, d))
+    return A2, b, s
+
+
 def beeston_barlow_root1(a, p, U, d):
     """The unphysical (non-positive) root of the per-bin Beeston-Barlow quadratic.
     Kept, like the reference, only for regression checking — do not use."""
     a, p, U, d = (jnp.asarray(x, dtype=jnp.result_type(float)) for x in (a, p, U, d))
-    disc = jnp.sqrt(_bb_discriminant(a, p, U, d))
-    return (-U * p - U + a * p + d * p - disc) / (2 * p * (p + 1))
+    A2, b, s = _bb_quadratic_parts(a, p, U, d)
+    tiny = jnp.finfo(b.dtype).tiny
+    sel = b >= 0
+    den_hi = jnp.maximum(jnp.where(sel, 2.0 * A2, 1.0), tiny)
+    den_lo = jnp.maximum(jnp.where(sel, 1.0, s - b), tiny)
+    return jnp.where(sel, -(b + s) / den_hi, -2.0 * U * a / den_lo)
 
 
 def beeston_barlow_root2(a, p, U, d):
-    """The physical root of the per-bin Beeston-Barlow quadratic.
+    """The physical root of the per-bin Beeston-Barlow quadratic, evaluated in
+    the cancellation-free form per sign of the linear coefficient (Citardauq
+    for b >= 0) — the naive (-b + sqrt(disc))/(2*A2) loses all precision as
+    p -> 0 with U > 0. Both stable branches are nonnegative in floating point.
 
     :param a: observed MC/calibration counts per bin of the finite source.
     :param p: data/MC livetime (rate) ratio per bin (or scalar).
@@ -42,8 +58,14 @@ def beeston_barlow_root2(a, p, U, d):
     :param d: observed data counts per bin.
     """
     a, p, U, d = (jnp.asarray(x, dtype=jnp.result_type(float)) for x in (a, p, U, d))
-    disc = jnp.sqrt(_bb_discriminant(a, p, U, d))
-    return (-U * p - U + a * p + d * p + disc) / (2 * p * (p + 1))
+    A2, b, s = _bb_quadratic_parts(a, p, U, d)
+    tiny = jnp.finfo(b.dtype).tiny
+    # Double-where denominator guards: keep the unselected branch's partials
+    # finite so reverse-mode AD (cotangent 0) never meets 0 * inf
+    sel = b >= 0
+    den_hi = jnp.maximum(jnp.where(sel, b + s, 1.0), tiny)
+    den_lo = jnp.maximum(jnp.where(sel, 1.0, 2.0 * A2), tiny)
+    return jnp.where(sel, 2.0 * U * a / den_hi, (s - b) / den_lo)
 
 
 def beeston_barlow_roots(a, p, U, d):

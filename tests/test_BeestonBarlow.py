@@ -145,3 +145,43 @@ def test_bb_single_adjust_op_matches_host():
     npt.assert_allclose(np.asarray(pmfs_j[0]), raw / raw.sum(), rtol=1e-10)
     npt.assert_allclose(float(mus_j[0]), raw.sum() * p, rtol=1e-10)
     npt.assert_allclose(np.asarray(pmfs_j[1]), pmfs[1], rtol=1e-12)
+
+
+def test_bb_root2_stable_at_vanishing_p():
+    """Regression: as p -> 0 with U > 0 the naive (-b + sqrt(disc))/(2*A2)
+    root cancels catastrophically (a real XENON-scale toy produced
+    A = -0.098 for a true root of +0.001, crashing adjust_expectations'
+    nonnegativity assert). The stable form is exact and nonnegative.
+
+    The p -> 0 limit of the quadratic is linear: U*A - U*a = 0 => A = a."""
+    a, p, U, d = 0.001, 7.088675171363666e-17, 0.10940715747035475, 0.0
+    for root2 in (beeston_barlow_root2,            # host numpy
+                  ops.beeston_barlow_root2):       # jnp twin
+        r = float(root2(a, p, U, d))
+        npt.assert_allclose(r, a, rtol=1e-9)
+
+    # Across a sweep of magnitudes the root stays nonnegative and within
+    # the bracket [0, max(a, (a+d)/1)] (larger root of a monic-positive
+    # quadratic with f(0) <= 0 and f(a + d + U/p ...) — loose sanity bound)
+    rng = np.random.default_rng(42)
+    for _ in range(500):
+        a = rng.uniform(0, 100)
+        p = 10.0 ** rng.uniform(-20, 2)
+        U = 10.0 ** rng.uniform(-12, 3)
+        d = float(rng.integers(0, 50))
+        r = float(beeston_barlow_root2(a, p, U, d))
+        assert r >= 0.0
+        assert np.isfinite(r)
+
+
+def test_bb_lambda_and_parts_stable_at_vanishing_pw():
+    """The device closed forms (bb_lambda and bb_lam_parts) share the stable
+    root: lambda = U + pw*A stays exact (~U + pw*N) at vanishing pw."""
+    from blueice_tpu.ops.bb_vgh import bb_lambda, bb_lam_parts
+    P, N, U, M, T, d = 1e-20, 0.001, 0.109, 21.0, 86.0, 0.0
+    # pw = M*P/N ~ 2.1e-16: lambda must be U + pw*A with A ~ N
+    lam = float(bb_lambda(P, N, U, M, T, d))
+    npt.assert_allclose(lam, U, rtol=1e-9)
+    lam2, _, _ = bb_lam_parts(np.array([P]), np.array([N]), np.array([U]),
+                              np.array([M]), np.array([T]), np.array([d]))
+    npt.assert_allclose(float(lam2[0]), U, rtol=1e-9)

@@ -200,6 +200,13 @@ METRICS = {
 
 def run_scenario(name, n_toys=None):
     build, target, default_toys, host_toys = SCENARIOS[name]
+    # MC-sampled pdf templates draw from the global numpy RNG
+    # (reference-parity behavior). Seed it per scenario so the templates —
+    # which are baked into the compiled fit programs as constants — are
+    # bit-identical run to run: otherwise every bench run has a fresh XLA
+    # cache key (persistent-compilation-cache miss, ~4 minutes of remote
+    # compile at Gaussian scale) and a different-difficulty host baseline.
+    np.random.seed(20260817)
     t0 = time.time()
     lf = build()
     log("[%s] template build: %.1fs" % (name, time.time() - t0))

@@ -236,7 +236,10 @@ def bestfit_emcee(ll, quiet=True, return_errors=False, return_samples=False,
                   n_walkers=40, n_steps=200, n_burn_in=100, n_threads=1,
                   seed=None, **kwargs):
     """Optimize the loglikelihood with ensemble MCMC. Walkers start at
-    [0.95, 1.05] * the guesses (so supply a custom guess if a default is 0).
+    [0.95, 1.05] * the guesses; guesses of exactly 0 get an additive
+    +-0.05 jitter instead — affine-invariant proposals are linear
+    combinations of walker positions, so a coordinate where the whole
+    ensemble starts identical (0 * anything) could otherwise never move.
     Uses the optional emcee package when importable, otherwise the built-in
     affine-invariant sampler (identical algorithm).
 
@@ -248,6 +251,10 @@ def bestfit_emcee(ll, quiet=True, return_errors=False, return_samples=False,
     n_dim = len(guess)
     rng = np.random.default_rng(seed)
     p0 = rng.uniform(0.95, 1.05, size=(n_walkers, n_dim)) * guess
+    degenerate = np.asarray(guess) == 0
+    if degenerate.any():
+        p0[:, degenerate] += rng.uniform(
+            -0.05, 0.05, size=(n_walkers, int(degenerate.sum())))
 
     try:
         import emcee

@@ -38,7 +38,7 @@ def sample_stretch(log_prob, key, p0, n_steps, a=2.0):
     half = n_walkers // 2
     lp_vec = jax.vmap(log_prob)
 
-    def half_update(pos, logp, key, lo, hi, olo, ohi):
+    def half_update(pos, logp, key, lo, olo):
         walk = jax.lax.dynamic_slice_in_dim(pos, lo, half)
         wlp = jax.lax.dynamic_slice_in_dim(logp, lo, half)
         other = jax.lax.dynamic_slice_in_dim(pos, olo, half)
@@ -60,8 +60,8 @@ def sample_stretch(log_prob, key, p0, n_steps, a=2.0):
     def step(carry, key):
         pos, logp = carry
         k1, k2 = jax.random.split(key)
-        pos, logp = half_update(pos, logp, k1, 0, half, half, n_walkers)
-        pos, logp = half_update(pos, logp, k2, half, n_walkers, 0, half)
+        pos, logp = half_update(pos, logp, k1, 0, half)
+        pos, logp = half_update(pos, logp, k2, half, 0)
         return (pos, logp), (pos, logp)
 
     lp0 = lp_vec(p0)
@@ -117,6 +117,15 @@ def bestfit_emcee_device(lf, n_walkers=40, n_steps=200, n_burn_in=100,
     spread = jax.random.uniform(k0, (n_walkers, n_dim), minval=0.95,
                                 maxval=1.05)
     p0 = spread * jnp.asarray(guess)[None, :]
+    # Guesses of exactly 0 get an additive jitter: affine-invariant
+    # proposals are linear combinations of walker positions, so a
+    # coordinate where the whole ensemble starts identical can never move
+    # (same guard as the host bestfit_emcee)
+    degenerate = np.asarray(guess) == 0
+    if degenerate.any():
+        jit_k = jax.random.uniform(k0, (n_walkers, n_dim), minval=-0.05,
+                                   maxval=0.05)
+        p0 = jnp.where(jnp.asarray(degenerate)[None, :], p0 + jit_k, p0)
 
     runner = jax.jit(lambda k, p: sample_stretch(log_prob, k, p, n_steps))
     chain, _ = runner(k1, p0)

@@ -85,3 +85,21 @@ def test_device_emcee_fixed_and_errors():
                                          return_errors=True, mu=0.0)
     assert list(res) == ['s0_rate_multiplier']
     assert errs['s0_rate_multiplier'] > 0
+
+
+def test_zero_default_parameter_is_actually_sampled():
+    """Regression: affine-invariant proposals are linear combinations of
+    walker positions, so a coordinate where every walker starts at exactly 0
+    (multiplicative spread x a 0 default — mu here) could never move; its
+    'posterior' came back as a zero-variance spike at 0. Both samplers now
+    jitter degenerate coordinates additively at init."""
+    lf = _gauss_lf()
+    _, _, samples = bestfit_emcee_device(
+        lf, n_walkers=32, n_steps=200, n_burn_in=100, seed=11,
+        return_samples=True)
+    assert samples[:, 1].std() > 1e-3        # mu explores
+
+    _, _, host_samples = lf.bestfit_emcee(
+        n_walkers=32, n_steps=200, n_burn_in=100, seed=11,
+        return_samples=True)
+    assert host_samples[:, 1].std() > 1e-3

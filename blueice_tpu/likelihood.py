@@ -773,10 +773,12 @@ def _bb_discriminant(a, p, U, d):
 
 def _bb_quadratic_parts(a, p, U, d):
     """Coefficients (A2, b) of the per-bin quadratic A2*x^2 + b*x + c with
-    c = -U*a, plus s = sqrt(discriminant). Since c <= 0, s >= |b| always."""
+    c = -U*a, plus s = sqrt(discriminant). Since c <= 0, s >= |b| always —
+    but the discriminant is evaluated as an expanded mixed-sign polynomial,
+    so near-zero values can round negative; clamp before the sqrt."""
     A2 = p * (p + 1.0)
     b = U * (p + 1.0) - p * (np.asarray(a, dtype=float) + d)
-    s = np.sqrt(_bb_discriminant(a, p, U, d))
+    s = np.sqrt(np.maximum(_bb_discriminant(a, p, U, d), 0.0))
     return A2, b, s
 
 

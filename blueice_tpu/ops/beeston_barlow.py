@@ -27,10 +27,14 @@ def _bb_discriminant(a, p, U, d):
 
 def _bb_quadratic_parts(a, p, U, d):
     """(A2, b, s) of the per-bin quadratic A2*x^2 + b*x + c with c = -U*a;
-    s = sqrt(discriminant) >= |b| since c <= 0."""
+    s = sqrt(discriminant) >= |b| since c <= 0. The discriminant is
+    mathematically >= 0 but evaluated as an expanded mixed-sign polynomial,
+    so near-zero values can round negative — guard before the sqrt (tiny,
+    not 0: sqrt'(0) = inf would poison gradients of the compiled path)."""
     A2 = p * (p + 1.0)
     b = U * (p + 1.0) - p * (a + d)
-    s = jnp.sqrt(_bb_discriminant(a, p, U, d))
+    disc = _bb_discriminant(a, p, U, d)
+    s = jnp.sqrt(jnp.maximum(disc, jnp.finfo(jnp.result_type(disc)).tiny))
     return A2, b, s
 
 

@@ -35,7 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 # Mosaic's scoped-VMEM compile check defaults to 16 MB; its static
 # allocator's demand can run several x the block working-set model.
 # v5e VMEM is 128 MB — raise the limit so block sizing is the only gate.
-_VMEM_LIMIT = 64 * 2 ** 20
+# Shared by every fused kernel module (fused_bb, fused_unbinned import it).
+VMEM_LIMIT = 64 * 2 ** 20
+_VMEM_LIMIT = VMEM_LIMIT
 
 from .binned_vgh import corner_weight_tables
 

@@ -31,12 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Mosaic's scoped-VMEM compile check defaults to 16 MB; its static
-# allocator's demand can run several x the block working-set model.
-# v5e VMEM is 128 MB — raise the limit so block sizing is the only gate.
-_VMEM_LIMIT = 64 * 2 ** 20
-
 from .binned_vgh import corner_weight_tables
+from .fused import VMEM_LIMIT as _VMEM_LIMIT
 from .bb_vgh import bb_lam_parts, bb_lambda
 
 __all__ = ['binned_bb_vgh_fused', 'binned_bb_ll_fused_multi',

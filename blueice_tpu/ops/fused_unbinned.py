@@ -52,12 +52,12 @@ def fused_unbinned_supported(per_toy_shape, dtype=jnp.float32,
 FULL_GRID_MAX = 16
 BLOCK_VMEM = 6 * 2 ** 20
 
-# Mosaic's scoped-VMEM compile check defaults to 16 MB, and its static
-# allocator's real demand runs ~3-4x the _block_blk working-set model (temps
-# of the unrolled candidate loop are not reused) — programs right at the
-# boundary compiled or OOM'd depending on layout luck. v5e VMEM is 128 MB;
-# raise the limit so the budget model, with margin, is the only gate.
-_VMEM_LIMIT = 64 * 2 ** 20
+# Mosaic's static allocator's real demand runs ~3-4x the _block_blk
+# working-set model (temps of the unrolled candidate loop are not reused) —
+# programs right at the default 16 MB boundary compiled or OOM'd depending
+# on layout luck; the shared raised limit makes the budget model, with
+# margin, the only gate.
+from .fused import VMEM_LIMIT as _VMEM_LIMIT
 
 
 def _block_blk(G, S, E, K, n_pairs, A=1, dtype_bytes=4):

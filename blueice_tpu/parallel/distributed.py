@@ -95,16 +95,25 @@ def to_global_toys(mesh, tree, axis_name='toys'):
 
 def gather_to_hosts(tree):
     """Fully-replicated numpy values of (possibly non-addressable) global
-    arrays on every process — the cross-host result gather."""
+    arrays on every process — the cross-host result gather.
+
+    Addressable leaves come back in ONE batched ``jax.device_get`` (each
+    separate per-leaf transfer is a full round-trip on a remote device
+    link); only non-addressable leaves need the per-leaf allgather
+    collective."""
     if jax.process_count() == 1:
-        return jax.tree_util.tree_map(np.asarray, tree)
+        return jax.device_get(tree)
     from jax.experimental import multihost_utils
 
-    def gather(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        return np.asarray(x)
-    return jax.tree_util.tree_map(gather, tree)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    remote = [isinstance(x, jax.Array) and not x.is_fully_addressable
+              for x in leaves]
+    local_fetched = iter(jax.device_get(
+        [x for x, r in zip(leaves, remote) if not r]))
+    out = [np.asarray(multihost_utils.process_allgather(x, tiled=True))
+           if r else np.asarray(next(local_fetched))
+           for x, r in zip(leaves, remote)]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _simulate_full(study, key, n_toys, truth, mesh):
@@ -112,7 +121,12 @@ def _simulate_full(study, key, n_toys, truth, mesh):
     the same toys at any process count (the Poisson draw is cheap next to the
     fits, so every process drawing the full ensemble is a non-cost; memory
     stays bounded because only this process's rows go to its devices)."""
-    from .toys import _round_up_toys
+    from .toys import BinnedToyStudy, _round_up_toys
+    if not isinstance(study, BinnedToyStudy):
+        raise TypeError(
+            "distributed toy ensembles currently support BinnedToyStudy only "
+            "(the unbinned study's profile path takes (keys, weights), not "
+            "count tensors); got %s" % type(study).__name__)
     n_toys = _round_up_toys(n_toys, mesh)
     counts = study.simulate(key, n_toys, truth, mesh=None)
     return n_toys, counts
@@ -167,11 +181,7 @@ def run_distributed(study, key, n_toys, truth=None, fixed=None, mesh=None,
     n_toys, counts_host = _simulate_full(study, key, n_toys, truth, mesh)
     counts = to_global_toys(mesh, counts_host, axis_name)
 
-    frozen = (study._freeze(fixed), study._freeze(None))
-    if frozen not in study._fit_cache:
-        study.fit_toys(jax.tree_util.tree_map(lambda x: x[:1], counts_host),
-                       fixed=fixed)    # populate the jit cache
-    fit, long_j, names = study._fit_cache[frozen]
+    fit, long_j, names = study._fit_entry(fixed)
     x, ll, it = gather_to_hosts(fit(counts))
     if long_j is not None:
         counts_np = jax.tree_util.tree_map(np.asarray, counts_host)

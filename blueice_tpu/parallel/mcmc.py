@@ -79,6 +79,14 @@ def make_device_log_prob(compiled, fixed=None):
     rate_names = [sn + '_rate_multiplier'
                   for sn in getattr(compiled.lf, 'rate_parameters', {})]
     shape_names = list(getattr(compiled.lf, 'shape_parameters', {}))
+    unknown = set(fixed) - set(rate_names) - set(shape_names)
+    if unknown:
+        # Same contract as the host path (make_objective -> lf(**point)):
+        # a typo'd conditional fit must not silently sample unconstrained
+        from ..exceptions import InvalidParameter
+        raise InvalidParameter(
+            "%s matches neither a rate nor a shape parameter of this "
+            "likelihood" % sorted(unknown))
     names = [n for n in rate_names + shape_names if n not in fixed]
     if not names:
         raise ValueError("nothing to sample: every parameter is fixed")
@@ -97,9 +105,12 @@ def make_device_log_prob(compiled, fixed=None):
 
 def bestfit_emcee_device(lf, n_walkers=40, n_steps=200, n_burn_in=100,
                          seed=0, return_errors=False, return_samples=False,
-                         compiled=None, **fixed):
+                         compiled=None, quiet=True, n_threads=1, **fixed):
     """Drop-in twin of ``bestfit_emcee`` running the whole chain on device
     via the compiled likelihood (requires prepare() + set_data()).
+    ``quiet``/``n_threads`` are accepted for host-twin signature parity and
+    ignored (the chain is one XLA program); any other unknown keyword raises
+    InvalidParameter, like the host path.
 
     :return: ({param: median}, loglikelihood at the median point), plus
       errors/samples like the host routine when requested.

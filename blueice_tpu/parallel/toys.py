@@ -194,8 +194,10 @@ class BinnedToyStudy:
             counts = shard_toys(mesh, counts)
         return counts
 
-    def fit_toys(self, counts, fixed=None, guess=None):
-        """Fit every toy dataset; returns ToyResults."""
+    def _fit_entry(self, fixed=None, guess=None):
+        """(jitted vmapped fit, jitted long-cap refit or None, names) —
+        constructed and cached without tracing or compiling anything (jit is
+        lazy), so callers like run_distributed can obtain the entry cheaply."""
         key = (self._freeze(fixed), self._freeze(guess))
         if key not in self._fit_cache:
             fit_one, fit_long, names = self._make_fitter(fixed=fixed,
@@ -204,7 +206,11 @@ class BinnedToyStudy:
                 lambda d, x0: fit_long(d, None, (), x0)))
                 if fit_long is not None else None)
             self._fit_cache[key] = (jax.jit(jax.vmap(fit_one)), long_j, names)
-        fit, long_j, names = self._fit_cache[key]
+        return self._fit_cache[key]
+
+    def fit_toys(self, counts, fixed=None, guess=None):
+        """Fit every toy dataset; returns ToyResults."""
+        fit, long_j, names = self._fit_entry(fixed, guess)
         # One batched device->host transfer: through a remote-TPU link each
         # separate np.asarray() is a full round-trip, which dominated the
         # post-program time at ensemble scale

@@ -103,3 +103,13 @@ def test_zero_default_parameter_is_actually_sampled():
         n_walkers=32, n_steps=200, n_burn_in=100, seed=11,
         return_samples=True)
     assert host_samples[:, 1].std() > 1e-3
+
+
+def test_device_emcee_rejects_unknown_parameters():
+    """Typo'd conditional kwargs must raise like the host path, not silently
+    sample the intended-fixed parameter unconstrained."""
+    from blueice_tpu.exceptions import InvalidParameter
+    lf = _gauss_lf()
+    with pytest.raises(InvalidParameter, match="mu_typo"):
+        bestfit_emcee_device(lf, n_walkers=8, n_steps=4, n_burn_in=0,
+                             mu_typo=0.5)

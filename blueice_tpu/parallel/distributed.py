@@ -116,20 +116,33 @@ def gather_to_hosts(tree):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _simulate_full(study, key, n_toys, truth, mesh):
-    """Layout-invariant full-ensemble simulation on host: the same key yields
-    the same toys at any process count (the Poisson draw is cheap next to the
-    fits, so every process drawing the full ensemble is a non-cost; memory
-    stays bounded because only this process's rows go to its devices)."""
-    from .toys import BinnedToyStudy, _round_up_toys
-    if not isinstance(study, BinnedToyStudy):
-        raise TypeError(
-            "distributed toy ensembles currently support BinnedToyStudy only "
-            "(the unbinned study's profile path takes (keys, weights), not "
-            "count tensors); got %s" % type(study).__name__)
+def _prepare_ensemble(study, key, n_toys, truth, mesh):
+    """Layout-invariant full-ensemble toy inputs on host: the same key yields
+    the same toys at any process count (the simulation stage is cheap next to
+    the fits, so every process preparing the full ensemble is a non-cost;
+    memory stays bounded because only this process's rows go to its devices).
+
+    :return: (n_toys, toy_tree, extra): ``toy_tree`` carries the full toy
+      axis leading (binned: count tensors; unbinned: raw uint32 PRNG keys —
+      the per-toy simulation runs inside the fit program there), ``extra`` is
+      the replicated per-ensemble payload appended to every fit/refine call
+      (() for binned, (weights,) for unbinned).
+    """
+    from .toys import BinnedToyStudy, UnbinnedToyStudy, _round_up_toys
     n_toys = _round_up_toys(n_toys, mesh)
-    counts = study.simulate(key, n_toys, truth, mesh=None)
-    return n_toys, counts
+    if isinstance(study, BinnedToyStudy):
+        return n_toys, study.simulate(key, n_toys, truth, mesh=None), ()
+    if isinstance(study, UnbinnedToyStudy):
+        weights = study.expected_weights(**(truth or {}))
+        keys = jax.random.split(key, n_toys)
+        if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+            # Typed key arrays cannot round-trip numpy for the host-side
+            # sharding/refinement; the raw uint32 data drives jax.random
+            # identically (same threefry counters)
+            keys = jax.random.key_data(keys)
+        return n_toys, np.asarray(jax.device_get(keys)), (weights,)
+    raise TypeError("distributed toy ensembles need a BinnedToyStudy or "
+                    "UnbinnedToyStudy; got %s" % type(study).__name__)
 
 
 def profile_ts_distributed(study, key, n_toys, target, hypothesis,
@@ -150,22 +163,24 @@ def profile_ts_distributed(study, key, n_toys, target, hypothesis,
     from .toys import ToyResults, _refine_stragglers
 
     mesh = global_mesh(axis_name) if mesh is None else mesh
-    n_toys, counts_host = _simulate_full(study, key, n_toys, truth, mesh)
-    counts = to_global_toys(mesh, counts_host, axis_name)
+    n_toys, toys_host, extra = _prepare_ensemble(study, key, n_toys, truth,
+                                                 mesh)
+    toys = to_global_toys(mesh, toys_host, axis_name)
 
     entry = study._profile_fn(target, fixed)
-    both, free_long, cond_long, names_free, names_cond = entry
+    run_fn, free_long, cond_long, names_free, names_cond = entry
     h = jnp.asarray(float(hypothesis))
-    t, free, cond = both(counts, h)
+    t, free, cond = run_fn(toys, *extra, h)
 
     t, free, cond = gather_to_hosts((t, free, cond))
     if free_long is not None:
-        counts_np = jax.tree_util.tree_map(np.asarray, counts_host)
+        toys_np = jax.tree_util.tree_map(np.asarray, toys_host)
         xf, llf, itf = _refine_stragglers(
-            free_long, counts_np, *free, cap=study.max_iter)[:3]
+            free_long, toys_np, *free, cap=study.max_iter,
+            extra_args=extra)[:3]
         xc, llc, itc = _refine_stragglers(
-            cond_long, counts_np, *cond, cap=study.max_iter,
-            extra_args=(h,))[:3]
+            cond_long, toys_np, *cond, cap=study.max_iter,
+            extra_args=extra + (h,))[:3]
         free, cond = (xf, llf, itf), (xc, llc, itc)
         t = np.maximum(2.0 * (llf - llc), 0.0)
     return (np.asarray(t), ToyResults(names_free, *free),
@@ -178,13 +193,14 @@ def run_distributed(study, key, n_toys, truth=None, fixed=None, mesh=None,
     from .toys import ToyResults, _refine_stragglers
 
     mesh = global_mesh(axis_name) if mesh is None else mesh
-    n_toys, counts_host = _simulate_full(study, key, n_toys, truth, mesh)
-    counts = to_global_toys(mesh, counts_host, axis_name)
+    n_toys, toys_host, extra = _prepare_ensemble(study, key, n_toys, truth,
+                                                 mesh)
+    toys = to_global_toys(mesh, toys_host, axis_name)
 
     fit, long_j, names = study._fit_entry(fixed)
-    x, ll, it = gather_to_hosts(fit(counts))
+    x, ll, it = gather_to_hosts(fit(toys, *extra))
     if long_j is not None:
-        counts_np = jax.tree_util.tree_map(np.asarray, counts_host)
-        x, ll, it, _ = _refine_stragglers(long_j, counts_np, x, ll, it,
-                                          study.max_iter)
+        toys_np = jax.tree_util.tree_map(np.asarray, toys_host)
+        x, ll, it, _ = _refine_stragglers(long_j, toys_np, x, ll, it,
+                                          study.max_iter, extra_args=extra)
     return ToyResults(names, x, ll, it)

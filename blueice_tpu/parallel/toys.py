@@ -592,9 +592,10 @@ class UnbinnedToyStudy:
         in_axes = (0, 0, None) + ((None,) if with_hypothesis else ())
         return jax.jit(jax.vmap(one, in_axes=in_axes))
 
-    def run(self, key, n_toys, truth=None, fixed=None, mesh=None):
-        """Simulate and fit n_toys unbinned datasets in one jit program."""
-        weights = self.expected_weights(**(truth or {}))
+    def _fit_entry(self, fixed=None):
+        """(jitted vmapped sample->score->fit over (keys, weights), jitted
+        long-cap refit or None, names) — lazily cached like
+        BinnedToyStudy._fit_entry, so run_distributed can share the entry."""
         cache_key = self._freeze(fixed)
         if cache_key not in self._fit_cache:
             fit_one, names = make_toy_fitter(
@@ -613,8 +614,12 @@ class UnbinnedToyStudy:
                 long_j = self._sample_score_fit(fit_long)
             self._fit_cache[cache_key] = (
                 jax.jit(jax.vmap(one, in_axes=(0, None))), long_j, names)
+        return self._fit_cache[cache_key]
 
-        run_fn, long_j, names = self._fit_cache[cache_key]
+    def run(self, key, n_toys, truth=None, fixed=None, mesh=None):
+        """Simulate and fit n_toys unbinned datasets in one jit program."""
+        weights = self.expected_weights(**(truth or {}))
+        run_fn, long_j, names = self._fit_entry(fixed)
         if mesh is not None:
             n_toys = _round_up_toys(n_toys, mesh)
         keys = jax.random.split(key, n_toys)

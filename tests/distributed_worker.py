@@ -26,9 +26,11 @@ jax.config.update('jax_enable_x64', True)
 # the single-process oracle) -> identical anchor tensors everywhere
 np.random.seed(1234567)
 
-from blueice_tpu.likelihood import BinnedLogLikelihood  # noqa: E402
+from blueice_tpu.likelihood import (  # noqa: E402
+    BinnedLogLikelihood, UnbinnedLogLikelihood)
 from blueice_tpu.test_helpers import conf_for_test  # noqa: E402
-from blueice_tpu.parallel.toys import BinnedToyStudy  # noqa: E402
+from blueice_tpu.parallel.toys import (  # noqa: E402
+    BinnedToyStudy, UnbinnedToyStudy)
 
 conf = conf_for_test(n_sources=2, mc=True,
                      analysis_space=[['x', np.linspace(-10, 10, 41)]],
@@ -49,9 +51,22 @@ t, free, cond = profile_ts_distributed(
     study, jax.random.PRNGKey(0), n_toys=16, target='s0_rate_multiplier',
     hypothesis=1.0, mesh=mesh)
 
+# Unbinned twin over the same global mesh (the per-toy simulation runs
+# INSIDE the SPMD fit program there; only the key axis is sharded)
+lfu = UnbinnedLogLikelihood(conf)
+lfu.add_rate_parameter('s0')
+lfu.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+lfu.prepare()
+ustudy = UnbinnedToyStudy(lfu, max_iter=25, tol=1e-8)
+tu, freeu, _ = profile_ts_distributed(
+    ustudy, jax.random.PRNGKey(0), n_toys=16, target='s0_rate_multiplier',
+    hypothesis=1.0, mesh=mesh)
+
 with open('%s.%d.json' % (out_prefix, pid), 'w') as f:
     json.dump({'t': np.asarray(t).tolist(),
                'll': np.asarray(free.max_ll).tolist(),
                'x': np.asarray(free.x).tolist(),
+               't_unbinned': np.asarray(tu).tolist(),
+               'll_unbinned': np.asarray(freeu.max_ll).tolist(),
                'n_global_devices': int(mesh.devices.size)}, f)
 print("worker %d done" % pid)

@@ -67,6 +67,10 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     assert results[0]['n_global_devices'] == 8
     np.testing.assert_array_equal(results[0]['t'], results[1]['t'])
     np.testing.assert_array_equal(results[0]['ll'], results[1]['ll'])
+    np.testing.assert_array_equal(results[0]['t_unbinned'],
+                                  results[1]['t_unbinned'])
+    np.testing.assert_array_equal(results[0]['ll_unbinned'],
+                                  results[1]['ll_unbinned'])
 
     # Single-process oracle: same templates (same global-numpy seed at session
     # start is NOT reused here — reseed), same key, mesh = this session's 8
@@ -105,3 +109,20 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         target='s0_rate_multiplier', hypothesis=1.0)
     np.testing.assert_allclose(np.asarray(t_d), np.asarray(t_sp),
                                rtol=1e-10, atol=1e-12)
+
+    # Unbinned twin: the 2-process result must match this session's
+    # single-process mesh bit-for-bit as well
+    from blueice_tpu.likelihood import UnbinnedLogLikelihood
+    from blueice_tpu.parallel.toys import UnbinnedToyStudy
+    lfu = UnbinnedLogLikelihood(conf)
+    lfu.add_rate_parameter('s0')
+    lfu.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lfu.prepare()
+    ustudy = UnbinnedToyStudy(lfu, max_iter=25, tol=1e-8)
+    tu_sp, freeu_sp, _ = ustudy.profile_ts(
+        jax.random.PRNGKey(0), n_toys=16, target='s0_rate_multiplier',
+        hypothesis=1.0, mesh=make_mesh())
+    np.testing.assert_allclose(results[0]['t_unbinned'], np.asarray(tu_sp),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(results[0]['ll_unbinned'],
+                               np.asarray(freeu_sp.max_ll), rtol=1e-10)

@@ -32,14 +32,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .binned_vgh import corner_weight_tables
+
 # Mosaic's scoped-VMEM compile check defaults to 16 MB; its static
 # allocator's demand can run several x the block working-set model.
 # v5e VMEM is 128 MB — raise the limit so block sizing is the only gate.
 # Shared by every fused kernel module (fused_bb, fused_unbinned import it).
 VMEM_LIMIT = 64 * 2 ** 20
-_VMEM_LIMIT = VMEM_LIMIT
-
-from .binned_vgh import corner_weight_tables
 
 __all__ = ['binned_vgh_fused', 'binned_ll_fused_multi', 'fused_vgh_supported',
            'pad_bins']
@@ -224,7 +223,7 @@ def _build_ll_call(dtype_name, G, S, N, C, A, B, blk, interpret):
                          memory_space=pltpu.VMEM),            # m
             pl.BlockSpec((blk, N), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),            # obs
-            pl.BlockSpec(memory_space=pltpu.ANY),             # anchor (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # anchor (HBM)
         ],
         out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0),
                                memory_space=pltpu.SMEM),
@@ -232,7 +231,7 @@ def _build_ll_call(dtype_name, G, S, N, C, A, B, blk, interpret):
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
 
@@ -351,7 +350,7 @@ def _build_batched_call(dtype_name, G, S, N, K, B, blk, interpret):
                          memory_space=pltpu.VMEM),            # m
             pl.BlockSpec((blk, N), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),            # obs
-            pl.BlockSpec(memory_space=pltpu.ANY),             # anchor (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # anchor (HBM)
         ],
         out_specs=(pl.BlockSpec((blk, 1), lambda i: (i, 0),
                                 memory_space=pltpu.SMEM),
@@ -363,7 +362,7 @@ def _build_batched_call(dtype_name, G, S, N, K, B, blk, interpret):
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
 

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binned_vgh import corner_weight_tables
-from .fused import VMEM_LIMIT as _VMEM_LIMIT
+from .fused import VMEM_LIMIT
 from .bb_vgh import bb_lam_parts, bb_lambda
 
 __all__ = ['binned_bb_vgh_fused', 'binned_bb_ll_fused_multi',
@@ -283,8 +283,8 @@ def _build_bb_vgh_call(dtype_name, G, S, N, K, B, blk, bb_i, interpret):
                          memory_space=pltpu.VMEM),            # m
             pl.BlockSpec((blk, N), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),            # obs
-            pl.BlockSpec(memory_space=pltpu.ANY),             # pmf anchors
-            pl.BlockSpec(memory_space=pltpu.ANY),             # bb count rows
+            pl.BlockSpec(memory_space=pl.ANY),             # pmf anchors
+            pl.BlockSpec(memory_space=pl.ANY),             # bb count rows
         ],
         out_specs=(pl.BlockSpec((blk, 1), lambda i: (i, 0),
                                 memory_space=pltpu.SMEM),
@@ -298,7 +298,7 @@ def _build_bb_vgh_call(dtype_name, G, S, N, K, B, blk, bb_i, interpret):
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
 
@@ -321,8 +321,8 @@ def _build_bb_ll_call(dtype_name, G, S, N, K, A, B, blk, bb_i, interpret):
                          memory_space=pltpu.VMEM),            # m
             pl.BlockSpec((blk, N), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),            # obs
-            pl.BlockSpec(memory_space=pltpu.ANY),             # pmf anchors
-            pl.BlockSpec(memory_space=pltpu.ANY),             # bb count rows
+            pl.BlockSpec(memory_space=pl.ANY),             # pmf anchors
+            pl.BlockSpec(memory_space=pl.ANY),             # bb count rows
         ],
         out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0),
                                memory_space=pltpu.SMEM),
@@ -332,7 +332,7 @@ def _build_bb_ll_call(dtype_name, G, S, N, K, A, B, blk, bb_i, interpret):
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
 

@@ -57,7 +57,7 @@ BLOCK_VMEM = 6 * 2 ** 20
 # programs right at the default 16 MB boundary compiled or OOM'd depending
 # on layout luck; the shared raised limit makes the budget model, with
 # margin, the only gate.
-from .fused import VMEM_LIMIT as _VMEM_LIMIT
+from .fused import VMEM_LIMIT
 
 
 def _block_blk(G, S, E, K, n_pairs, A=1, dtype_bytes=4):
@@ -213,7 +213,7 @@ def _build_uvgh_block_call(dtype_name, G, S, E, K, B, blk, interpret,
                                 lambda i: (i, 0, 0))),
         interpret=bool(interpret),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
 
@@ -238,7 +238,7 @@ def _build_ull_block_call(dtype_name, G, S, E, A, B, blk, interpret,
         out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0)),
         interpret=bool(interpret),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
 
@@ -401,7 +401,7 @@ def _build_uvgh_call(dtype_name, G, S, E, K, B, blk, interpret, outlier):
                                 memory_space=pltpu.VMEM)),
         interpret=bool(interpret),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
 
@@ -434,7 +434,7 @@ def _build_ull_call(dtype_name, G, S, E, C, A, B, blk, interpret, outlier):
                                memory_space=pltpu.SMEM),
         interpret=bool(interpret),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=VMEM_LIMIT),
     )
 
 

@@ -116,22 +116,31 @@ def gather_to_hosts(tree):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _prepare_ensemble(study, key, n_toys, truth, mesh):
-    """Layout-invariant full-ensemble toy inputs on host: the same key yields
-    the same toys at any process count (the simulation stage is cheap next to
-    the fits, so every process preparing the full ensemble is a non-cost;
-    memory stays bounded because only this process's rows go to its devices).
+def _prepare_ensemble(study, key, n_toys, truth, mesh, axis_name='toys'):
+    """Layout-invariant toy inputs, already placed on the global mesh: the
+    same key yields the same toys at any process count.
 
-    :return: (n_toys, toy_tree, extra): ``toy_tree`` carries the full toy
-      axis leading (binned: count tensors; unbinned: raw uint32 PRNG keys —
-      the per-toy simulation runs inside the fit program there), ``extra`` is
-      the replicated per-ensemble payload appended to every fit/refine call
-      (() for binned, (weights,) for unbinned).
+    Binned ensembles are Poisson-drawn *sharded over the mesh inside one
+    jitted program* (``BinnedToyStudy.simulate(mesh=...)``): no device ever
+    materializes the full ensemble and no host round-trip happens — threefry
+    is counter-based, so each device's rows are bit-identical to the
+    unsharded draw. Unbinned ensembles ship only the per-toy raw uint32 PRNG
+    keys (simulation runs inside the fit program).
+
+    :return: (n_toys, toys, toys_host_fn, extra): ``toys`` is the
+      mesh-sharded input tree of the fit program; ``toys_host_fn()`` yields
+      the full ensemble as replicated host numpy on demand (the straggler
+      refinement needs host-indexable rows — only called when stragglers
+      exist); ``extra`` is the replicated per-ensemble payload appended to
+      every fit/refine call (() for binned, (weights,) for unbinned).
     """
     from .toys import BinnedToyStudy, UnbinnedToyStudy, _round_up_toys
     n_toys = _round_up_toys(n_toys, mesh)
     if isinstance(study, BinnedToyStudy):
-        return n_toys, study.simulate(key, n_toys, truth, mesh=None), ()
+        toys = study.simulate(key, n_toys, truth, mesh=mesh)
+        return (n_toys, toys,
+                lambda: jax.tree_util.tree_map(np.asarray,
+                                               gather_to_hosts(toys)), ())
     if isinstance(study, UnbinnedToyStudy):
         weights = study.expected_weights(**(truth or {}))
         keys = jax.random.split(key, n_toys)
@@ -140,7 +149,9 @@ def _prepare_ensemble(study, key, n_toys, truth, mesh):
             # sharding/refinement; the raw uint32 data drives jax.random
             # identically (same threefry counters)
             keys = jax.random.key_data(keys)
-        return n_toys, np.asarray(jax.device_get(keys)), (weights,)
+        keys_host = np.asarray(jax.device_get(keys))
+        toys = to_global_toys(mesh, keys_host, axis_name)
+        return n_toys, toys, (lambda: keys_host), (weights,)
     raise TypeError("distributed toy ensembles need a BinnedToyStudy or "
                     "UnbinnedToyStudy; got %s" % type(study).__name__)
 
@@ -163,9 +174,8 @@ def profile_ts_distributed(study, key, n_toys, target, hypothesis,
     from .toys import ToyResults, _refine_stragglers
 
     mesh = global_mesh(axis_name) if mesh is None else mesh
-    n_toys, toys_host, extra = _prepare_ensemble(study, key, n_toys, truth,
-                                                 mesh)
-    toys = to_global_toys(mesh, toys_host, axis_name)
+    n_toys, toys, toys_host_fn, extra = _prepare_ensemble(
+        study, key, n_toys, truth, mesh, axis_name)
 
     entry = study._profile_fn(target, fixed)
     run_fn, free_long, cond_long, names_free, names_cond = entry
@@ -173,13 +183,18 @@ def profile_ts_distributed(study, key, n_toys, target, hypothesis,
     t, free, cond = run_fn(toys, *extra, h)
 
     t, free, cond = gather_to_hosts((t, free, cond))
-    if free_long is not None:
-        toys_np = jax.tree_util.tree_map(np.asarray, toys_host)
+    cap = study.max_iter
+    if free_long is not None and (
+            (np.asarray(free[2]) >= cap).any()
+            or (np.asarray(cond[2]) >= cap).any()):
+        # Stragglers exist: refinement indexes individual toys on host, so
+        # gather the ensemble (replicated) once — the no-straggler fast path
+        # never pays this transfer
+        toys_np = toys_host_fn()
         xf, llf, itf = _refine_stragglers(
-            free_long, toys_np, *free, cap=study.max_iter,
-            extra_args=extra)[:3]
+            free_long, toys_np, *free, cap=cap, extra_args=extra)[:3]
         xc, llc, itc = _refine_stragglers(
-            cond_long, toys_np, *cond, cap=study.max_iter,
+            cond_long, toys_np, *cond, cap=cap,
             extra_args=extra + (h,))[:3]
         free, cond = (xf, llf, itf), (xc, llc, itc)
         t = np.maximum(2.0 * (llf - llc), 0.0)
@@ -193,14 +208,12 @@ def run_distributed(study, key, n_toys, truth=None, fixed=None, mesh=None,
     from .toys import ToyResults, _refine_stragglers
 
     mesh = global_mesh(axis_name) if mesh is None else mesh
-    n_toys, toys_host, extra = _prepare_ensemble(study, key, n_toys, truth,
-                                                 mesh)
-    toys = to_global_toys(mesh, toys_host, axis_name)
+    n_toys, toys, toys_host_fn, extra = _prepare_ensemble(
+        study, key, n_toys, truth, mesh, axis_name)
 
     fit, long_j, names = study._fit_entry(fixed)
     x, ll, it = gather_to_hosts(fit(toys, *extra))
-    if long_j is not None:
-        toys_np = jax.tree_util.tree_map(np.asarray, toys_host)
-        x, ll, it, _ = _refine_stragglers(long_j, toys_np, x, ll, it,
+    if long_j is not None and (np.asarray(it) >= study.max_iter).any():
+        x, ll, it, _ = _refine_stragglers(long_j, toys_host_fn(), x, ll, it,
                                           study.max_iter, extra_args=extra)
     return ToyResults(names, x, ll, it)

@@ -124,7 +124,7 @@ def bestfit_emcee_device(lf, n_walkers=40, n_steps=200, n_burn_in=100,
     n_dim = len(names)
 
     key = jax.random.PRNGKey(seed)
-    k0, k1 = jax.random.split(key)
+    k0, k1, k2 = jax.random.split(key, 3)
     spread = jax.random.uniform(k0, (n_walkers, n_dim), minval=0.95,
                                 maxval=1.05)
     p0 = spread * jnp.asarray(guess)[None, :]
@@ -134,7 +134,7 @@ def bestfit_emcee_device(lf, n_walkers=40, n_steps=200, n_burn_in=100,
     # (same guard as the host bestfit_emcee)
     degenerate = np.asarray(guess) == 0
     if degenerate.any():
-        jit_k = jax.random.uniform(k0, (n_walkers, n_dim), minval=-0.05,
+        jit_k = jax.random.uniform(k2, (n_walkers, n_dim), minval=-0.05,
                                    maxval=0.05)
         p0 = jnp.where(jnp.asarray(degenerate)[None, :], p0 + jit_k, p0)
 

@@ -173,26 +173,38 @@ class BinnedToyStudy:
         """(n_toys, *bins) Poisson count tensors at the truth parameters (a
         tuple of them, one per child, for a compiled Sum). With a mesh, n_toys
         is rounded UP to a multiple of the device count (sharding requires it;
-        the extra toys are ordinary toys)."""
+        the extra toys are ordinary toys).
+
+        With a mesh the draw itself runs sharded over the toy axis
+        (``out_shardings``): each device materializes only its own rows —
+        never the full ensemble on one chip — and on a multi-process mesh
+        every process computes only its addressable shards. Threefry is
+        counter-based and partitionable, so the values are bit-identical to
+        the unsharded draw at any device/process count."""
         if mesh is not None:
             n_toys = _round_up_toys(n_toys, mesh)
         expected = self.expected_counts(**(truth or {}))
+        leaves, treedef = jax.tree_util.tree_flatten(expected)
 
         # One jitted program for the whole Poisson draw (vs one eager
         # split + one eager poisson dispatch per leaf — round-trips on a
-        # remote device link); cached per toy count
+        # remote device link); cached per (toy count, mesh)
         def _draw(key, leaves):
             ks = jax.random.split(key, len(leaves))
             return [jax.random.poisson(k, e, shape=(n_toys,) + e.shape)
                     .astype(e.dtype) for k, e in zip(ks, leaves)]
-        sim_jit = self._sim_cache.get(n_toys)
+        sim_jit = self._sim_cache.get((n_toys, mesh))
         if sim_jit is None:
-            sim_jit = self._sim_cache[n_toys] = jax.jit(_draw)
-        leaves, treedef = jax.tree_util.tree_flatten(expected)
-        counts = jax.tree_util.tree_unflatten(treedef, sim_jit(key, leaves))
-        if mesh is not None:
-            counts = shard_toys(mesh, counts)
-        return counts
+            if mesh is None:
+                sim_jit = jax.jit(_draw)
+            else:
+                axis = mesh.axis_names[0]
+                shardings = [
+                    NamedSharding(mesh, P(axis, *([None] * e.ndim)))
+                    for e in leaves]
+                sim_jit = jax.jit(_draw, out_shardings=shardings)
+            self._sim_cache[(n_toys, mesh)] = sim_jit
+        return jax.tree_util.tree_unflatten(treedef, sim_jit(key, leaves))
 
     def _fit_entry(self, fixed=None, guess=None):
         """(jitted vmapped fit, jitted long-cap refit or None, names) —
@@ -449,8 +461,11 @@ class UnbinnedToyStudy:
         # is marginalized out first since only the bin index is used.
         # Zero-weight bins have zero-width CDF intervals: selection needs
         # cdf[j-1] < target <= cdf[j], so they are never drawn (the target is
-        # in (0, tot] because 1-u is in (0, 1]).
-        wb = jnp.sum(weights_sb, axis=0).reshape(-1)
+        # in (0, tot] because 1-u is in (0, 1]). Bins whose NET expectation is
+        # negative (allow_negative sources can push a bin below zero) are
+        # clamped to zero-width too — a monotone CDF is what makes the dense
+        # count-compare a valid draw.
+        wb = jnp.maximum(jnp.sum(weights_sb, axis=0).reshape(-1), 0.0)
         cdf = jnp.cumsum(wb)
         u = jax.random.uniform(k_bin, (self.n_max,), dtype=wb.dtype)
         target = (1.0 - u) * cdf[-1]

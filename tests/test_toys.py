@@ -182,6 +182,34 @@ def test_unbinned_toys_recover_truth():
     assert abs(res['mu'].mean()) < 0.05
 
 
+def test_unbinned_sampler_skips_negative_net_bins():
+    """Bins whose NET expectation is negative (allow_negative sources) must
+    never be drawn: the inverse-CDF draw needs a monotone CDF, so negative
+    per-bin weights are clamped to zero width before the cumsum (regression:
+    the rewrite of the categorical path dropped the old clamp)."""
+    conf = conf_for_test(mc=True, events_per_day=200.,
+                         n_events_for_pdf=int(1e5))
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    study = UnbinnedToyStudy(lf)
+
+    weights = np.asarray(study.expected_weights())
+    n_bins = weights.shape[1]
+    # Fake a second source that drives the upper-tail third of the bins net
+    # negative (as a profile_ts_scan truth with a negative rate multiplier
+    # on an allow_negative source would) while the total stays positive
+    bad = slice(2 * n_bins // 3, n_bins)
+    neg = np.zeros_like(weights)
+    neg[:, bad] = -2.0 * weights[:, bad] - 0.5
+    weights_sb = np.concatenate([weights, neg], axis=0)
+
+    coords, mask, bins = study._sample_one(jax.random.PRNGKey(7), weights_sb)
+    drawn = np.asarray(bins[0])[np.asarray(mask)]
+    assert drawn.size > 0
+    assert not np.isin(drawn, np.arange(n_bins)[bad]).any()
+
+
 def test_unbinned_toys_on_mesh():
     conf = conf_for_test(mc=True, events_per_day=100.,
                          n_events_for_pdf=int(1e5))

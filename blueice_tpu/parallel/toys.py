@@ -123,11 +123,17 @@ class BinnedToyStudy:
     """
 
     def __init__(self, lf, dtype=None, max_iter=60, tol=1e-8, engine='auto',
-                 two_stage=True):
+                 two_stage=True, profile_mode='fused'):
         """:param two_stage: re-fit the toys that hit the stage-1 iteration
         cap in a small warm-started second pass with a 4x cap (see
         :func:`_refine_stragglers`) — lets ``max_iter`` be sized for the bulk
-        of the ensemble instead of the slowest straggler."""
+        of the ensemble instead of the slowest straggler.
+        :param profile_mode: 'fused' traces the free+conditional double fit
+          of profile_ts into ONE XLA program (fewest launches); 'split'
+          compiles them as two separate programs — each is smaller (remote/
+          cold compilation time is superlinear in program size) and the free
+          half is the SAME program ``run()``/``fit_toys()`` use, so a
+          session doing both compiles the free fit once."""
         self.lf = lf
         self.compiled = build_logl(lf, dtype=dtype)
         if not self.compiled.is_binned:
@@ -136,6 +142,9 @@ class BinnedToyStudy:
         self.tol = tol
         self.engine = engine
         self.two_stage = two_stage
+        if profile_mode not in ('fused', 'split'):
+            raise ValueError("profile_mode must be 'fused' or 'split'")
+        self.profile_mode = profile_mode
         # jit caches (keyed by frozen fixed/target specs): the fit programs
         # compile once and are reused across run()/profile_ts() invocations
         self._fit_cache = {}
@@ -265,11 +274,18 @@ class BinnedToyStudy:
                 ToyResults(names_cond, *cond))
 
     def _profile_fn(self, target, fixed):
-        """One compiled free+conditional double fit with the hypothesis as a
-        *runtime* argument: hypothesis scans (Neyman constructions) reuse a
-        single XLA program. Straggler refinement programs ride along."""
+        """The free+conditional double fit with the hypothesis as a *runtime*
+        argument: hypothesis scans (Neyman constructions) reuse the compiled
+        program(s). Straggler refinement programs ride along.
+
+        ``profile_mode='fused'`` lowers both fits into one XLA program;
+        ``'split'`` into two smaller ones (see __init__). Both return the
+        same entry signature: (run_fn(counts, h), free_long_j, cond_long_j,
+        names_free, names_cond)."""
+        if self.profile_mode == 'split':
+            return self._profile_fn_split(target, fixed)
         fixed = dict(fixed or {})
-        cache_key = (target, self._freeze(fixed))
+        cache_key = (target, self._freeze(fixed), 'fused')
         if cache_key not in self._profile_cache:
             fit_free, free_long, names_free = self._make_fitter(fixed=fixed)
             fit_cond, cond_long, names_cond = self._make_fitter(
@@ -307,6 +323,55 @@ class BinnedToyStudy:
                 free_long_j = None    # refine both fits or neither
             self._profile_cache[cache_key] = (both, free_long_j, cond_long_j,
                                               names_free, names_cond)
+        return self._profile_cache[cache_key]
+
+    def _profile_fn_split(self, target, fixed):
+        """profile_mode='split': the free fit program is exactly
+        ``_fit_entry``'s (shared with run()/fit_toys()), and the conditional
+        fit + statistic compile as a second, separate program."""
+        fixed = dict(fixed or {})
+        cache_key = (target, self._freeze(fixed), 'split')
+        if cache_key not in self._profile_cache:
+            fit_free_j, free_long_j, names_free = self._fit_entry(fixed)
+            fit_cond, cond_long, names_cond = self._make_fitter(
+                fixed=fixed, runtime_fixed=[target])
+
+            warm_cols = ([names_free.index(n) for n in names_cond]
+                         if set(names_cond) <= set(names_free) else None)
+            if warm_cols is not None and len(warm_cols):
+                wc = np.asarray(warm_cols)
+
+                @jax.jit
+                def cond_fn(counts, xf, llf, hypothesis):
+                    x0c = xf[:, jnp.asarray(wc)]
+                    xc, llc, itc = jax.vmap(
+                        lambda d, x0: fit_cond(d, None, (hypothesis,), x0))(
+                            counts, x0c)
+                    t = jnp.maximum(2.0 * (llf - llc), 0.0)
+                    return t, (xc, llc, itc)
+            else:
+                @jax.jit
+                def cond_fn(counts, xf, llf, hypothesis):
+                    xc, llc, itc = jax.vmap(
+                        lambda d: fit_cond(d, None, (hypothesis,)))(counts)
+                    t = jnp.maximum(2.0 * (llf - llc), 0.0)
+                    return t, (xc, llc, itc)
+
+            def run_fn(counts, hypothesis):
+                xf, llf, itf = fit_free_j(counts)
+                t, cond = cond_fn(counts, xf, llf, hypothesis)
+                return t, (xf, llf, itf), cond
+
+            cond_long_j = None
+            if cond_long is not None and names_cond:
+                cond_long_j = jax.jit(jax.vmap(
+                    lambda d, x0, h: cond_long(d, None, (h,), x0),
+                    in_axes=(0, 0, None)))
+            if cond_long_j is None:
+                free_long_j = None    # refine both fits or neither
+            self._profile_cache[cache_key] = (run_fn, free_long_j,
+                                              cond_long_j, names_free,
+                                              names_cond)
         return self._profile_cache[cache_key]
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,

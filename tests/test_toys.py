@@ -84,6 +84,28 @@ def test_binned_profile_ts_wilks():
     assert 0.83 < frac < 0.96, frac
 
 
+def test_profile_split_mode_matches_fused():
+    """profile_mode='split' (two smaller XLA programs, free half shared with
+    run()) produces the same statistics as the fused double-fit program."""
+    lf = _binned_lf()
+    fused = BinnedToyStudy(lf)
+    split = BinnedToyStudy(lf, profile_mode='split')
+    kw = dict(n_toys=64, target='s0_rate_multiplier', hypothesis=1.0,
+              truth={'s0_rate_multiplier': 1.0})
+    t_f, free_f, cond_f = fused.profile_ts(jax.random.PRNGKey(5), **kw)
+    t_s, free_s, cond_s = split.profile_ts(jax.random.PRNGKey(5), **kw)
+    np.testing.assert_allclose(t_s, t_f, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(free_s.x, free_f.x, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(cond_s.max_ll, cond_f.max_ll, rtol=1e-9)
+
+    # the split free program IS the run()/fit_toys() program: the profile
+    # entry went through _fit_entry's cache, so running a plain ensemble
+    # afterwards adds no new fit program
+    n_programs = len(split._fit_cache)
+    split.fit_toys(split.simulate(jax.random.PRNGKey(6), 4))
+    assert len(split._fit_cache) == n_programs
+
+
 def test_binned_toys_on_mesh():
     """The same study partitioned over the 8-device CPU mesh."""
     lf = _binned_lf()

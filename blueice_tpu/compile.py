@@ -42,6 +42,16 @@ def build_logl_reparam(rp, dtype=None, include_livetime=False,
     transform = rp.transform
     targets = set(transform.targets)
     inputs = list(transform.input_names)
+    unknown = targets - set(child.param_names)
+    if unknown:
+        # The host path raises when the transform's output reaches
+        # _kwargs_to_settings; a typo'd target here would otherwise make the
+        # new parameters silent no-ops in the compiled fit
+        from .exceptions import InvalidParameter
+        raise InvalidParameter(
+            "Transform target(s) %s are not parameters of the wrapped "
+            "likelihood (has: %s)"
+            % (sorted(unknown), list(child.param_names)))
 
     defaults = OrderedDict()
     bounds = OrderedDict()
@@ -174,6 +184,18 @@ def build_logl_sum(sum_lf, dtype=None, include_livetime=False,
                 param_names.append(p)
             else:
                 bounds[p] = _intersect(bounds[p], c.bounds[p])
+                if float(c.defaults[p]) != float(defaults[p]):
+                    # A compiled joint fit has ONE value per shared parameter;
+                    # the host sum evaluated with no kwargs would use each
+                    # child's own base value, so flag the divergence loudly
+                    import warnings
+                    warnings.warn(
+                        "Children of this LogLikelihoodSum disagree on the "
+                        "default of shared parameter %r (%s vs %s); the "
+                        "compiled likelihood uses the first child's value "
+                        "as ITS default/starting point, while the host sum "
+                        "evaluated without kwargs uses each child's own base "
+                        "value" % (p, defaults[p], c.defaults[p]))
 
     def _child_params(params, i):
         c = children[i]
@@ -374,9 +396,22 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
                 prior_terms.append((sp, prior))
 
     # -- payload tensors -----------------------------------------------------------
+    # Dedupe device uploads per host array: the big per-event/PMF anchor
+    # tensor is converted both inside _compile_build's closure and for the
+    # compiled.ps_tensor metadata — jnp.asarray would happily make a second
+    # multi-GB device buffer from the same numpy array.
+    _dev_seen = {}
+
     def _as_dev(x):
-        x = jnp.asarray(x)
-        return x.astype(dtype) if dtype is not None else x
+        hit = _dev_seen.get(id(x))
+        if hit is not None and hit[0] is x:
+            return hit[1]
+        arr = jnp.asarray(x)
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        if isinstance(x, np.ndarray):
+            _dev_seen[id(x)] = (x, arr)
+        return arr
 
     def _compile_build(build, base_constant):
         """Return a pure function zs_vector -> payload array."""

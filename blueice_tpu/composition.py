@@ -68,11 +68,14 @@ class LogLikelihoodSum:
         # base-config value becomes the default-guess hint
         self.rate_parameters = {}
         self.shape_parameters = {}
-        self.source_list = []
+        self.source_name_list = []    # union, first occurrence kept
         self.pdf_base_config = {}
         for ll in self.likelihood_list:
             self.rate_parameters.update(ll.rate_parameters)
             self.shape_parameters.update(ll.shape_parameters)
+            for sn in getattr(ll, 'source_name_list', ()):
+                if sn not in self.source_name_list:
+                    self.source_name_list.append(sn)
             for setting in (*ll.rate_parameters, *ll.shape_parameters):
                 hint = ll.pdf_base_config.get(setting)
                 if hint is not None:
@@ -116,10 +119,17 @@ class LogLikelihoodSum:
             return lo, hi
         if parameter_name.endswith(RATE_SUFFIX):
             source = parameter_name[:-len(RATE_SUFFIX)]
+            rate_bounds = []
             for ll in self.likelihood_list:
                 if (source in getattr(ll, 'rate_parameters', ())
                         or source in getattr(ll, 'source_name_list', ())):
-                    return 0, float('inf')
+                    # Delegate: an allow_negative source opens to (-inf, inf)
+                    rate_bounds.append(ll.get_bounds(parameter_name)
+                                       if hasattr(ll, 'get_bounds')
+                                       else (0, float('inf')))
+            if rate_bounds:
+                lows, highs = zip(*rate_bounds)
+                return max(lows), min(highs)
             # fall through: no child knows this source — surface the typo
         raise InvalidParameter("No parameter named %s in this likelihood" % parameter_name)
 
@@ -140,6 +150,13 @@ class ParameterTransform:
         """
         self.targets = OrderedDict(targets)
         self.base_values = dict(base_values)
+        for target, (inputs, func) in self.targets.items():
+            base = func(*[self.base_values[p] for p in inputs])
+            if base == 0:
+                raise InvalidParameterSpecification(
+                    "Conversion function for %r evaluates to 0 at the base "
+                    "point: the normalization func(inputs)/func(base) would "
+                    "divide by zero" % target)
 
     @property
     def input_names(self):
@@ -300,7 +317,7 @@ class LogAncillaryLikelihood:
         # likelihoods in a sum may constrain it further
         self.shape_parameters = OrderedDict(
             (name, (None, None, None)) for name in parameter_list)
-        self.source_list = []
+        self.source_name_list = []
 
     def get_bounds(self, parameter_name=None):
         if parameter_name is None:

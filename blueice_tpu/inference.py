@@ -20,7 +20,8 @@ import numpy as np
 from scipy import stats
 from scipy.optimize import brentq, minimize
 
-from .exceptions import NoOpimizationNecessary, OptimizationFailed
+from .exceptions import (NoOpimizationNecessary, OptimizationFailed,
+                         InvalidParameterSpecification)
 
 DEFAULT_BESTFIT_ROUTINE = 'scipy'
 
@@ -65,7 +66,8 @@ def _free_parameters(lf, fixed, guess, rates_in_log_space):
             records.append((name, np.log10(g), (None, None),
                             lambda v: 10 ** v))
         else:
-            records.append((name, g, (0, None), None))
+            # Ask the likelihood: allow_negative sources open to (-inf, inf)
+            records.append((name, g, lf.get_bounds(name), None))
 
     for name, (_, _, base_value) in lf.shape_parameters.items():
         if name in fixed:
@@ -75,6 +77,12 @@ def _free_parameters(lf, fixed, guess, rates_in_log_space):
             base_setting = lf.pdf_base_config.get(name)
             g = (base_setting if isinstance(base_setting, (int, float))
                  else base_value)
+        if g is None:
+            # float(None) would silently turn into a NaN guess; samplers
+            # then return NaN medians without any error
+            raise InvalidParameterSpecification(
+                "No starting guess for parameter %r: pass guess={...} or "
+                "give it a numeric base value" % name)
         records.append((name, g, lf.get_bounds(name), None))
 
     return records
@@ -170,9 +178,16 @@ def bestfit_minuit(lf, minimize_kwargs=None, rates_in_log_space=False, **kwargs)
         setattr(m, k, v)
     m.migrad()
 
-    fit_result = {name: m.values[name] for name in names}
+    fit_result = {}
     for name in names:
-        fit_result[name + '_error'] = m.errors[name]
+        v, err = float(m.values[name]), float(m.errors[name])
+        if rates_in_log_space and name.endswith(RATE_SUFFIX):
+            # Migrad saw log10(rate): decode the value like bestfit_scipy
+            # does, and scale the parabolic error with the local Jacobian
+            v = 10 ** v
+            err = err * np.log(10) * v
+        fit_result[name] = v
+        fit_result[name + '_error'] = err
     return fit_result, -m.fval
 
 
@@ -259,6 +274,13 @@ def bestfit_emcee(ll, quiet=True, return_errors=False, return_samples=False,
     try:
         import emcee
         sampler = emcee.EnsembleSampler(n_walkers, n_dim, f)
+        try:
+            # Seed emcee's internal RNG so ``seed`` governs the whole chain,
+            # not just the walker initialization (otherwise two runs with the
+            # same seed differ on emcee-equipped machines only)
+            sampler.random_state = np.random.RandomState(seed).get_state()
+        except AttributeError:      # pragma: no cover - very old emcee
+            pass
         sampler.run_mcmc(p0, n_steps)
         if hasattr(sampler, 'get_chain'):
             # emcee 3.x: get_chain() is (n_steps, n_walkers, n_dim)
@@ -284,7 +306,10 @@ def bestfit_emcee(ll, quiet=True, return_errors=False, return_samples=False,
     fit_result = np.median(samples, axis=0)
     fit_result_dict = OrderedDict(
         (names[i], fit_result[i]) for i in range(len(names)))
-    best_ll = ll(**fit_result_dict)
+    # Evaluate through the objective, which has the fixed kwargs baked in:
+    # ll(**medians) alone would drop them and report the LL at the wrong
+    # point (e.g. the conditional fits of a profile-LR interval)
+    best_ll = float(f(fit_result))
 
     if return_errors:
         l, r = np.percentile(samples, 100 * stats.norm.cdf([-1, 1]), axis=0)

@@ -216,6 +216,11 @@ class LogLikelihoodBase:
                 self._builds['mus'] = ('global', self.morpher, mus_tensor)
 
         self.is_data_set = False
+        # Any per-event density build belongs to the PREVIOUS model/morpher:
+        # keeping it would let make_logl() silently morph stale event scores
+        # against the new mus tensor (BinnedLogLikelihood.prepare re-sets its
+        # own 'ps' right after; unbinned rebuilds it on the next set_data)
+        self._builds.pop('ps', None)
         self.is_prepared = True
         self._build_version += 1
 
@@ -567,6 +572,15 @@ class LogLikelihoodBase:
         return build_logl(self, **opts)
 
 
+def _n_events(d):
+    """Event count of a dataset indexable by analysis-dimension name.
+    ``len`` works for record arrays and DataFrames, but counts KEYS for the
+    equally-documented dict-of-arrays form."""
+    if isinstance(d, dict):
+        return len(next(iter(d.values()))) if d else 0
+    return len(d)
+
+
 class UnbinnedLogLikelihood(LogLikelihoodBase):
     """Extended unbinned log likelihood: per-event densities interpolated between
     anchors (the per-event tensor is rebuilt on every set_data)."""
@@ -580,7 +594,7 @@ class UnbinnedLogLikelihood(LogLikelihoodBase):
             else:
                 self.ps_interpolator, ps_tensor = self._interp_and_tensor(
                     self.morpher, f=lambda m: m.score_events(d),
-                    extra_dims=[len(self.source_name_list), len(d)],
+                    extra_dims=[len(self.source_name_list), _n_events(d)],
                     anchor_models=self.anchor_models)
                 self._builds['ps'] = ('global', self.morpher, ps_tensor)
         else:
@@ -595,7 +609,7 @@ class UnbinnedLogLikelihood(LogLikelihoodBase):
             if sn in self.source_morphers:
                 morpher = self.source_morphers[sn]
                 tensor = np.asarray(morpher.build_tensor(
-                    f=lambda s: s.pdf(*dims), extra_dims=[len(d)],
+                    f=lambda s: s.pdf(*dims), extra_dims=[_n_events(d)],
                     anchor_models=self.anchor_sources[sn]))
                 sw_builds[sn] = (morpher, tensor)
             else:
@@ -604,7 +618,7 @@ class UnbinnedLogLikelihood(LogLikelihoodBase):
 
         def ps_interpolator(zs):
             zs = np.asarray(zs)
-            ps = np.zeros((len(self.source_name_list), len(d)))
+            ps = np.zeros((len(self.source_name_list), _n_events(d)))
             for i, sn in enumerate(self.source_name_list):
                 morpher, tensor = sw_builds[sn]
                 if morpher is None:
@@ -704,7 +718,14 @@ class BinnedLogLikelihood(LogLikelihoodBase):
             a_bins = np.asarray(n_model_events[source_i], dtype=float)
             n_mc_total = a_bins.sum()
             p_calibration = mus[source_i] / n_mc_total
-            w_calibration = pmfs[source_i] / a_bins * n_mc_total
+            # Empty-MC bins (a == 0, so also pmf == 0) would make this 0/0;
+            # they carry zero weight in the adjusted source (w == 0, and
+            # A_bins is forced to 0 below) — same guard as the device twin
+            # (ops/beeston_barlow.py:107-124)
+            safe_a = np.where(a_bins > 0, a_bins, 1.0)
+            w_calibration = np.where(a_bins > 0,
+                                     pmfs[source_i] / safe_a * n_mc_total,
+                                     0.0)
 
             observed = self.data_events_per_bin.values
             A_bins_1, A_bins_2 = beeston_barlow_roots(
@@ -716,6 +737,7 @@ class BinnedLogLikelihood(LogLikelihoodBase):
             # U == 0 bins: the general solution is singular, use the special case
             A_special = (observed + a_bins) / (1.0 + p_calibration)
             A_bins = np.where(u_bins == 0, A_special, A_bins_2)
+            A_bins = np.where(w_calibration > 0, A_bins, 0.0)
             # The physical root is mathematically >= 0: the quadratic has
             # f(0) = -U*a <= 0 with positive leading coefficient, so its
             # larger root cannot be negative. sqrt rounding can still leave

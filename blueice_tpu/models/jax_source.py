@@ -54,13 +54,15 @@ def _batch_kernel(density, analysis_space, param_names):
 
     import jax
     import jax.numpy as jnp
+    from ..ops.hist import Hist
 
-    edges = [np.asarray(e, dtype=float) for _, e in analysis_space]
-    centers = [0.5 * (e[1:] + e[:-1]) for e in edges]
-    mesh = jnp.meshgrid(*[jnp.asarray(c) for c in centers], indexing='ij')
-    from functools import reduce
-    volumes = jnp.asarray(
-        reduce(np.multiply, np.ix_(*[np.diff(e) for e in edges])))
+    # One source of truth for bin geometry: Hist's centers/volumes (the host
+    # build path normalizes against the same values, so the device-built
+    # templates stay bit-compatible with it)
+    h = Hist.from_analysis_space(analysis_space)
+    mesh = jnp.meshgrid(*[jnp.asarray(c) for c in h.bin_centers()],
+                        indexing='ij')
+    volumes = jnp.asarray(h.bin_volumes())
 
     def one_template(param_vector):
         params = {name: param_vector[i]

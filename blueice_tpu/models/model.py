@@ -98,13 +98,24 @@ class Model:
     # -- source access ---------------------------------------------------------
 
     def get_source_i(self, source_id):
-        """Source index from an index or a (substring of a) source name."""
+        """Source index from an index or a (substring of a) source name.
+        An exact name match wins; an ambiguous substring raises instead of
+        silently picking the first hit (the reference's lookup did —
+        blueice/model.py:51-59 — so e.g. 'er' resolved to 'wimp_er')."""
         if isinstance(source_id, (int, float)):
             return int(source_id)
+        exact = [i for i, s in enumerate(self.sources)
+                 if s.name == source_id]
+        if exact:
+            return exact[0]
         matches = [i for i, s in enumerate(self.sources)
                    if source_id in s.name]
         if not matches:
             raise ValueError("Unknown source %s" % source_id)
+        if len(matches) > 1:
+            raise ValueError(
+                "Source id %r is ambiguous: matches %s"
+                % (source_id, [self.sources[i].name for i in matches]))
         return matches[0]
 
     def get_source(self, source_id):

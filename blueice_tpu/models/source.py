@@ -32,7 +32,7 @@ __all__ = ['Source', 'HistogramPdfSource', 'DensityEstimatingSource',
 _ALWAYS_DONT_HASH = ['hash', 'rate_multiplier', 'force_recalculation',
                      'never_save_to_cache', 'dont_hash_settings', 'label', 'color',
                      'extra_dont_hash_settings', 'delay_pdf_computation',
-                     'cache_dir', 'task_dir',
+                     'cache_dir', 'task_dir', 'nohash_settings',
                      # likelihood-level morphing strategy; no effect on any pdf
                      'source_wise_interpolation']
 
@@ -129,6 +129,10 @@ class Source:
             ['fraction_in_range', 'events_per_day', 'pdf_has_been_computed'])
         c['dont_hash_settings'] = _merge_unique(
             defaults['dont_hash_settings'], config.get('dont_hash_settings', ()),
+            # Model.defaults declares nohash_settings (data_dirs etc.):
+            # honoring it keeps the content hash stable when the same data
+            # files live under a different directory root
+            config.get('nohash_settings', ()),
             _ALWAYS_DONT_HASH, c['extra_dont_hash_settings'])
         del c['extra_dont_hash_settings']
         name = c.pop('name')

@@ -250,6 +250,17 @@ def bb_lam_parts(P, N, U, M, T, d):
         if i == 2:
             gi = jnp.where(active, gi, 1.0)
         gam.append(gi)
+    # d lam / dM at EXACTLY M == 0 on a real template bin (P, N > 0): the
+    # inert-branch gate (pw > 0) would report 0, silently pinning a fit that
+    # starts (or underflows) at rate 0 — but the limit is finite and nonzero:
+    # lam = U + (M P / N) A with A -> N (general) or d + N (U == 0 special at
+    # beta = 1), so d lam/dM -> P, resp. (P / N)(d + N). The autodiff twin
+    # bb_lambda cannot see this limit (its where-branch zeroes it); the
+    # closed form is strictly better here.
+    at_zero_M = has_mc & (P > 0) & (M == 0)
+    gam3_lim = jnp.where(U == 0, (P * jnp.where(has_mc, 1.0 / N_s, 0.0))
+                         * (d + N), P)
+    gam[3] = jnp.where(at_zero_M, gam3_lim, gam[3])
     om = {}
     for key in set(o_gen) | set(o_spe):
         v = jnp.where(general, o_gen.get(key, zero), zero)

@@ -103,11 +103,21 @@ def binned_vgh(corners, m, t, observed):
     lam_safe = jnp.maximum(lam, tiny)
     k_safe = jnp.where(observed > 0, observed, 1.0)
 
-    ll = jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
+    # Negative-expectation penalty (allow_negative sources), matching
+    # binned_ll and ops.poisson.binned_poisson_logl — without it the
+    # derivatives would REWARD pushing empty bins negative (r = -1 there)
+    # while the line-search objective rejects every such candidate, stalling
+    # the lane at a non-optimum. The penalty is linear in lambda, so its
+    # exact contribution rides along in r (d(penalty)/dlam = 1e6 where
+    # lam < 0; its own second derivative in lam is 0 a.e.).
+    pen_scale = jnp.asarray(1e6, dtype=corners.dtype)
+    ll = (jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
+          + pen_scale * jnp.sum(jnp.minimum(lam, 0.0)))
     # Reciprocal form: lam_safe**2 would underflow to 0 for empty bins
     # (lam == tiny) and poison q with 0/0
     inv_lam = 1.0 / lam_safe
-    r = observed * inv_lam - 1.0                              # (N,)
+    r = (observed * inv_lam - 1.0
+         + pen_scale * (lam < 0).astype(corners.dtype))       # (N,)
     q = (observed * inv_lam) * inv_lam                        # (N,)
 
     # Gradient

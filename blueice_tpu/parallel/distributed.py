@@ -172,7 +172,9 @@ def profile_ts_distributed(study, key, n_toys, target, hypothesis,
       same key.
     """
     from .toys import ToyResults, _refine_stragglers
+    from .fitter import check_fixed_in_bounds
 
+    check_fixed_in_bounds(study.compiled, {target: hypothesis})
     mesh = global_mesh(axis_name) if mesh is None else mesh
     n_toys, toys, toys_host_fn, extra = _prepare_ensemble(
         study, key, n_toys, truth, mesh, axis_name)

@@ -32,7 +32,8 @@ class Transform:
     """Smooth bijection between the optimizer's unconstrained space u and the
     bounded parameter space x, applied per coordinate."""
 
-    # kinds: 0 identity, 1 log (x = lo + exp(u)), 2 logistic in (lo, hi)
+    # kinds: 0 identity, 1 log (x = lo + exp(u)), 2 logistic in (lo, hi),
+    # 3 mirrored log (x = hi - exp(-u), upper bound only)
     def __init__(self, kinds, los, his):
         # Host twins first: one-time setup math (u0, snap anchors) runs in
         # numpy so engine construction never does per-scalar device pulls
@@ -44,33 +45,52 @@ class Transform:
         self.los = jnp.asarray(los)
         self.his = jnp.asarray(his)
 
+    # All four branch expressions are evaluated for every coordinate (that is
+    # what jnp.where does), and jnp.where's VJP feeds a 0 cotangent into the
+    # UNselected branch — 0 * inf = nan, so an infinite unselected branch
+    # poisons the selected coordinate's gradient. Infinite bounds therefore
+    # get finite placeholders (they are never read by the selected branch).
+    def _safe_bounds(self, xp=jnp):
+        los, his = (self.los, self.his) if xp is jnp \
+            else (self.los_np, self.his_np)
+        lo = xp.where(xp.isfinite(los), los, 0.0)
+        hi = xp.where(xp.isfinite(his), his, lo + 1.0)
+        return lo, hi
+
     def to_x(self, u):
-        safe_hi = jnp.where(jnp.isfinite(self.his), self.his, self.los + 1.0)
-        x_log = self.los + jnp.exp(u)
-        x_logistic = self.los + (safe_hi - self.los) * jax.nn.sigmoid(u)
+        lo, hi = self._safe_bounds()
+        x_log = lo + jnp.exp(u)
+        x_logistic = lo + (hi - lo) * jax.nn.sigmoid(u)
+        x_mirror = hi - jnp.exp(-u)
         return jnp.where(self.kinds == 0, u,
-                         jnp.where(self.kinds == 1, x_log, x_logistic))
+                         jnp.where(self.kinds == 1, x_log,
+                                   jnp.where(self.kinds == 2, x_logistic,
+                                             x_mirror)))
 
     def to_u(self, x):
-        safe_hi = jnp.where(jnp.isfinite(self.his), self.his, self.los + 1.0)
+        lo, hi = self._safe_bounds()
         eps = 1e-12
-        u_log = jnp.log(jnp.maximum(x - self.los, eps))
-        frac = jnp.clip((x - self.los) / (safe_hi - self.los), 1e-9, 1 - 1e-9)
+        u_log = jnp.log(jnp.maximum(x - lo, eps))
+        frac = jnp.clip((x - lo) / (hi - lo), 1e-9, 1 - 1e-9)
         u_logistic = jnp.log(frac) - jnp.log1p(-frac)
+        u_mirror = -jnp.log(jnp.maximum(hi - x, eps))
         return jnp.where(self.kinds == 0, x,
-                         jnp.where(self.kinds == 1, u_log, u_logistic))
+                         jnp.where(self.kinds == 1, u_log,
+                                   jnp.where(self.kinds == 2, u_logistic,
+                                             u_mirror)))
 
     def to_u_np(self, x):
         """Host-numpy :meth:`to_u` for one-time setup values."""
         x = np.asarray(x, dtype=float)
-        safe_hi = np.where(np.isfinite(self.his_np), self.his_np,
-                           self.los_np + 1.0)
-        u_log = np.log(np.maximum(x - self.los_np, 1e-12))
-        frac = np.clip((x - self.los_np) / (safe_hi - self.los_np),
-                       1e-9, 1 - 1e-9)
+        lo, hi = self._safe_bounds(xp=np)
+        u_log = np.log(np.maximum(x - lo, 1e-12))
+        frac = np.clip((x - lo) / (hi - lo), 1e-9, 1 - 1e-9)
         u_logistic = np.log(frac) - np.log1p(-frac)
+        u_mirror = -np.log(np.maximum(hi - x, 1e-12))
         return np.where(self.kinds_np == 0, x,
-                        np.where(self.kinds_np == 1, u_log, u_logistic))
+                        np.where(self.kinds_np == 1, u_log,
+                                 np.where(self.kinds_np == 2, u_logistic,
+                                          u_mirror)))
 
     def to_u_coord(self, i, x):
         """u values of coordinate ``i`` at the given x values (host numpy;
@@ -83,8 +103,28 @@ class Transform:
         if kind == 1:
             return np.log(np.maximum(x - lo, 1e-12))
         hi = float(self.his_np[i])
+        if kind == 3:
+            return -np.log(np.maximum(hi - x, 1e-12))
         frac = np.clip((x - lo) / (hi - lo), 1e-9, 1 - 1e-9)
         return np.log(frac) - np.log1p(-frac)
+
+
+def check_fixed_in_bounds(compiled, fixed):
+    """Raise ValueError for any fixed/hypothesis value outside its
+    parameter's bounds. Shared by the fit builders (build-time ``fixed``) and
+    the toy studies (runtime hypothesis values): the closed-form engines only
+    evaluate inside the anchor range, so out-of-range values must be rejected
+    on host rather than silently clamped onto the grid edge."""
+    for pname, value in (fixed or {}).items():
+        lo, hi = compiled.bounds.get(pname, (None, None))
+        try:
+            v = float(value)
+        except (TypeError, ValueError):
+            continue        # traced/abstract values are checked elsewhere
+        if (lo is not None and v < lo) or (hi is not None and v > hi):
+            raise ValueError(
+                "Fixed value %s=%g is outside the parameter's allowed range "
+                "(%s, %s)" % (pname, v, lo, hi))
 
 
 def make_transform(bounds_list):
@@ -97,6 +137,8 @@ def make_transform(bounds_list):
             kinds.append(0)
         elif np.isposinf(hi):
             kinds.append(1)
+        elif np.isneginf(lo):
+            kinds.append(3)
         else:
             kinds.append(2)
         los.append(lo)
@@ -176,7 +218,7 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
       fit (target frozen at the hypothesis) run as lanes of ONE lockstep
       batch — halving the sequenced Newton iterations of a profile-LR toy
       study versus running two vmapped fits back to back.
-    :return: (u_min, f_min, grad_norm, n_iters)
+    :return: (u_min, f_min, n_iters)
     """
     u0 = jnp.asarray(u0)
     n = u0.shape[0]
@@ -419,11 +461,10 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
              jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=bool))
     carry = lax.while_loop(cond, body, carry)
 
-    u, fval, it = carry[0], carry[1], carry[4]
-    g_final = val_grad_hess(u)[1]
-    if freeze is not None:
-        g_final = g_final * freeze
-    return u, fval, jnp.max(jnp.abs(g_final)), it
+    # No diagnostic gradient recomputation here: a full val_grad_hess after
+    # the loop costs one extra Newton body per fit (x thousands of vmapped
+    # toys) for a value no caller consumed.
+    return carry[0], carry[1], carry[4]
 
 
 def _floating_setup(compiled, fixed, guess=None):
@@ -894,6 +935,14 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
     from ..exceptions import NoOpimizationNecessary
     runtime_fixed = list(runtime_fixed)
     fixed = dict(fixed or {})
+    # Build-time fixed values must be inside the parameter's range: the
+    # analytic/pallas engines evaluate clamped-to-the-anchor-grid values
+    # (their morphing math only exists inside it), so an out-of-range fixed
+    # value would silently fit a DIFFERENT parameter point — only the AD
+    # engine would report -inf. Fail loudly on host instead, for every
+    # engine alike. (Runtime hypothesis values get the same check in the
+    # toy-study entry points, where their values are known on host.)
+    check_fixed_in_bounds(compiled, fixed)
     for rname in runtime_fixed:
         fixed.setdefault(rname, compiled.defaults[rname])  # placeholder
 
@@ -1036,7 +1085,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             f_many = (None if value_many_fn is None else
                       (lambda cands: value_many_fn(
                           cands, tensor, event_mask, center, fixed_values)))
-            u, fval, gnorm, it = minimize_newton(
+            u, fval, it = minimize_newton(
                 value, u_start, max_iter=max_iter, tol=tol, polish=polish,
                 kink_coords=kink_coords, kink_jumps=kink_jumps,
                 snap_anchors=snap_anchors,
@@ -1057,7 +1106,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                       (lambda cands: value_many_fn(cands, data_flat,
                                                    fixed_values)))
             u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
-            u, fval, gnorm, it = minimize_newton(
+            u, fval, it = minimize_newton(
                 lambda u: value_fn(u, data_flat, fixed_values), u_start,
                 max_iter=max_iter, tol=tol, polish=polish, f_many=f_many,
                 kink_coords=kink_coords, kink_jumps=kink_jumps,
@@ -1089,7 +1138,7 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             return -compiled.logl_with_data(params_of_u(u), data, mask,
                                             include_constant=False)
         u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
-        u, fval, gnorm, it = minimize_newton(neg_logl_u, u_start,
+        u, fval, it = minimize_newton(neg_logl_u, u_start,
                                              max_iter=max_iter, tol=tol,
                                              polish=polish, freeze=freeze,
                                              kink_jumps=kink_jumps,

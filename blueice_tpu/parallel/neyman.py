@@ -56,21 +56,27 @@ class NeymanConstruction:
         return self
 
     def t_ppf(self, hypothesis, quantile):
-        """Critical value: the ``quantile`` of the toy t-distribution at
-        ``hypothesis`` (linear interpolation across the hypothesis grid).
-        Signature matches the reference's t_ppf hook."""
+        """Critical value: the toy-calibrated analog of Wilks'
+        ``norm.ppf(quantile)**2`` at ``hypothesis`` (linear interpolation
+        across the hypothesis grid). Signature matches the reference's t_ppf
+        hook.
+
+        The toy statistic t = max(2(LL_free - LL_cond), 0) is TWO-sided
+        (up- and down-fluctuations both produce t > 0), while
+        one_parameter_interval's quantile is the one-sided level (CL for
+        upper limits, 1 - CL for lower, the tail probabilities for central).
+        Wilks' default norm.ppf(q)^2 equals chi2(1).ppf(|2q - 1|), so the
+        consistent toy quantile is |2q - 1| — e.g. a 90% upper limit uses the
+        0.8-quantile of t (~1.64 in the Wilks regime), NOT the 0.9-quantile
+        (~2.71), which would overcover (~95%). Exact when up/down
+        fluctuations split evenly (the Wilks regime); a rejected-direction
+        asymmetry shifts one-sided coverage accordingly."""
         if self.t_sorted is None:
             raise RuntimeError("Call scan() first")
         # brentq in one_parameter_interval passes the quantile wrapped in a
         # sequence; accept scalars or length-1 containers
         quantile = float(np.asarray(quantile).reshape(-1)[0])
-        # one_parameter_interval passes quantile = 1 - CL (lower limits) or
-        # the tail probability (central): for the NONNEGATIVE profile-LR
-        # statistic the relevant critical value is always the upper tail —
-        # mirror small quantiles like Wilks' norm.ppf(q)^2 does implicitly
-        # (it is symmetric in q <-> 1-q); without this, lower limits would
-        # compare against a ~0 critical value and collapse to the best fit.
-        quantile = max(quantile, 1.0 - quantile)
+        quantile = abs(2.0 * quantile - 1.0)
         hypothesis = float(np.asarray(hypothesis).reshape(-1)[0])
         n = self.t_sorted.shape[1]
         # quantile within each hypothesis's sorted toy statistics
@@ -86,6 +92,8 @@ class NeymanConstruction:
 
     def coverage_check(self, quantile=0.9):
         """Fraction of toys below their own hypothesis's critical value —
-        should be ~quantile by construction (sanity diagnostic)."""
+        should be ~|2*quantile - 1| by construction (t_ppf returns the
+        one-sided-consistent quantile of the two-sided statistic; see
+        :meth:`t_ppf`). Sanity diagnostic."""
         crits = np.array([self.t_ppf(h, quantile) for h in self.hypotheses])
         return (self.t_sorted <= crits[:, None]).mean(axis=1)

@@ -40,10 +40,17 @@ def compute_single(hash, task_dir='pdf_tasks', result_dir='pdf_cache'):
     source_config['delay_pdf_computation'] = False
     s = source_class(source_config)
 
-    os.remove(task_filename)
-    assert os.path.exists(result_filename)
+    # Only delete the task once the result provably exists — the module's
+    # restartability invariant: a crash (or a config that skipped the cache
+    # write) leaves the task file in place for the next sweep to retry
     if s.hash != hash:
         raise ValueError("source hash changed somehow??")
+    if not os.path.exists(result_filename):
+        raise RuntimeError(
+            "Task %s computed but produced no cache file at %s (is "
+            "never_save_to_cache set?); keeping the task file for retry"
+            % (hash, result_filename))
+    os.remove(task_filename)
 
 
 def compute_many(hashes, n_cpus=1, *args, **kwargs):

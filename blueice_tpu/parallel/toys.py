@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..compile import build_logl
 from ..ops.interp import interp_at_points, piecewise_lookup
-from .fitter import make_toy_fitter
+from .fitter import make_toy_fitter, check_fixed_in_bounds
 
 __all__ = ['make_mesh', 'shard_toys', 'BinnedToyStudy', 'UnbinnedToyStudy',
            'ToyResults']
@@ -258,6 +258,9 @@ class BinnedToyStudy:
         return self._run_profile(counts, target, hypothesis, fixed)
 
     def _run_profile(self, counts, target, hypothesis, fixed):
+        # The compiled engines only evaluate inside the anchor/bounds range;
+        # reject out-of-range hypotheses here instead of silently clamping
+        check_fixed_in_bounds(self.compiled, {target: hypothesis})
         entry = self._profile_fn(target, fixed)
         both, free_long, cond_long, names_free, names_cond = entry
         h = jnp.asarray(float(hypothesis))
@@ -725,6 +728,7 @@ class UnbinnedToyStudy:
         return self._run_profile(keys, weights, target, hypothesis, fixed)
 
     def _run_profile(self, keys, weights, target, hypothesis, fixed):
+        check_fixed_in_bounds(self.compiled, {target: hypothesis})
         entry = self._profile_fn(target, fixed)
         run_fn, free_long, cond_long, names_free, names_cond = entry
         h = jnp.asarray(float(hypothesis))

@@ -51,11 +51,19 @@ class NormalPrior:
 
 
 class UniformPrior:
-    """Flat log-prior inside [lo, hi], -inf outside."""
+    """Flat log-prior inside [lo, hi], -inf outside.
+    Hashable by value, like NormalPrior."""
 
     def __init__(self, lo, hi):
         self.lo = float(lo)
         self.hi = float(hi)
+
+    def __eq__(self, other):
+        return (isinstance(other, UniformPrior)
+                and (self.lo, self.hi) == (other.lo, other.hi))
+
+    def __hash__(self):
+        return hash(('UniformPrior', self.lo, self.hi))
 
     def __call__(self, x):
         if _is_host_value(x):

@@ -22,10 +22,20 @@ __all__ = ['read_csv', 'read_npy', 'read_files_in', 'resolve_setting',
 
 
 def read_csv(filename):
-    """Read a two-column (x, y) csv into a (2, n) float array."""
+    """Read a two-column (x, y) csv into a (2, n) float array.
+
+    Accepts files with or without a header row. (The reference's reader
+    unconditionally dropped the first row — blueice/data_reading.py:15-18 —
+    which silently lost the first data point of header-less files; a numeric
+    first row is kept here.)"""
     import pandas as pd
-    frame = pd.read_csv(filename, delimiter=',', names=['x', 'y'], comment='#')
-    return frame.values[1:].astype(float).T
+    frame = pd.read_csv(filename, delimiter=',', names=['x', 'y'],
+                        comment='#')
+    vals = frame.values
+    try:
+        return vals.astype(float).T       # header-less: every row is data
+    except (TypeError, ValueError):
+        return vals[1:].astype(float).T   # header row: drop it
 
 
 def read_npy(filename):

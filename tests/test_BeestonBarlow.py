@@ -147,6 +147,41 @@ def test_bb_single_adjust_op_matches_host():
     npt.assert_allclose(np.asarray(pmfs_j[1]), pmfs[1], rtol=1e-12)
 
 
+def test_BeestonBarlow_empty_mc_bin_host():
+    """Host adjust_expectations guards empty-MC bins (a == 0 would make
+    w_calibration 0/0 = nan and poison the whole adjusted pmf) exactly like
+    the device twin: the empty bin carries zero weight."""
+    instructions_mc = [dict(n_events=16, x=0.5),
+                       dict(n_events=30, x=1.5),
+                       dict(n_events=27, x=3.5)]      # bin [2, 3) has NO MC
+    data, n_mc = make_data(instructions_mc)
+    conf = conf_for_test(default_source_class=FixedSampleSource,
+                         events_per_day=73 / 5,
+                         analysis_space=[['x', [0, 1, 2, 3, 4]]],
+                         data=data)
+    lf = BinnedLogLikelihood(conf, likelihood_config={
+        'model_statistical_uncertainty_handling': 'bb_single',
+        'bb_single_source': 0})
+    lf.prepare()
+    instructions_data = [dict(n_events=3, x=0.5), dict(n_events=5, x=1.5),
+                         dict(n_events=7, x=3.5)]
+    d, _ = make_data(instructions_data)
+    lf.set_data(d)
+    ll = lf()
+    assert np.isfinite(ll)
+
+    # bin-by-bin equal to the device twin's guarded adjustment
+    pmfs, nme = lf.base_model.pmf_grids()
+    mus = np.asarray(lf.base_model.expected_events(), dtype=float)
+    observed = np.array([3, 5, 0, 7.0])
+    mus_j, pmfs_j = ops.bb_single_adjust(mus, pmfs, nme, observed,
+                                         source_i=0)
+    expected = np.tensordot(np.asarray(mus_j), np.asarray(pmfs_j),
+                            axes=(0, 0))
+    assert almost_equal(ll, float(np.sum(stats.poisson(expected)
+                                         .logpmf(observed))))
+
+
 def test_bb_root2_stable_at_vanishing_p():
     """Regression: as p -> 0 with U > 0 the naive (-b + sqrt(disc))/(2*A2)
     root cancels catastrophically (a real XENON-scale toy produced
@@ -185,3 +220,33 @@ def test_bb_lambda_and_parts_stable_at_vanishing_pw():
     lam2, _, _ = bb_lam_parts(np.array([P]), np.array([N]), np.array([U]),
                               np.array([M]), np.array([T]), np.array([d]))
     npt.assert_allclose(float(lam2[0]), U, rtol=1e-9)
+
+
+def test_bb_gradient_at_zero_rate():
+    """d lam / dM at M == 0 is the finite limit (P for U > 0 bins,
+    (P/N)(d+N) for U == 0 bins), not the inert-branch 0 — otherwise a fit
+    whose BB-source rate starts (or underflows) at exactly 0 is pinned there
+    forever (regression)."""
+    from blueice_tpu.ops.bb_vgh import bb_lam_parts, bb_lambda
+
+    P = np.array([0.3, 0.7])
+    N = np.array([30.0, 70.0])
+    U = np.array([2.0, 0.0])
+    d = np.array([3.0, 1.0])
+    T = 100.0
+
+    lam0, gam, _ = bb_lam_parts(P, N, U, np.zeros(2), T, d)
+    npt.assert_allclose(np.asarray(lam0), U, rtol=1e-12)   # lam = U at M=0
+    expected = np.array([0.3, (0.7 / 70.0) * (1.0 + 70.0)])
+    npt.assert_allclose(np.asarray(gam[3]), expected, rtol=1e-10)
+
+    # matches the forward finite difference of the value function
+    eps = 1e-7
+    fd = (np.asarray(bb_lambda(P, N, U, np.full(2, eps), T, d))
+          - np.asarray(lam0)) / eps
+    npt.assert_allclose(np.asarray(gam[3]), fd, rtol=1e-4)
+
+    # padded bins (P = N = 0) stay exactly inert
+    lam_p, gam_p, _ = bb_lam_parts(np.zeros(2), np.zeros(2), U, np.zeros(2),
+                                   T, d)
+    npt.assert_allclose(np.asarray(gam_p[3]), 0.0)

@@ -15,6 +15,53 @@ from blueice_tpu.parallel.toys import BinnedToyStudy
 from blueice_tpu import NormalPrior
 
 
+def test_binned_vgh_penalty_matches_autodiff():
+    """binned_vgh's derivatives include the negative-expectation penalty that
+    binned_ll and binned_poisson_logl apply (regression: without it the
+    analytic Newton direction REWARDED negative bins for allow_negative
+    models while the line search rejected every step — stalled lanes)."""
+    import jax.numpy as jnp
+    from blueice_tpu.ops.binned_vgh import binned_vgh, binned_ll
+    from blueice_tpu.ops.poisson import binned_poisson_logl
+
+    # One 'anchor corner' (K=0), two sources, second with a NEGATIVE template
+    # column driving a net-negative bin at m1 > 0.4
+    corners = jnp.asarray([[[1.0, 0.5, 2.0],
+                            [0.0, -1.0, 0.5]]])
+    observed = jnp.asarray([0.0, 0.0, 3.0])
+    m = jnp.asarray([1.0, 0.8])       # lam = [1.0, -0.3, 2.4]
+    t = jnp.zeros((0,))
+
+    ll, g, H = binned_vgh(corners, m, t, observed)
+    assert float(ll) == pytest.approx(float(binned_ll(corners, m, t,
+                                                      observed)), rel=1e-12)
+
+    def f(mm):
+        return binned_poisson_logl(mm, corners[0], observed,
+                                   include_constant=False)
+    np.testing.assert_allclose(np.asarray(g),
+                               np.asarray(jax.grad(f)(m)), rtol=1e-9)
+    # The autodiff Hessian NaNs through the floor in negative bins; the
+    # closed form is the penalty-aware finite curvature (the penalty is
+    # linear in lambda, so only the Poisson bins contribute):
+    q2 = 3.0 / 2.4 ** 2                    # only bin 2 has observed > 0
+    P2 = np.array([2.0, 0.5])
+    np.testing.assert_allclose(np.asarray(H), -q2 * np.outer(P2, P2),
+                               rtol=1e-9)
+
+    # On an all-positive configuration the full (ll, g, H) triple matches
+    # autodiff exactly
+    m_pos = jnp.asarray([1.0, 0.2])
+    ll_p, g_p, H_p = binned_vgh(corners, m_pos, t, observed)
+    np.testing.assert_allclose(np.asarray(g_p),
+                               np.asarray(jax.grad(f)(m_pos)), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(H_p),
+                               np.asarray(jax.hessian(f)(m_pos)), rtol=1e-9)
+
+
+
+
+
 def test_corner_weight_tables():
     t = jnp.asarray([0.3, 0.7])
     w, wd, wx = corner_weight_tables(t)

@@ -57,6 +57,69 @@ def test_compiled_livetime():
     assert almost_equal(float(c()), lf(), 1e-9)
 
 
+def test_compiled_sum_warns_on_shared_default_disagreement():
+    """Two children declaring the same shape parameter with different base
+    values: the compiled joint likelihood can only carry ONE default, so the
+    divergence from the host sum's per-child base values is flagged."""
+    from blueice_tpu.likelihood import LogLikelihoodSum
+
+    def _child(mult):
+        conf = conf_for_test()
+        conf['some_multiplier'] = mult
+        lf = UnbinnedLogLikelihood(conf)
+        lf.add_shape_parameter('some_multiplier', (0.5, 1, 2))
+        lf.prepare()
+        lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(3)))
+        return lf
+
+    s = LogLikelihoodSum([_child(1.0), _child(2.0)])
+    with pytest.warns(UserWarning, match="disagree"):
+        c = build_logl(s)
+    assert float(c.defaults['some_multiplier']) == 1.0
+
+    # agreeing children build silently
+    import warnings
+    s2 = LogLikelihoodSum([_child(1.0), _child(1.0)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build_logl(s2)
+
+
+def test_stale_ps_dropped_on_reprepare():
+    """prepare() invalidates the per-event density build of a previous
+    set_data: compiling afterwards must NOT morph stale event scores (it
+    takes the data-free path instead)."""
+    lf = UnbinnedLogLikelihood(conf_for_test())
+    lf.add_shape_parameter('some_multiplier', (0.5, 1, 2))
+    lf.prepare()
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(5)))
+    assert 'ps' in lf._builds
+    lf.prepare()
+    assert 'ps' not in lf._builds
+    c = build_logl(lf)                # data-free compile, no stale densities
+    assert c.ps_tensor is None
+    with pytest.raises(RuntimeError, match="data-free"):
+        c.densities(c.params_from_kwargs())
+
+
+def test_dict_of_arrays_dataset():
+    """set_data accepts the documented dict-of-arrays form: the event count
+    must come from the arrays, not len(dict) == number of keys."""
+    rng = np.random.default_rng(0)
+    xs = rng.normal(0, 1, 50)
+
+    lf = UnbinnedLogLikelihood(conf_for_test())
+    lf.add_shape_parameter('some_multiplier', (0.5, 1, 2))
+    lf.prepare()
+    lf.set_data({'x': xs})
+    ll_dict = lf()
+
+    d = np.zeros(len(xs), dtype=[('x', float), ('source', int)])
+    d['x'] = xs
+    lf.set_data(d)
+    assert np.isclose(ll_dict, lf())
+
+
 def test_minuit_soft_dep():
     lf = UnbinnedLogLikelihood(conf_for_test())
     lf.add_rate_parameter('s0')

@@ -33,8 +33,9 @@ def test_allow_negative_source():
     assert lf(s0_rate_multiplier=-3.0) == -float('inf')
     assert lf(s1_rate_multiplier=-1.0) == -float('inf')
 
-    # Compiled path agrees
-    lf.prepare()
+    # Compiled path agrees. (No re-prepare here: prepare() invalidates bound
+    # data — same contract as the reference's prepare, which also resets
+    # is_data_set — and set_data already auto-prepared this shape-free model.)
     c = build_logl(lf)
     assert almost_equal(
         float(c(s0_rate_multiplier=-0.5, s1_rate_multiplier=2.0)), ll, 1e-9)

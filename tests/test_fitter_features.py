@@ -23,18 +23,49 @@ def _quad(center):
     return f
 
 
+def test_transform_all_bound_kinds_finite_gradients():
+    """Every bound kind — unbounded, lower-only, two-sided, upper-only —
+    round-trips and has finite gradients. Regression: infinite bounds in the
+    UNselected jnp.where branches NaN-poisoned the gradient of unbounded
+    (allow_negative) coordinates, silently freezing them in Newton fits;
+    upper-bounded-only parameters mapped to NaN values outright."""
+    from blueice_tpu.parallel.fitter import make_transform
+
+    tr = make_transform([(None, None), (0.0, None), (-1.0, 1.0),
+                         (None, 5.0)])
+    assert list(tr.kinds_np) == [0, 1, 2, 3]
+    u = jnp.array([0.3, -0.2, 0.1, 0.4])
+    x = tr.to_x(u)
+    assert bool(jnp.isfinite(x).all())
+    assert float(x[1]) > 0.0 and -1 < float(x[2]) < 1 and float(x[3]) < 5.0
+
+    g = jax.grad(lambda u: tr.to_x(u).sum())(u)
+    assert bool(jnp.isfinite(g).all())
+    g2 = jax.grad(lambda x: tr.to_u(x).sum())(x)
+    assert bool(jnp.isfinite(g2).all())
+
+    np.testing.assert_allclose(np.asarray(tr.to_x(tr.to_u(x))),
+                               np.asarray(x), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(tr.to_u_np(np.asarray(x)),
+                               np.asarray(tr.to_u(x)), rtol=1e-12)
+    for i in range(4):
+        np.testing.assert_allclose(
+            tr.to_u_coord(i, np.asarray(x[i])),
+            np.asarray(tr.to_u(x))[i], rtol=1e-12)
+
+
 def test_freeze_mask_pins_coordinates():
     f = _quad([1.0, -2.0, 0.5])
     u0 = jnp.zeros(3)
 
     # Unfrozen: reaches the center
-    u, fval, gnorm, it = minimize_newton(f, u0, max_iter=50, tol=1e-10)
+    u, fval, it = minimize_newton(f, u0, max_iter=50, tol=1e-10)
     np.testing.assert_allclose(np.asarray(u), [1.0, -2.0, 0.5], atol=1e-6)
 
     # Coordinate 1 frozen at its start: stays exactly 0, others adjust to the
     # conditional optimum of the quadratic
     freeze = jnp.asarray([1.0, 0.0, 1.0])
-    u, fval, gnorm, it = minimize_newton(f, u0, max_iter=50, tol=1e-10,
+    u, fval, it = minimize_newton(f, u0, max_iter=50, tol=1e-10,
                                          freeze=freeze)
     assert float(u[1]) == 0.0
     # conditional optimum: minimize over (u0, u2) with u1 = 0

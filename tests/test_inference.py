@@ -125,3 +125,44 @@ def test_mcmc_builtin():
     assert 's0_rate_multiplier' in fit
     assert 0.5 < fit['s0_rate_multiplier'] < 2.0
     assert errs['s0_rate_multiplier'] > 0
+
+
+def test_emcee_best_ll_includes_fixed_values():
+    """Regression: bestfit_emcee evaluated the returned max-LL WITHOUT the
+    fixed kwargs, reporting the likelihood at the wrong point (garbage
+    ll_cond in profile-LR intervals)."""
+    from blueice_tpu.composition import LogAncillaryLikelihood
+
+    anc = LogAncillaryLikelihood(
+        lambda p: -((p['a'] - 3.0) ** 2 + (p['b'] - 5.0) ** 2),
+        ['a', 'b'], config={'a': 1.0, 'b': 1.0})
+    fit, ll = bestfit_emcee(anc, b=4.0, seed=0, n_steps=300, n_burn_in=150)
+    assert set(fit) == {'a'}
+    assert abs(fit['a'] - 3.0) < 0.5
+    # LL must be evaluated at (a_median, b=4.0): approx -(a-3)^2 - 1
+    assert np.isclose(ll, anc(a=fit['a'], b=4.0), atol=1e-9)
+    assert ll < -0.5   # the wrong point (b at default 1.0) would give ~-16
+
+
+def test_missing_guess_raises():
+    """A parameter with no numeric default anywhere must raise, not produce
+    a silent NaN starting point."""
+    from blueice_tpu.composition import LogAncillaryLikelihood
+    from blueice_tpu.exceptions import InvalidParameterSpecification
+
+    anc = LogAncillaryLikelihood(lambda p: -p['a'] ** 2, ['a'])  # no config
+    with pytest.raises(InvalidParameterSpecification, match="guess"):
+        anc.make_objective()
+
+
+def test_free_rate_bounds_respect_allow_negative():
+    """The optimizer bounds of an allow_negative source's rate multiplier
+    must come from the likelihood (-inf, inf), not a hardcoded (0, None)."""
+    conf = conf_for_test()
+    conf['sources'][0]['allow_negative'] = True
+    lf = LogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.set_data(lf.base_model.simulate())
+    _, names, _, bounds = lf.make_objective()
+    i = names.index('s0_rate_multiplier')
+    assert bounds[i] == (-float('inf'), float('inf'))

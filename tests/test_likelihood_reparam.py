@@ -111,6 +111,24 @@ def test_reparam_compiled():
     assert np.isclose(ll, ll_scipy, atol=1e-4)
 
 
+def test_reparam_compiled_rejects_unknown_target():
+    """A typo'd transform target must fail at compile time, not silently make
+    the new parameters no-ops (the host path raises at call time when the
+    transform's output reaches the parameter registry)."""
+    from blueice_tpu.compile import build_logl
+    from blueice_tpu.exceptions import InvalidParameter
+
+    config = conf_for_reparam_test(events_per_day=1)
+    conv_config = deepcopy(BASE_CONV_CONFIG)
+    conv_config['op3_rate_multiplier'] = dict(params=["np0"],
+                                              func=lambda np0: np0)
+    lf_old = _make_old_lf(config)
+    lf_reparam = LogLikelihoodReParam(lf_old, conv_config)
+    lf_reparam.set_data(np.zeros(3, dtype=[('x', float), ('source', int)]))
+    with pytest.raises(InvalidParameter, match="op3_rate_multiplier"):
+        build_logl(lf_reparam)
+
+
 def test_reparam_parameters_and_bounds():
     config = conf_for_reparam_test(events_per_day=1)
     conv_config = deepcopy(BASE_CONV_CONFIG)
@@ -146,3 +164,17 @@ def test_reparam_bestfit_jax_refreshes_on_set_data():
     fit2, ll2 = lfr.bestfit_jax(return_errors=False)
     fit2_ref, ll2_ref = lfr.bestfit_scipy()
     assert abs(ll2 - ll2_ref) < 1e-3, (ll2, ll2_ref, ll1)
+
+
+def test_transform_base_zero_rejected():
+    """A conversion function that evaluates to 0 at the base point would make
+    every call divide by zero; construction must reject it."""
+    from blueice_tpu.exceptions import InvalidParameterSpecification
+
+    config = conf_for_reparam_test(events_per_day=1)
+    conv_config = deepcopy(BASE_CONV_CONFIG)
+    conv_config['op0_rate_multiplier'] = dict(params=["np0"],
+                                              func=lambda np0: np0 - 1.0)
+    lf_old = _make_old_lf(config)   # base np0 == 1 -> func(base) == 0
+    with pytest.raises(InvalidParameterSpecification, match="base"):
+        LogLikelihoodReParam(lf_old, conv_config)

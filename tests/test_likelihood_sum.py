@@ -219,3 +219,20 @@ def test_compiled_sum_livetime():
                         lf1(livetime_days=2.0) + lf2(livetime_days=2.0),
                         1e-9)
     assert almost_equal(float(c()), s(), 1e-9)
+
+
+def test_sum_delegates_rate_bounds_and_sources():
+    """Rate-multiplier bounds pass through to the child (allow_negative opens
+    to (-inf, inf)), and the sum aggregates the children's source names."""
+    conf = conf_for_test(n_sources=2)
+    conf['sources'][0]['allow_negative'] = True
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.add_rate_parameter('s1')
+    lf.prepare()
+    lf.set_data(lf.base_model.simulate(rng=np.random.default_rng(0)))
+
+    s = LogLikelihoodSum([lf])
+    assert s.get_bounds('s0_rate_multiplier') == (-float('inf'), float('inf'))
+    assert s.get_bounds('s1_rate_multiplier') == (0, float('inf'))
+    assert s.source_name_list == ['s0', 's1']

@@ -30,11 +30,15 @@ def test_neyman_scan_and_ppf():
     nc.scan(jax.random.PRNGKey(0), hypotheses=[0.7, 1.0, 1.3], n_toys=400)
     assert nc.t_sorted.shape == (3, 400)
 
-    # Wilks regime: the 90% critical value should be near chi2(1).ppf(0.9)
-    wilks = stats.chi2(1).ppf(0.9)
+    # Wilks regime: the toy critical value for a one-sided 90% level must
+    # match Wilks' norm.ppf(0.9)^2 = chi2(1).ppf(0.8) ~ 1.64 — NOT the 0.9
+    # quantile of the two-sided t (2.71), which would overcover
+    wilks = stats.norm.ppf(0.9) ** 2
     for h in (0.7, 1.0, 1.3):
         crit = nc.t_ppf(h, 0.9)
-        assert 0.5 * wilks < crit < 2.0 * wilks, (h, crit, wilks)
+        assert 0.6 * wilks < crit < 1.6 * wilks, (h, crit, wilks)
+    # and the lower-limit quantile (1 - CL) mirrors to the same value
+    assert nc.t_ppf(1.0, 0.1) == nc.t_ppf(1.0, 0.9)
 
     # ppf interpolates between hypotheses and clamps outside the scan range
     mid = nc.t_ppf(0.85, 0.9)
@@ -42,9 +46,10 @@ def test_neyman_scan_and_ppf():
         <= max(nc.t_ppf(0.7, 0.9), nc.t_ppf(1.0, 0.9)) + 1e-9
     assert nc.t_ppf(0.1, 0.9) == nc.t_ppf(0.7, 0.9)
 
-    # By construction ~90% of toys fall below their own critical value
+    # By construction ~|2q-1| = 80% of toys fall below their own critical
+    # value (the one-sided-consistent quantile of the two-sided statistic)
     cov = nc.coverage_check(0.9)
-    assert np.all(np.abs(cov - 0.9) < 0.05), cov
+    assert np.all(np.abs(cov - 0.8) < 0.05), cov
 
 
 def test_neyman_interval_end_to_end():

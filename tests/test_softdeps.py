@@ -262,3 +262,22 @@ def test_create_models_ipyparallel_serial_fallback():
     models = create_models_ipyparallel([conf_for_test()], ipp_client=None)
     assert len(models) == 1
     assert models[0].expected_events() > 0
+
+
+def test_bestfit_minuit_log_space_decode(monkeypatch):
+    """rates_in_log_space=True: Migrad optimizes log10(rate), but the result
+    dict must report the DECODED linear-space value (and a Jacobian-scaled
+    error), matching bestfit_scipy (regression: raw log10 values leaked)."""
+    fake_mod = type(sys)('iminuit')
+    fake_mod.Minuit = _FakeMinuit
+    monkeypatch.setitem(sys.modules, 'iminuit', fake_mod)
+    _FakeMinuit.instances.clear()
+
+    lf = _rate_lf()
+    fit_m, ll_m = bestfit_minuit(lf, rates_in_log_space=True)
+    fit_lin, ll_lin = bestfit_scipy(lf)
+
+    assert abs(fit_m['s0_rate_multiplier']
+               - fit_lin['s0_rate_multiplier']) < 1e-2
+    assert abs(ll_m - ll_lin) < 1e-3
+    assert fit_m['s0_rate_multiplier_error'] > 0

@@ -96,3 +96,18 @@ def test_source_entry_rate_multiplier_respected():
     conf['s0_rate_multiplier'] = 4.0
     (_, merged), = expand_source_configs(conf)
     assert merged['rate_multiplier'] == 4.0
+
+
+def test_hash_ignores_data_dirs():
+    """Model.defaults declares nohash_settings=['data_dirs', ...]: the same
+    config under a different data-directory root must hit the same cached
+    template (regression: the declaration existed but was never honored)."""
+    from blueice_tpu.test_helpers import GaussianSource
+
+    base = conf_for_test()
+    base.update(name='s0', rate_multiplier=1,
+                nohash_settings=['data_dirs', 'pdf_sampling_batch_size',
+                                 'force_recalculation'])
+    _, c1 = GaussianSource.normalized_config(dict(base, data_dirs='.'))
+    _, c2 = GaussianSource.normalized_config(dict(base, data_dirs='/tmp'))
+    assert c1['hash'] == c2['hash']

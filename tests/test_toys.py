@@ -84,6 +84,24 @@ def test_binned_profile_ts_wilks():
     assert 0.83 < frac < 0.96, frac
 
 
+def test_out_of_bounds_hypothesis_and_fixed_rejected():
+    """The closed-form engines only evaluate inside the anchor range, so an
+    out-of-range hypothesis or fixed value must raise on host instead of
+    being silently clamped onto the grid edge (regression: the analytic and
+    pallas engines clamped, diverging from the AD engine's -inf)."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    with pytest.raises(ValueError, match="outside"):
+        study.profile_ts(jax.random.PRNGKey(0), n_toys=8, target='mu',
+                         hypothesis=5.0)       # anchors are (-1, 0, 1)
+    with pytest.raises(ValueError, match="outside"):
+        study.profile_ts(jax.random.PRNGKey(0), n_toys=8,
+                         target='s0_rate_multiplier', hypothesis=-1.0)
+    counts = study.simulate(jax.random.PRNGKey(1), 4)
+    with pytest.raises(ValueError, match="outside"):
+        study.fit_toys(counts, fixed={'mu': 5.0})
+
+
 def test_profile_split_mode_matches_fused():
     """profile_mode='split' (two smaller XLA programs, free half shared with
     run()) produces the same statistics as the fused double-fit program."""

@@ -88,7 +88,7 @@ def build_lf_xenon(bb=False):
     return build_likelihood('binned', bb=bb)
 
 
-def _study_for(lf, scenario):
+def _study_for(lf, scenario, **opts):
     import jax
     import jax.numpy as jnp
     from blueice_tpu.parallel.toys import BinnedToyStudy, UnbinnedToyStudy
@@ -99,7 +99,7 @@ def _study_for(lf, scenario):
     # Generous stage-1 cap: the integrated while_loop exits as soon as every
     # lane is done, so a high cap costs nothing when lanes converge
     cls = UnbinnedToyStudy if scenario == 'unbinned' else BinnedToyStudy
-    return cls(lf, dtype=dtype, max_iter=96, tol=tol)
+    return cls(lf, dtype=dtype, max_iter=96, tol=tol, **opts)
 
 
 def bench_device(lf, n_toys, scenario, repeats=3,
@@ -245,10 +245,68 @@ def bench_mfu():
     }))
 
 
+def bench_splitcompile(n_toys=None, scenario='xenon'):
+    """Cold-compile A/B of the profile double fit: ONE fused XLA program vs
+    TWO split programs (BinnedToyStudy(profile_mode=...)). Redirects the
+    persistent compilation cache to a throwaway dir so both modes genuinely
+    compile from scratch; statistics are pinned equal between modes."""
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          tempfile.mkdtemp(prefix='bench_cold_cache_'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    except Exception as e:
+        log("cache redirect failed:", e)
+
+    build, target, default_toys, _ = SCENARIOS[scenario]
+    n_toys = n_toys or min(default_toys, 256)
+    np.random.seed(20260817)
+    lf = build()
+    results = {}
+    t_seen = {}
+    for mode in ('fused', 'split'):
+        study = _study_for(lf, scenario, profile_mode=mode)
+        # Warm the (mode-independent) simulation program so the A/B only
+        # times the fit programs' compilation
+        study.simulate(jax.random.PRNGKey(9), n_toys)
+        t0 = time.time()
+        t, free, cond = study.profile_ts(jax.random.PRNGKey(0),
+                                         n_toys=n_toys, target=target,
+                                         hypothesis=1.0)
+        cold = time.time() - t0
+        t0 = time.time()
+        study.profile_ts(jax.random.PRNGKey(1), n_toys=n_toys,
+                         target=target, hypothesis=1.0)
+        warm = time.time() - t0
+        t_seen[mode] = np.asarray(t)
+        results[mode] = dict(compile_first_run_s=round(cold, 1),
+                             warm_run_s=round(warm, 3),
+                             fits_per_sec=round(n_toys / warm, 1),
+                             median_t=round(float(np.median(t)), 4))
+        log("[%s/%s] cold %.1fs, warm %.3fs" % (scenario, mode, cold, warm))
+    agree = bool(np.allclose(t_seen['fused'], t_seen['split'],
+                             rtol=1e-4, atol=1e-5))
+    log("statistics agree between modes:", agree)
+    print(json.dumps({
+        "metric": "cold compile+first-run of the %s profile program, "
+                  "split mode (two XLA programs)" % scenario,
+        "value": results['split']['compile_first_run_s'],
+        "unit": "s",
+        "vs_baseline": round(results['fused']['compile_first_run_s']
+                             / max(results['split']['compile_first_run_s'],
+                                   1e-9), 2),
+        "detail": {"modes": results, "stats_agree": agree},
+    }))
+
+
 def main():
     args = list(sys.argv[1:])
     if 'mfu' in args:
         bench_mfu()
+        return
+    if 'splitcompile' in args:
+        nums = [int(a) for a in args if a.isdigit()]
+        bench_splitcompile(nums[0] if nums else None)
         return
     nums = [int(a) for a in args if a.isdigit()]
     n_toys = nums[0] if nums else None

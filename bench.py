@@ -251,12 +251,6 @@ def bench_splitcompile(n_toys=None, scenario='xenon'):
     persistent compilation cache to a throwaway dir so both modes genuinely
     compile from scratch; statistics are pinned equal between modes."""
     import jax
-    try:
-        jax.config.update('jax_compilation_cache_dir',
-                          tempfile.mkdtemp(prefix='bench_cold_cache_'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
-    except Exception as e:
-        log("cache redirect failed:", e)
 
     build, target, default_toys, _ = SCENARIOS[scenario]
     n_toys = n_toys or min(default_toys, 256)
@@ -265,6 +259,16 @@ def bench_splitcompile(n_toys=None, scenario='xenon'):
     results = {}
     t_seen = {}
     for mode in ('fused', 'split'):
+        # Fresh cache dir PER MODE: the stage-2 straggler-refit programs have
+        # identical HLO in both modes, so a shared dir would let the
+        # second-run mode cache-hit compiles the first mode paid for
+        try:
+            jax.config.update('jax_compilation_cache_dir',
+                              tempfile.mkdtemp(prefix='bench_cold_cache_'))
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              2.0)
+        except Exception as e:
+            log("cache redirect failed:", e)
         study = _study_for(lf, scenario, profile_mode=mode)
         # Warm the (mode-independent) simulation program so the A/B only
         # times the fit programs' compilation

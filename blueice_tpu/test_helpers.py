@@ -26,6 +26,7 @@ import tempfile
 
 import numpy as np
 
+from .exceptions import PDFNotComputedException
 from .models.source import Source, MonteCarloSource, DensityEstimatingSource
 from .utils import combine_dicts
 
@@ -76,14 +77,21 @@ class GaussianSource(_RateHookMixin, GaussianSourceBase):
 
     def pdf(self, *args):
         if not self.pdf_has_been_computed:
-            raise RuntimeError("Trying to call a PDF that hasn't been computed!")
+            raise PDFNotComputedException(
+                "Trying to call a PDF that hasn't been computed!")
         mu, sigma = self.config['mu'], self.config['sigma']
         x = np.asarray(args[0], dtype=float)
         return np.exp(-0.5 * ((x - mu) / sigma) ** 2) / (sigma * _SQRT_2PI)
 
 
-class GaussianMCSource(GaussianSourceBase, MonteCarloSource):
-    """The same Gaussian, but its template comes from its own MC sample."""
+class GaussianMCSource(_RateHookMixin, GaussianSourceBase, MonteCarloSource):
+    """The same Gaussian, but its template comes from its own MC sample.
+    Both rate hooks active, like the analytic twin (the scenarios promise
+    identical physics between the two classes)."""
+
+    def compute_pdf(self):
+        self._apply_rate_hooks()
+        super().compute_pdf()
 
 
 class FixedSampleSource(_RateHookMixin, DensityEstimatingSource):

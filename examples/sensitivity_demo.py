@@ -67,8 +67,10 @@ def main():
         jax.random.PRNGKey(0), n_toys=n_toys,
         target='wimp_rate_multiplier', hypothesis=1.0, mesh=mesh)
     dt = time.time() - t0
+    # len(t_stats), not n_toys: on a mesh the toy count rounds UP to a
+    # multiple of the device count
     print("   %d profile fits in %.1fs (%.1f fits/s, incl. compile); "
-          "median t = %.3f" % (n_toys, dt, n_toys / dt,
+          "median t = %.3f" % (len(t_stats), dt, len(t_stats) / dt,
                                float(np.median(t_stats))))
 
     print("5) Neyman-calibrated upper limit...")

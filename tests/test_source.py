@@ -111,3 +111,17 @@ def test_hash_ignores_data_dirs():
     _, c1 = GaussianSource.normalized_config(dict(base, data_dirs='.'))
     _, c2 = GaussianSource.normalized_config(dict(base, data_dirs='/tmp'))
     assert c1['hash'] == c2['hash']
+
+
+def test_mc_source_applies_rate_hooks():
+    """GaussianMCSource honors the scenario rate hooks like its analytic
+    twin (regression: some_multiplier was a silent no-op for mc=True
+    scenarios — a flat likelihood direction instead of a rate scan)."""
+    from blueice_tpu.models.model import Model
+
+    conf = conf_for_test(mc=True, some_multiplier=2)
+    conf['sources'][0]['n_events_for_pdf'] = int(1e4)
+    m = Model(conf)
+    assert m.sources[0].events_per_day == pytest.approx(2000.0)
+    m1 = Model(conf_for_test(mc=True))
+    assert m1.sources[0].events_per_day == pytest.approx(1000.0)

@@ -68,3 +68,16 @@ def test_profile_study_small(lf):
     assert (t >= 0).all()
     assert np.isfinite(free.max_ll).all()
     assert 0.5 < free['wimp_rate_multiplier'].mean() < 1.5
+
+
+def test_host_simulation_matches_expectation(lf):
+    """Host toy datasets are NOT overpopulated: sources with
+    fraction_in_range < 1 thin their (template-drawn, in-range-only) events
+    back to Poisson(expected) — regression for the 1/fraction_in_range
+    double-count that biased every host toy ensemble ~+2.7%."""
+    expected = float(np.sum(lf.base_model.expected_events()))
+    rng = np.random.default_rng(11)
+    counts = np.array([len(lf.base_model.simulate(rng=rng))
+                       for _ in range(12)])
+    z = (counts.mean() - expected) / (np.sqrt(expected) / np.sqrt(12))
+    assert abs(z) < 4.0, (counts.mean(), expected, z)

@@ -31,12 +31,26 @@ class NeymanConstruction:
                                        t_ppf=nc.t_ppf)
     """
 
-    def __init__(self, study, target, fixed=None, truth=None, mesh=None):
+    def __init__(self, study, target, fixed=None, truth=None, mesh=None,
+                 statistic='two-sided'):
+        """:param statistic: which test statistic to calibrate.
+          'two-sided' (default): t = max(2(LL_free - LL_cond), 0); its
+          critical values are mapped to the one-sided level via |2q-1|
+          (exact in the symmetric/Wilks regime — see :meth:`t_ppf`).
+          'upper' / 'lower': the one-sided statistic (t where the best fit
+          lies below / above the hypothesis, else 0 — the q-tilde family).
+          Calibrating P(t_one-sided > c) = 1 - CL is exact for the
+          corresponding limit kind even when up/down fluctuations split
+          asymmetrically; use statistic='upper' with kind='upper' etc."""
+        if statistic not in ('two-sided', 'upper', 'lower'):
+            raise ValueError("statistic must be 'two-sided', 'upper' or "
+                             "'lower'")
         self.study = study
         self.target = target
         self.fixed = dict(fixed or {})
         self.truth = dict(truth or {})
         self.mesh = mesh
+        self.statistic = statistic
         self.hypotheses = None
         self.t_sorted = None
 
@@ -48,10 +62,18 @@ class NeymanConstruction:
         hypotheses = np.asarray(hypotheses, dtype=float)
         order = np.argsort(hypotheses)
         self.hypotheses = hypotheses[order]
-        ts = self.study.profile_ts_scan(
+        ts, frees = self.study.profile_ts_scan(
             key, self.target, self.hypotheses, n_toys,
             fixed=self.fixed, mesh=self.mesh, truth=self.truth,
-            truth_at_hypothesis=True)
+            truth_at_hypothesis=True, return_free=True)
+        if self.statistic != 'two-sided':
+            # One-sided statistic: zero the toys whose best fit lies on the
+            # non-rejecting side of the hypothesis
+            x_hat = np.stack([f[self.target] for f in frees])   # (H, T)
+            h_col = self.hypotheses[:, None]
+            keep = (x_hat < h_col) if self.statistic == 'upper' \
+                else (x_hat > h_col)
+            ts = np.where(keep, ts, 0.0)
         self.t_sorted = np.sort(ts, axis=1)
         return self
 
@@ -70,13 +92,24 @@ class NeymanConstruction:
         0.8-quantile of t (~1.64 in the Wilks regime), NOT the 0.9-quantile
         (~2.71), which would overcover (~95%). Exact when up/down
         fluctuations split evenly (the Wilks regime); a rejected-direction
-        asymmetry shifts one-sided coverage accordingly."""
+        asymmetry shifts one-sided coverage accordingly.
+
+        For ``statistic='upper'``/``'lower'`` the calibrated distribution is
+        the one-sided statistic itself, so the critical value is its direct
+        max(q, 1-q) quantile — exact one-sided coverage with no symmetry
+        assumption: P(t_one-sided > c) = P(best fit on the rejecting side
+        AND t > c) = 1 - CL by construction."""
         if self.t_sorted is None:
             raise RuntimeError("Call scan() first")
         # brentq in one_parameter_interval passes the quantile wrapped in a
         # sequence; accept scalars or length-1 containers
         quantile = float(np.asarray(quantile).reshape(-1)[0])
-        quantile = abs(2.0 * quantile - 1.0)
+        if self.statistic == 'two-sided':
+            quantile = abs(2.0 * quantile - 1.0)
+        else:
+            # upper limits pass q = CL, lower limits q = 1 - CL: both mean
+            # the same one-sided level
+            quantile = max(quantile, 1.0 - quantile)
         hypothesis = float(np.asarray(hypothesis).reshape(-1)[0])
         n = self.t_sorted.shape[1]
         # quantile within each hypothesis's sorted toy statistics
@@ -92,8 +125,8 @@ class NeymanConstruction:
 
     def coverage_check(self, quantile=0.9):
         """Fraction of toys below their own hypothesis's critical value —
-        should be ~|2*quantile - 1| by construction (t_ppf returns the
-        one-sided-consistent quantile of the two-sided statistic; see
+        should be ~|2*quantile - 1| for the two-sided statistic, resp.
+        ~max(quantile, 1 - quantile) for the one-sided ones (see
         :meth:`t_ppf`). Sanity diagnostic."""
         crits = np.array([self.t_ppf(h, quantile) for h in self.hypotheses])
         return (self.t_sorted <= crits[:, None]).mean(axis=1)

@@ -378,25 +378,31 @@ class BinnedToyStudy:
         return self._profile_cache[cache_key]
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
-                        mesh=None, truth=None, truth_at_hypothesis=True):
+                        mesh=None, truth=None, truth_at_hypothesis=True,
+                        return_free=False):
         """Profile-LR toy distributions across a hypothesis grid (the engine of
         a Neyman construction). One compiled program serves every hypothesis.
 
         :param truth_at_hypothesis: simulate each ensemble with the target set
           to the hypothesis (the standard construction); otherwise use ``truth``
           for all ensembles.
-        :return: array (n_hypotheses, n_toys) of t values.
+        :param return_free: also return the per-hypothesis free-fit
+          ToyResults (one-sided Neyman statistics need the best-fit sign).
+        :return: array (n_hypotheses, n_toys) of t values; with
+          ``return_free``, (t array, list of free ToyResults).
         """
-        out = []
+        out, frees = [], []
         for i, h in enumerate(np.asarray(hypotheses, dtype=float)):
             sim_truth = dict(truth or {})
             if truth_at_hypothesis:
                 sim_truth[target] = float(h)
             counts = self.simulate(jax.random.fold_in(key, i), n_toys,
                                    sim_truth, mesh)
-            t, _, _ = self._run_profile(counts, target, h, fixed)
+            t, free, _ = self._run_profile(counts, target, h, fixed)
             out.append(np.asarray(t))
-        return np.stack(out)
+            frees.append(free)
+        ts = np.stack(out)
+        return (ts, frees) if return_free else ts
 
 
 class UnbinnedToyStudy:
@@ -793,12 +799,13 @@ class UnbinnedToyStudy:
         return self._profile_cache[cache_key]
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
-                        mesh=None, truth=None, truth_at_hypothesis=True):
+                        mesh=None, truth=None, truth_at_hypothesis=True,
+                        return_free=False):
         """Profile-LR toy distributions across a hypothesis grid (see
         BinnedToyStudy.profile_ts_scan)."""
         if mesh is not None:
             n_toys = _round_up_toys(n_toys, mesh)
-        out = []
+        out, frees = [], []
         for i, h in enumerate(np.asarray(hypotheses, dtype=float)):
             sim_truth = dict(truth or {})
             if truth_at_hypothesis:
@@ -807,6 +814,8 @@ class UnbinnedToyStudy:
             keys = jax.random.split(jax.random.fold_in(key, i), n_toys)
             if mesh is not None:
                 keys = shard_toys(mesh, keys)
-            t, _, _ = self._run_profile(keys, weights, target, h, fixed)
+            t, free, _ = self._run_profile(keys, weights, target, h, fixed)
             out.append(np.asarray(t))
-        return np.stack(out)
+            frees.append(free)
+        ts = np.stack(out)
+        return (ts, frees) if return_free else ts

@@ -52,6 +52,35 @@ def test_neyman_scan_and_ppf():
     assert np.all(np.abs(cov - 0.8) < 0.05), cov
 
 
+def test_neyman_one_sided_statistic():
+    """statistic='upper' calibrates the one-sided (q-tilde-style) statistic:
+    exact one-sided coverage by construction, and in the symmetric Gaussian
+    regime its critical value agrees with the two-sided |2q-1| mapping."""
+    lf = _lf()
+    study = BinnedToyStudy(lf)
+    key = jax.random.PRNGKey(3)
+    two = NeymanConstruction(study, 's0_rate_multiplier').scan(
+        key, hypotheses=[0.9, 1.0, 1.1], n_toys=600)
+    up = NeymanConstruction(study, 's0_rate_multiplier',
+                            statistic='upper').scan(
+        key, hypotheses=[0.9, 1.0, 1.1], n_toys=600)
+
+    # exact construction: ~10% of toys exceed the 90% one-sided critical
+    # value of the one-sided statistic
+    cov = up.coverage_check(0.9)
+    assert np.all(np.abs(cov - 0.9) < 0.04), cov
+    # symmetric regime: agrees with the mapped two-sided critical value
+    for h in (0.9, 1.0, 1.1):
+        c2, cu = two.t_ppf(h, 0.9), up.t_ppf(h, 0.9)
+        assert abs(cu - c2) < 0.35 * max(c2, 1.0), (h, c2, cu)
+    # roughly half the toys are zeroed (best fit above the true hypothesis)
+    frac_zero = (up.t_sorted == 0).mean(axis=1)
+    assert np.all((frac_zero > 0.3) & (frac_zero < 0.7)), frac_zero
+
+    with pytest.raises(ValueError, match="statistic"):
+        NeymanConstruction(study, 's0_rate_multiplier', statistic='weird')
+
+
 def test_neyman_interval_end_to_end():
     """Toy-calibrated upper limit lands near the Wilks limit in the asymptotic
     regime, via the reference t_ppf hook."""

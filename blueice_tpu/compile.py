@@ -522,21 +522,46 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
         event_mask = None   # closed-over ps tensors already match the data
 
     # -- the pure function ------------------------------------------------------------
-    def core(params, data, mask, include_constant=True):
-        zs = None
-        penalty = jnp.zeros(())
-        oob = jnp.zeros((), dtype=bool)
-        if shape_names:
-            zs_raw = jnp.stack([jnp.asarray(params[sp]) for sp in shape_names])
-            lo = shape_bounds_lo.astype(zs_raw.dtype)
-            hi = shape_bounds_hi.astype(zs_raw.dtype)
-            oob = jnp.any((zs_raw < lo) | (zs_raw > hi))
-            # Clamp for the interpolation so gradients stay finite; the -inf is
-            # applied through the `where` at the end.
-            zs = jnp.clip(zs_raw, lo, hi)
+    def _clipped_zs(params):
+        """(zs_clipped, out_of_bounds): clamp for the interpolation so
+        gradients stay finite; the -inf is applied by core's final where."""
+        if not shape_names:
+            return None, jnp.zeros((), dtype=bool)
+        zs_raw = jnp.stack([jnp.asarray(params[sp]) for sp in shape_names])
+        lo = shape_bounds_lo.astype(zs_raw.dtype)
+        hi = shape_bounds_hi.astype(zs_raw.dtype)
+        oob = jnp.any((zs_raw < lo) | (zs_raw > hi))
+        return jnp.clip(zs_raw, lo, hi), oob
 
+    def _mus_at(params, zs):
+        """Per-source expected counts: base rates at zs, scaled by rate
+        multipliers, joint livetime and applied efficiencies. ONE home for
+        this pipeline — core() and the analytic engines' rates() must
+        optimize/evaluate the same likelihood."""
         mus = mus_fn(zs)
+        mults = jnp.stack([jnp.asarray(params[rn]) for rn in rate_names])
+        mus = mus * mults.astype(mus.dtype)
+        if include_livetime:
+            mus = mus * (jnp.asarray(params['livetime_days'])
+                         / base_livetime).astype(mus.dtype)
+        if apply_eff.any():
+            effs = [jnp.asarray(params[eff_names[i]])
+                    if apply_eff[i] and eff_names[i] in shape_names
+                    else jnp.ones(()) for i in range(n_sources)]
+            mus = jnp.where(jnp.asarray(apply_eff),
+                            mus * jnp.stack(effs).astype(mus.dtype), mus)
+        return mus
+
+    def core(params, data, mask, include_constant=True):
+        penalty = jnp.zeros(())
+        zs, oob = _clipped_zs(params)
+
         if is_binned or data is None:
+            if ps_fn is None:
+                raise RuntimeError(
+                    "No density payload bound (data-free unbinned compile): "
+                    "pass the toy anchor-ps tensor as `data` to "
+                    "logl_with_data, or set_data() before compiling")
             ps = ps_fn(zs)
         else:
             # Toy path: `data` is an anchor-ps tensor with the same anchor-grid
@@ -544,22 +569,7 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
             ps = ps_override_fn(data, zs)
         n_model_events = nme_fn(zs) if nme_fn is not None else None
 
-        mults = jnp.stack([jnp.asarray(params[rn]) for rn in rate_names])
-        mus = mus * mults.astype(mus.dtype)
-
-        if include_livetime:
-            mus = mus * (jnp.asarray(params['livetime_days'])
-                         / base_livetime).astype(mus.dtype)
-
-        if apply_eff.any():
-            effs = []
-            for i, sn in enumerate(source_names):
-                if apply_eff[i] and eff_names[i] in shape_names:
-                    effs.append(jnp.asarray(params[eff_names[i]]))
-                else:
-                    effs.append(jnp.ones(()))
-            mus = jnp.where(jnp.asarray(apply_eff),
-                            mus * jnp.stack(effs).astype(mus.dtype), mus)
+        mus = _mus_at(params, zs)
 
         # Physicality policy (reference: blueice/likelihood.py:395-415)
         finite = jnp.all(mus < jnp.inf)
@@ -613,25 +623,9 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
 
     def rates(params):
         """Per-source expected counts at params (after multipliers / livetime /
-        efficiencies, before any Beeston-Barlow adjustment)."""
-        zs = None
-        if shape_names:
-            zs = jnp.stack([jnp.asarray(params[sp]) for sp in shape_names])
-            zs = jnp.clip(zs, shape_bounds_lo.astype(zs.dtype),
-                          shape_bounds_hi.astype(zs.dtype))
-        mus = mus_fn(zs)
-        mults = jnp.stack([jnp.asarray(params[rn]) for rn in rate_names])
-        mus = mus * mults.astype(mus.dtype)
-        if include_livetime:
-            mus = mus * (jnp.asarray(params['livetime_days'])
-                         / base_livetime).astype(mus.dtype)
-        if apply_eff.any():
-            effs = [jnp.asarray(params[eff_names[i]])
-                    if apply_eff[i] and eff_names[i] in shape_names
-                    else jnp.ones(()) for i in range(n_sources)]
-            mus = jnp.where(jnp.asarray(apply_eff),
-                            mus * jnp.stack(effs).astype(mus.dtype), mus)
-        return mus
+        efficiencies, before any Beeston-Barlow adjustment). This is the
+        analytic engines' hot path — shares core()'s mu pipeline exactly."""
+        return _mus_at(params, _clipped_zs(params)[0])
 
     def densities(params):
         """The morphed density payload at params: PMF grids
@@ -639,12 +633,7 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
         if ps_fn is None:
             raise RuntimeError("No density payload bound (data-free unbinned "
                                "compile)")
-        zs = None
-        if shape_names:
-            zs = jnp.stack([jnp.asarray(params[sp]) for sp in shape_names])
-            zs = jnp.clip(zs, shape_bounds_lo.astype(zs.dtype),
-                          shape_bounds_hi.astype(zs.dtype))
-        return ps_fn(zs)
+        return ps_fn(_clipped_zs(params)[0])
 
     def expected_counts(params):
         """Expected counts per analysis-space bin at params (binned)."""

@@ -787,20 +787,15 @@ def extended_loglikelihood(mu, ps, outlier_likelihood=0.0):
     return -mu.sum() + np.sum(np.log(p_events))
 
 
-def _bb_discriminant(a, p, U, d):
-    return (U**2 * p**2 + 2 * U**2 * p + U**2 + 2 * U * a * p**2 + 2 * U * a * p
-            - 2 * U * d * p**2 - 2 * U * d * p + a**2 * p**2 + 2 * a * d * p**2
-            + d**2 * p**2)
-
-
 def _bb_quadratic_parts(a, p, U, d):
     """Coefficients (A2, b) of the per-bin quadratic A2*x^2 + b*x + c with
-    c = -U*a, plus s = sqrt(discriminant). Since c <= 0, s >= |b| always —
-    but the discriminant is evaluated as an expanded mixed-sign polynomial,
-    so near-zero values can round negative; clamp before the sqrt."""
+    c = -U*a, plus s = sqrt(discriminant). The discriminant is evaluated as
+    b^2 + 4*A2*U*a — every term nonnegative, so it is cancellation-free and
+    nonnegative by construction (the reference's expanded mixed-sign
+    polynomial, blueice/likelihood.py:704-706, rounds negative near zero)."""
     A2 = p * (p + 1.0)
     b = U * (p + 1.0) - p * (np.asarray(a, dtype=float) + d)
-    s = np.sqrt(np.maximum(_bb_discriminant(a, p, U, d), 0.0))
+    s = np.sqrt(b * b + 4.0 * A2 * (U * np.asarray(a, dtype=float)))
     return A2, b, s
 
 

@@ -49,18 +49,17 @@ def bb_lambda(P, N, U, M, T, d):
     pw_safe = jnp.where(pw > 0, pw, 1.0)
 
     # General root of the per-bin quadratic (beeston_barlow_root2), written
-    # with guarded intermediates so autodiff stays finite on excluded branches
-    disc = (U ** 2 * pw_safe ** 2 + 2 * U ** 2 * pw_safe + U ** 2
-            + 2 * U * N * pw_safe ** 2 + 2 * U * N * pw_safe
-            - 2 * U * d * pw_safe ** 2 - 2 * U * d * pw_safe
-            + N ** 2 * pw_safe ** 2 + 2 * N * d * pw_safe ** 2
-            + d ** 2 * pw_safe ** 2)
+    # with guarded intermediates so autodiff stays finite on excluded
+    # branches. Discriminant in the cancellation-free b^2 + 4*a*U*N form
+    # (every term nonnegative), not the expanded mixed-sign polynomial.
+    b_lin = U * (pw_safe + 1.0) - pw_safe * (N + d)
+    disc = (b_lin * b_lin
+            + 4.0 * pw_safe * (pw_safe + 1.0) * (U * N))
     root = jnp.sqrt(jnp.maximum(disc, tiny))
     # Stable larger root (Citardauq for b >= 0): the naive (-b + root)/(2a)
     # cancels catastrophically as pw -> 0 with U > 0 (see
     # likelihood.beeston_barlow_root2). The constant coefficient -U*N is
     # <= 0, so root >= |b| and both branches are nonnegative in fp.
-    b_lin = U * (pw_safe + 1.0) - pw_safe * (N + d)
     sel_hi = b_lin >= 0
     # Double-where: each branch's denominator is where-guarded to 1 on the
     # rows it does not serve BEFORE the division — otherwise reverse-mode AD

@@ -18,22 +18,17 @@ __all__ = ['beeston_barlow_root1', 'beeston_barlow_root2', 'beeston_barlow_roots
            'bb_single_adjust']
 
 
-def _bb_discriminant(a, p, U, d):
-    return (U ** 2 * p ** 2 + 2 * U ** 2 * p + U ** 2
-            + 2 * U * a * p ** 2 + 2 * U * a * p
-            - 2 * U * d * p ** 2 - 2 * U * d * p
-            + a ** 2 * p ** 2 + 2 * a * d * p ** 2 + d ** 2 * p ** 2)
-
-
 def _bb_quadratic_parts(a, p, U, d):
     """(A2, b, s) of the per-bin quadratic A2*x^2 + b*x + c with c = -U*a;
     s = sqrt(discriminant) >= |b| since c <= 0. The discriminant is
-    mathematically >= 0 but evaluated as an expanded mixed-sign polynomial,
-    so near-zero values can round negative — guard before the sqrt (tiny,
-    not 0: sqrt'(0) = inf would poison gradients of the compiled path)."""
+    b^2 - 4*A2*c = b^2 + 4*A2*U*a — every term nonnegative, so this form is
+    cancellation-free and needs no clamp (the reference's 10-term expanded
+    polynomial, blueice/likelihood.py:704-706, is the same quantity but
+    mixed-sign, losing all significant digits near zero). Floor at tiny
+    anyway: sqrt'(0) = inf would poison gradients of the compiled path."""
     A2 = p * (p + 1.0)
     b = U * (p + 1.0) - p * (a + d)
-    disc = _bb_discriminant(a, p, U, d)
+    disc = b * b + 4.0 * A2 * (U * a)
     s = jnp.sqrt(jnp.maximum(disc, jnp.finfo(jnp.result_type(disc)).tiny))
     return A2, b, s
 

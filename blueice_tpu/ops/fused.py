@@ -115,9 +115,15 @@ def _vgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, obs_ref, anchor_hbm,
         lam_safe = jnp.maximum(lam, tiny)
         k_safe = jnp.where(obs > 0, obs, 1.0)
 
-        # Padded bins have obs == 0 and lam == 0: both terms vanish exactly
+        # Negative-expectation penalty, matching binned_vgh/binned_ll (the
+        # 'same contract' promise): inert for the usual nonnegative models,
+        # but an allow_negative model forced onto this engine must see the
+        # same penalized surface in value AND derivatives. Padded bins have
+        # obs == 0 and lam == 0: every term vanishes exactly.
+        pen = jnp.asarray(1e6, dtype=dtype)
         ll_ref[ti, 0] = jnp.sum(obs * jnp.log(lam_safe / k_safe)
-                                - (lam - obs))
+                                - (lam - obs)
+                                + pen * jnp.minimum(lam, 0.0))
 
         inv_lam = 1.0 / lam_safe
         # Keep r = -1 in empty-model bins (matching ops/binned_vgh.py): a bin
@@ -125,7 +131,7 @@ def _vgh_kernel(ids_ref, w_ref, wd_ref, wx_ref, m_ref, obs_ref, anchor_hbm,
         # DIFFERENCES (one empty corner template on a cell edge), and its
         # -Dbar contribution to g_t is real. Padded bins are harmless either
         # way — their P and D rows are identically zero.
-        r = obs * inv_lam - 1.0
+        r = obs * inv_lam - 1.0 + pen * (lam < 0).astype(dtype)
         q = obs * inv_lam * inv_lam
 
         # Gradient
@@ -199,8 +205,11 @@ def _ll_kernel(ids_ref, w_ref, m_ref, obs_ref, anchor_hbm,
             m = m_ref[ti, a, :]
             lam = jnp.sum(m[:, None] * P, axis=0)
             lam_safe = jnp.maximum(lam, tiny)
+            # Same negative-expectation penalty as the vgh kernel / jnp twins
             ll_ref[ti, a] = jnp.sum(obs * jnp.log(lam_safe / k_safe)
-                                    - (lam - obs))
+                                    - (lam - obs)
+                                    + jnp.asarray(1e6, dtype)
+                                    * jnp.minimum(lam, 0.0))
         return 0
 
     jax.lax.fori_loop(0, blk, one_toy, 0)
@@ -441,6 +450,13 @@ def binned_vgh_fused(anchor_flat, strides, idx, t, m, observed,
     """Fused (ll, g, H) via the Pallas kernel. Same contract as
     :func:`blueice_tpu.ops.binned_vgh.binned_vgh`, but gathers the corner
     templates itself from the full flattened-grid anchor tensor.
+
+    Under ``vmap``, the anchor tensor must be SHARED across the mapped axis
+    (``in_axes=None`` for it; per-toy inputs batch normally). The custom
+    batching rule reduces a batched anchor to its first element — correct
+    for the lax.cond broadcasts that produce one, silently wrong for
+    genuinely distinct per-toy anchor tensors (which this VMEM-resident
+    design cannot serve anyway: one anchor copy is the whole point).
 
     vmap over the per-toy arguments dispatches one blocked-grid kernel with the
     anchor tensor DMA'd to VMEM exactly once (custom_batching rule).

@@ -592,6 +592,10 @@ def unbinned_vgh_fused(ps_toy, strides, idx, t, m, mask, outlier=0.0,
     """Fused (ll, g, H) of the extended unbinned LL via the Pallas kernel.
     Same contract as :func:`blueice_tpu.ops.unbinned_vgh.unbinned_vgh`, but
     gathers the corner templates itself from the toy's flattened-grid tensor.
+    (``ps_toy`` batches per toy under vmap; batching the OTHER way — many
+    parameter points against one shared toy — should use
+    :func:`unbinned_ll_fused_multi`, which shares the tensor instead of
+    broadcasting it.)
 
     :param ps_toy: (G, S, E) per-event densities at every anchor point, grid
       flattened, E a multiple of 128 (pad events with zero densities).

@@ -136,3 +136,14 @@ def test_minuit_soft_dep():
     else:
         with pytest.raises(ImportError, match="bestfit_jax"):
             lf.bestfit_minuit()
+
+
+def test_data_free_logl_with_data_none_raises_clearly():
+    """logl_with_data(params, None) on a data-free unbinned compile raises
+    the explanatory RuntimeError, not \"'NoneType' object is not callable\"."""
+    lf = UnbinnedLogLikelihood(conf_for_test())
+    lf.add_shape_parameter('some_multiplier', (0.5, 1, 2))
+    lf.prepare()
+    c = build_logl(lf)        # no set_data: data-free toy-ensemble compile
+    with pytest.raises(RuntimeError, match="density payload"):
+        c.logl_with_data(c.params_from_kwargs(), None)

@@ -84,3 +84,42 @@ def test_pad_and_support_check():
     assert pad_bins(np.ones((3, 128))).shape == (3, 128)
     assert fused_vgh_supported((81, 6, 3100))
     assert not fused_vgh_supported((2000, 20, 10000))
+
+
+def test_fused_penalty_matches_jnp_on_negative_bins():
+    """The fused kernels carry the negative-expectation penalty in value AND
+    derivatives, exactly like binned_vgh/binned_ll (regression: a model with
+    an allow_negative source forced onto engine='pallas' optimized a
+    penalty-free surface that its own jnp line-search value rejected)."""
+    from blueice_tpu.ops.binned_vgh import binned_ll
+    from blueice_tpu.ops.fused import binned_ll_fused_multi
+
+    # K=0 (single anchor), 2 sources, second pushes one observed==0 bin
+    # mildly net-negative: lam = [1.0, -0.3, 2.4] at m = (1.0, 0.8)
+    corners = np.zeros((1, 2, 128))
+    corners[0, 0, :3] = [1.0, 0.5, 2.0]
+    corners[0, 1, :3] = [0.0, -1.0, 0.5]
+    observed = np.zeros(128)
+    observed[2] = 3.0
+    m = jnp.asarray([1.0, 0.8])
+    t = jnp.zeros((0,))
+    strides, idx = (), []
+
+    ll_f, g_f, H_f = binned_vgh_fused(corners, strides, idx, t, m,
+                                      jnp.asarray(observed), interpret=True)
+    ll_j, g_j, H_j = binned_vgh(corners, m, t, observed)
+    assert float(ll_j) < -1e4          # the penalty actually engaged
+    np.testing.assert_allclose(float(ll_f), float(ll_j), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_j), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_j), rtol=1e-8,
+                               atol=1e-12)
+
+    # the multi-candidate value kernel agrees with binned_ll too
+    ms = jnp.asarray([[1.0, 0.8], [1.0, 0.2], [2.0, 1.5]])
+    lls_f = binned_ll_fused_multi(corners, strides,
+                                  jnp.zeros((3, 0), jnp.int32),
+                                  jnp.zeros((3, 0)), ms,
+                                  jnp.asarray(observed), interpret=True)
+    for a in range(3):
+        ll_a = binned_ll(corners, ms[a], t, observed)
+        np.testing.assert_allclose(float(lls_f[a]), float(ll_a), rtol=1e-10)

@@ -63,6 +63,34 @@ def pad_bins(arr, axis=-1):
     return np.pad(arr, pad)
 
 
+def corner_offsets(strides, K):
+    """(2^K,) int32 flattened-grid offsets of a cell's corner templates."""
+    return jnp.asarray(
+        [sum(int(c[d]) * int(strides[d]) for d in range(K))
+         for c in itertools.product((0, 1), repeat=K)], dtype=jnp.int32)
+
+
+def corner_ids(strides, idx, K):
+    """Flattened-grid ids (2^K,) of the corner templates around the lower
+    corner ``idx`` ((K,) per-axis scalar indices). Shared by every fused
+    kernel module (fused_bb / fused_unbinned import it)."""
+    if not K:
+        return jnp.zeros((1,), dtype=jnp.int32)
+    base = sum(jnp.asarray(idx[d], jnp.int32) * int(strides[d])
+               for d in range(K))
+    return base + corner_offsets(strides, K)
+
+
+def corner_ids_batched(strides, idx, K, n_rows):
+    """(n_rows, 2^K) corner ids for an (n_rows, K) lower-corner matrix."""
+    if not K:
+        return jnp.zeros((n_rows, 1), dtype=jnp.int32)
+    idx = jnp.asarray(idx)
+    base = sum(idx[:, d].astype(jnp.int32) * int(strides[d])
+               for d in range(K))
+    return base[:, None] + corner_offsets(strides, K)[None, :]
+
+
 def fused_vgh_supported(anchor_flat_shape, dtype=jnp.float32,
                         vmem_budget=9 * 2 ** 20):
     """Whether the anchor tensor fits the VMEM-resident kernel."""
@@ -309,20 +337,11 @@ def binned_ll_fused_multi(anchor_flat, strides, idx, t, m, observed,
     C = 2 ** K
     dt = anchor_flat.dtype
 
-    corners = list(itertools.product((0, 1), repeat=K))
-    if K:
-        offs = jnp.asarray(
-            [sum(int(cc[d]) * int(strides[d]) for d in range(K))
-             for cc in corners], dtype=jnp.int32)
-        base = sum(idx[:, d].astype(jnp.int32) * int(strides[d])
-                   for d in range(K))                          # (A,)
-        ids = base[:, None] + offs[None, :]                    # (A, C)
-        w = jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
-            jnp.asarray(t, dt))                                # (A, C)
-    else:
-        A = m.shape[0]
-        ids = jnp.zeros((A, 1), dtype=jnp.int32)
-        w = jnp.ones((A, 1), dtype=dt)
+    A = jnp.asarray(m).shape[0]
+    ids = corner_ids_batched(strides, idx, K, A)               # (A, C)
+    w = (jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
+        jnp.asarray(t, dt)) if K
+        else jnp.ones((A, 1), dtype=dt))                       # (A, C)
 
     op = _get_ll_op(bool(interpret))
     return op(anchor_flat, ids, w, jnp.asarray(m, dt),
@@ -478,16 +497,7 @@ def binned_vgh_fused(anchor_flat, strides, idx, t, m, observed,
     K = len(strides)
     C = 2 ** K
 
-    corners = list(itertools.product((0, 1), repeat=K))
-    if K:
-        base = sum(jnp.asarray(idx[d], jnp.int32) * int(strides[d])
-                   for d in range(K))
-        offs = jnp.asarray(
-            [sum(int(c[d]) * int(strides[d]) for d in range(K))
-             for c in corners], dtype=jnp.int32)
-        ids = base + offs
-    else:
-        ids = jnp.zeros((1,), dtype=jnp.int32)
+    ids = corner_ids(strides, idx, K)
 
     dt = anchor_flat.dtype
     w, wd, wx = corner_weight_tables(jnp.asarray(t, dt))

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binned_vgh import corner_weight_tables
-from .fused import VMEM_LIMIT
+from .fused import VMEM_LIMIT, corner_ids, corner_ids_batched
 from .bb_vgh import bb_lam_parts, bb_lambda
 
 __all__ = ['binned_bb_vgh_fused', 'binned_bb_ll_fused_multi',
@@ -336,18 +336,6 @@ def _build_bb_ll_call(dtype_name, G, S, N, K, A, B, blk, bb_i, interpret):
     )
 
 
-def _corner_ids(strides, idx, K):
-    corners = list(itertools.product((0, 1), repeat=K))
-    if not K:
-        return jnp.zeros((1,), dtype=jnp.int32)
-    base = sum(jnp.asarray(idx[d], jnp.int32) * int(strides[d])
-               for d in range(K))
-    offs = jnp.asarray(
-        [sum(int(c[d]) * int(strides[d]) for d in range(K))
-         for c in corners], dtype=jnp.int32)
-    return base + offs
-
-
 def _bb_vgh_batched_impl(anchor_flat, nme_flat, ids_b, w_b, wd_b, wx_b, m_b,
                          obs_b, bb_i, interpret):
     G, S, N = anchor_flat.shape
@@ -479,7 +467,7 @@ def binned_bb_vgh_fused(anchor_flat, nme_flat, strides, idx, t, m, observed,
     C = 2 ** K
     dt = anchor_flat.dtype
 
-    ids = _corner_ids(strides, idx, K)
+    ids = corner_ids(strides, idx, K)
     w, wd, wx = corner_weight_tables(jnp.asarray(t, dt))
     pairs = [(d, e) for d in range(K) for e in range(d + 1, K)]
     wd_in = wd.astype(dt) if K else jnp.zeros((1, C), dt)
@@ -507,15 +495,11 @@ def binned_bb_ll_fused_multi(anchor_flat, nme_flat, strides, idx, t, m,
     K = len(strides)
     dt = anchor_flat.dtype
 
-    if K:
-        ids = jax.vmap(lambda ix: _corner_ids(strides, ix, K))(
-            jnp.asarray(idx, jnp.int32))                       # (A, C)
-        w = jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
-            jnp.asarray(t, dt))                                # (A, C)
-    else:
-        A = m.shape[0]
-        ids = jnp.zeros((A, 1), dtype=jnp.int32)
-        w = jnp.ones((A, 1), dtype=dt)
+    A = jnp.asarray(m).shape[0]
+    ids = corner_ids_batched(strides, idx, K, A)               # (A, C)
+    w = (jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
+        jnp.asarray(t, dt)) if K
+        else jnp.ones((A, 1), dtype=dt))                       # (A, C)
 
     op = _get_bb_ll_op(bb_i, bool(interpret))
     return op(anchor_flat, nme_flat, ids, w, jnp.asarray(m, dt),

@@ -57,7 +57,7 @@ BLOCK_VMEM = 6 * 2 ** 20
 # programs right at the default 16 MB boundary compiled or OOM'd depending
 # on layout luck; the shared raised limit makes the budget model, with
 # margin, the only gate.
-from .fused import VMEM_LIMIT
+from .fused import VMEM_LIMIT, corner_ids, corner_ids_batched
 
 
 def _block_blk(G, S, E, K, n_pairs, A=1, dtype_bytes=4):
@@ -576,17 +576,6 @@ def _get_op(kind, interpret, outlier):
     return _OP_CACHE[key]
 
 
-def _corner_ids(strides, idx, K):
-    corners = list(itertools.product((0, 1), repeat=K))
-    if not K:
-        return jnp.zeros((1,), dtype=jnp.int32)
-    base = sum(jnp.asarray(idx[d], jnp.int32) * int(strides[d])
-               for d in range(K))
-    offs = jnp.asarray([sum(int(c[d]) * int(strides[d]) for d in range(K))
-                        for c in corners], dtype=jnp.int32)
-    return base + offs
-
-
 def unbinned_vgh_fused(ps_toy, strides, idx, t, m, mask, outlier=0.0,
                        interpret=False, inv_ref=None, ref_msum=None):
     """Fused (ll, g, H) of the extended unbinned LL via the Pallas kernel.
@@ -616,7 +605,7 @@ def unbinned_vgh_fused(ps_toy, strides, idx, t, m, mask, outlier=0.0,
     C = 2 ** K
     dt = ps_toy.dtype
 
-    ids = _corner_ids(strides, idx, K)
+    ids = corner_ids(strides, idx, K)
     w, wd, wx = corner_weight_tables(jnp.asarray(t, dt))
     pairs = [(d, e) for d in range(K) for e in range(d + 1, K)]
     wd_in = wd.astype(dt) if K else jnp.zeros((1, C), dt)
@@ -650,19 +639,11 @@ def unbinned_ll_fused_multi(ps_toy, strides, idxs, ts, ms, mask, outlier=0.0,
     C = 2 ** K
     dt = ps_toy.dtype
 
-    if K:
-        offs = jnp.asarray(
-            [sum(int(c[d]) * int(strides[d]) for d in range(K))
-             for c in itertools.product((0, 1), repeat=K)], dtype=jnp.int32)
-        base = sum(idxs[:, d].astype(jnp.int32) * int(strides[d])
-                   for d in range(K))                            # (A,)
-        ids = base[:, None] + offs[None, :]                      # (A, C)
-        w = jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
-            jnp.asarray(ts, dt))                                 # (A, C)
-    else:
-        A = ms.shape[0]
-        ids = jnp.zeros((A, 1), dtype=jnp.int32)
-        w = jnp.ones((A, 1), dtype=dt)
+    A = jnp.asarray(ms).shape[0]
+    ids = corner_ids_batched(strides, idxs, K, A)                # (A, C)
+    w = (jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
+        jnp.asarray(ts, dt)) if K
+        else jnp.ones((A, 1), dtype=dt))                         # (A, C)
 
     ms = jnp.asarray(ms, dt)
     moffs = jnp.sum(ms, axis=-1) - (0.0 if ref_msum is None else ref_msum)

@@ -51,6 +51,15 @@ t, free, cond = profile_ts_distributed(
     study, jax.random.PRNGKey(0), n_toys=16, target='s0_rate_multiplier',
     hypothesis=1.0, mesh=mesh)
 
+# Split profile mode (two SPMD programs, host-composed) must reproduce the
+# fused double-fit program's statistics over the SAME multi-process mesh
+study_split = BinnedToyStudy(lf, max_iter=25, tol=1e-8, profile_mode='split')
+t_split, _, _ = profile_ts_distributed(
+    study_split, jax.random.PRNGKey(0), n_toys=16,
+    target='s0_rate_multiplier', hypothesis=1.0, mesh=mesh)
+assert np.allclose(np.asarray(t_split), np.asarray(t),
+                   rtol=1e-9, atol=1e-11), (t_split, t)
+
 # Unbinned twin over the same global mesh (the per-toy simulation runs
 # INSIDE the SPMD fit program there; only the key axis is sharded)
 lfu = UnbinnedLogLikelihood(conf)

@@ -64,3 +64,48 @@ def test_random_binned_models_match_host_oracle(seed):
         _, ll_scipy = lf.bestfit_scipy()
         assert res.max_ll[ti] >= ll_scipy - 1e-6, \
             (seed, ti, res.max_ll[ti], ll_scipy)
+
+
+@pytest.mark.filterwarnings('ignore::RuntimeWarning')
+@pytest.mark.parametrize('seed', range(3))
+def test_random_unbinned_models_match_host_oracle(seed):
+    """Unbinned twin: device-scored padded toys, fit on device, host LL
+    cross-check at the device optimum."""
+    from blueice_tpu.likelihood import UnbinnedLogLikelihood
+    from blueice_tpu.parallel import UnbinnedToyStudy
+
+    rng = np.random.default_rng(300 + seed)
+    n_sources = int(rng.integers(1, 3))
+    conf = conf_for_test(n_sources=n_sources, mc=True,
+                         n_events_for_pdf=int(3e4),
+                         events_per_day=float(rng.uniform(60, 200)))
+    for i in range(1, n_sources):
+        conf['sources'][i]['mu'] = float(rng.uniform(-2, 2))
+
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    with_shape = bool(rng.random() < 0.7)
+    if with_shape:
+        lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+
+    study = UnbinnedToyStudy(lf)
+    weights = study.expected_weights()
+    key = jax.random.PRNGKey(seed)
+    # run() splits the key per toy: reconstruct toy 0's dataset on host with
+    # the same per-toy key
+    toy_key = jax.random.split(key, 1)[0]
+    coords, mask, bins = study._sample_one(toy_key, np.asarray(weights))
+    events = np.asarray(coords[np.asarray(mask), 0])
+    d = np.zeros(len(events), dtype=[('x', float), ('source', int)])
+    d['x'] = events
+    lf.set_data(d)
+
+    res = study.run(key, n_toys=1)
+    point = {n: float(res.x[0, j]) for j, n in enumerate(res.names)}
+    ll_host_at_device_opt = lf(**point)
+    assert np.isclose(res.max_ll[0], ll_host_at_device_opt,
+                      rtol=1e-7, atol=1e-5), (seed,)
+    _, ll_scipy = lf.bestfit_scipy()
+    assert res.max_ll[0] >= ll_scipy - 1e-5, \
+        (seed, res.max_ll[0], ll_scipy)

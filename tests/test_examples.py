@@ -1,0 +1,19 @@
+"""Smoke-run the combined multi-run demo end to end (tiny toy count)."""
+
+import os
+import runpy
+import sys
+
+_DEMO = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'examples', 'combined_runs_demo.py')
+
+
+def test_combined_runs_demo(monkeypatch, capsys, tmp_path):
+    # chdir: the demo sources use the default relative cache/task dirs
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, 'argv', ['combined_runs_demo.py', '16'])
+    runpy.run_path(_DEMO, run_name='__main__')
+    out = capsys.readouterr().out
+    assert 'joint bestfit' in out
+    assert 'UL on signal_rate_multiplier' in out
+    assert 'done.' in out

@@ -72,19 +72,6 @@ class GaussianBlobSource(HistogramPdfSource):
             dens / total * self._bin_volumes * c['n_mc_events'], 1e-3)
         return mh
 
-    def simulate(self, n_events, rng=None):
-        """events_per_day is the FULL-range rate of the blob; the template is
-        its truncated in-range density. Model.simulate requests
-        Poisson(expected / fraction_in_range) events expecting the range cut
-        to trim the out-of-range share — but a template draw is in-range by
-        construction, so thin binomially first (Poisson(n/f) thinned by f is
-        Poisson(expected) exactly). Without this, toy datasets were
-        systematically overpopulated by 1/fraction_in_range per source."""
-        r = np.random if rng is None else rng
-        n_in = int(r.binomial(int(n_events), self.fraction_in_range)) \
-            if self.fraction_in_range < 1.0 else int(n_events)
-        return super().simulate(n_in, rng=rng)
-
 
 SOURCES = [
     # name, events/day, mean, sigma, corr, (band, width, tilt) responses

@@ -343,7 +343,11 @@ def one_parameter_interval(lf, target, bound, confidence_level=0.9, kind='upper'
     """
     fit = _get_bestfit_routine(bestfit_routine)
     if target is None:
-        source_names = getattr(lf, 'source_name_list', None) or lf.source_list
+        source_names = getattr(lf, 'source_name_list', None)
+        if not source_names:
+            raise ValueError(
+                "target=None needs a likelihood with sources (to default to "
+                "the last source's rate multiplier); pass target explicitly")
         target = source_names[-1] + RATE_SUFFIX
 
     # Denominator of the likelihood ratio: the unconditional best fit

@@ -265,12 +265,23 @@ class HistogramPdfSource(Source):
 
     def simulate(self, n_events, rng=None):
         """Simulate n_events from the PDF template (host path; the device path is
-        ops.sampling.sample_from_template)."""
+        ops.sampling.sample_from_template).
+
+        With fraction_in_range < 1, the requested count is binomially thinned
+        first: Model.simulate requests Poisson(expected / fraction_in_range)
+        events expecting the range cut to trim the out-of-range share, but a
+        template draw is in-range by construction — without thinning, toy
+        datasets are overpopulated by 1/fraction_in_range (the reference has
+        this bug: its template sources also draw in-range-only,
+        blueice/source.py:219-246 vs model.py's 1/fraction scale-up)."""
         if not self.pdf_has_been_computed:
             raise PDFNotComputedException(
                 "%s: attempt to simulate events from a PDF that has not been "
                 "computed" % self)
         n_events = int(n_events)
+        if self.fraction_in_range < 1.0:
+            r = np.random if rng is None else rng
+            n_events = int(r.binomial(n_events, self.fraction_in_range))
         events_per_bin = self._pdf_histogram * self._bin_volumes
         q = events_per_bin.get_random(n_events, rng=rng)
         d = np.zeros(n_events,

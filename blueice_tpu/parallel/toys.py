@@ -314,19 +314,29 @@ class BinnedToyStudy:
                 t = jnp.maximum(2.0 * (llf - llc), 0.0)
                 return t, (xf, llf, itf), (xc, llc, itc)
 
-            free_long_j = cond_long_j = None
+            free_long_j = None
             if free_long is not None:
                 free_long_j = jax.jit(jax.vmap(
                     lambda d, x0: free_long(d, None, (), x0)))
-            if cond_long is not None and names_cond:
-                cond_long_j = jax.jit(jax.vmap(
-                    lambda d, x0, h: cond_long(d, None, (h,), x0),
-                    in_axes=(0, 0, None)))
-            if cond_long_j is None:
-                free_long_j = None    # refine both fits or neither
+            free_long_j, cond_long_j = self._pair_refiners(
+                free_long_j, cond_long, names_cond)
             self._profile_cache[cache_key] = (both, free_long_j, cond_long_j,
                                               names_free, names_cond)
         return self._profile_cache[cache_key]
+
+    @staticmethod
+    def _pair_refiners(free_long_j, cond_long, names_cond):
+        """Jitted long-cap conditional refit paired with the free one —
+        stragglers are refined in both fits or neither (a one-sided
+        refinement would bias the t statistic)."""
+        cond_long_j = None
+        if cond_long is not None and names_cond:
+            cond_long_j = jax.jit(jax.vmap(
+                lambda d, x0, h: cond_long(d, None, (h,), x0),
+                in_axes=(0, 0, None)))
+        if cond_long_j is None:
+            free_long_j = None
+        return free_long_j, cond_long_j
 
     def _profile_fn_split(self, target, fixed):
         """profile_mode='split': the free fit program is exactly
@@ -365,13 +375,8 @@ class BinnedToyStudy:
                 t, cond = cond_fn(counts, xf, llf, hypothesis)
                 return t, (xf, llf, itf), cond
 
-            cond_long_j = None
-            if cond_long is not None and names_cond:
-                cond_long_j = jax.jit(jax.vmap(
-                    lambda d, x0, h: cond_long(d, None, (h,), x0),
-                    in_axes=(0, 0, None)))
-            if cond_long_j is None:
-                free_long_j = None    # refine both fits or neither
+            free_long_j, cond_long_j = self._pair_refiners(
+                free_long_j, cond_long, names_cond)
             self._profile_cache[cache_key] = (run_fn, free_long_j,
                                               cond_long_j, names_free,
                                               names_cond)
@@ -521,9 +526,6 @@ class UnbinnedToyStudy:
         :return: (coords (n_max, ndim), mask (n_max,), bins: tuple of
           per-dim sampled bin indices (n_max,) each)"""
         k_n, k_bin, k_uni = jax.random.split(key, 3)
-        mu_tot = jnp.sum(weights_sb)
-        n = jnp.minimum(jax.random.poisson(k_n, mu_tot), self.n_max)
-        mask = jnp.arange(self.n_max) < n
 
         # Inverse-CDF bin choice as a dense (n_max, n_bins) comparison.
         # random.categorical materializes an (n_max, n_sources*n_bins) Gumbel
@@ -538,8 +540,13 @@ class UnbinnedToyStudy:
         # in (0, tot] because 1-u is in (0, 1]). Bins whose NET expectation is
         # negative (allow_negative sources can push a bin below zero) are
         # clamped to zero-width too — a monotone CDF is what makes the dense
-        # count-compare a valid draw.
+        # count-compare a valid draw. The TOTAL event count draws from the
+        # same clamped distribution (sum of wb, not the raw net total), so
+        # the toy's shape and normalization describe one coherent truth.
         wb = jnp.maximum(jnp.sum(weights_sb, axis=0).reshape(-1), 0.0)
+        mu_tot = jnp.sum(wb)
+        n = jnp.minimum(jax.random.poisson(k_n, mu_tot), self.n_max)
+        mask = jnp.arange(self.n_max) < n
         cdf = jnp.cumsum(wb)
         u = jax.random.uniform(k_bin, (self.n_max,), dtype=wb.dtype)
         target = (1.0 - u) * cdf[-1]

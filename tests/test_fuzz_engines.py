@@ -109,3 +109,43 @@ def test_random_unbinned_models_match_host_oracle(seed):
     _, ll_scipy = lf.bestfit_scipy()
     assert res.max_ll[0] >= ll_scipy - 1e-5, \
         (seed, res.max_ll[0], ll_scipy)
+
+
+@pytest.mark.filterwarnings('ignore::RuntimeWarning')
+@pytest.mark.parametrize('seed', range(3))
+def test_random_models_compiled_matches_host_at_random_points(seed):
+    """Random configs, random (valid) parameter points: the compiled XLA
+    likelihood must reproduce the host float64 value everywhere, not just at
+    optima."""
+    from blueice_tpu.likelihood import UnbinnedLogLikelihood
+    from blueice_tpu.compile import build_logl
+
+    rng = np.random.default_rng(500 + seed)
+    binned = bool(rng.random() < 0.5)
+    n_sources = int(rng.integers(1, 4))
+    conf = conf_for_test(n_sources=n_sources, mc=True,
+                         n_events_for_pdf=int(2e4),
+                         events_per_day=float(rng.uniform(50, 200)))
+    for i in range(1, n_sources):
+        conf['sources'][i]['mu'] = float(rng.uniform(-2, 2))
+
+    cls = BinnedLogLikelihood if binned else UnbinnedLogLikelihood
+    lf = cls(conf)
+    lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+    d = lf.base_model.simulate(rng=rng)
+    lf.set_data(d)
+    c = build_logl(lf)
+
+    for _ in range(6):
+        point = {'s0_rate_multiplier': float(rng.uniform(0.2, 3.0)),
+                 'mu': float(rng.uniform(-1.0, 1.0))}
+        ll_host = lf(**point)
+        ll_dev = float(c(**point))
+        assert np.isclose(ll_dev, ll_host, rtol=1e-9, atol=1e-7), \
+            (seed, binned, point, ll_dev, ll_host)
+
+    # out-of-anchor-range shape value: both paths -inf
+    assert lf(mu=2.5) == -np.inf
+    assert float(c(mu=2.5)) == -np.inf

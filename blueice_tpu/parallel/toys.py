@@ -338,14 +338,18 @@ class BinnedToyStudy:
             free_long_j = None
         return free_long_j, cond_long_j
 
-    def _profile_fn_split(self, target, fixed):
-        """profile_mode='split': the free fit program is exactly
-        ``_fit_entry``'s (shared with run()/fit_toys()), and the conditional
-        fit + statistic compile as a second, separate program."""
+    def _cond_entry(self, target, fixed, names_free):
+        """The conditional half of the profile double fit as its own jitted
+        program, hypothesis as a runtime argument, warm-started from the free
+        optimum — shared by ``profile_mode='split'`` and
+        :meth:`profile_ts_grid`.
+
+        :return: (cond_fn(counts, xf, llf, h) -> (t, (xc, llc, itc)),
+          jitted long-cap conditional refit or None, names_cond), cached per
+          (target, fixed)."""
         fixed = dict(fixed or {})
-        cache_key = (target, self._freeze(fixed), 'split')
+        cache_key = (target, self._freeze(fixed), 'cond')
         if cache_key not in self._profile_cache:
-            fit_free_j, free_long_j, names_free = self._fit_entry(fixed)
             fit_cond, cond_long, names_cond = self._make_fitter(
                 fixed=fixed, runtime_fixed=[target])
 
@@ -370,17 +374,83 @@ class BinnedToyStudy:
                     t = jnp.maximum(2.0 * (llf - llc), 0.0)
                     return t, (xc, llc, itc)
 
+            cond_long_j = None
+            if cond_long is not None and names_cond:
+                cond_long_j = jax.jit(jax.vmap(
+                    lambda d, x0, h: cond_long(d, None, (h,), x0),
+                    in_axes=(0, 0, None)))
+            self._profile_cache[cache_key] = (cond_fn, cond_long_j,
+                                              names_cond)
+        return self._profile_cache[cache_key]
+
+    def _profile_fn_split(self, target, fixed):
+        """profile_mode='split': the free fit program is exactly
+        ``_fit_entry``'s (shared with run()/fit_toys()), and the conditional
+        fit + statistic compile as a second, separate program."""
+        fixed = dict(fixed or {})
+        cache_key = (target, self._freeze(fixed), 'split')
+        if cache_key not in self._profile_cache:
+            fit_free_j, free_long_j, names_free = self._fit_entry(fixed)
+            cond_fn, cond_long_j, names_cond = self._cond_entry(
+                target, fixed, names_free)
+
             def run_fn(counts, hypothesis):
                 xf, llf, itf = fit_free_j(counts)
                 t, cond = cond_fn(counts, xf, llf, hypothesis)
                 return t, (xf, llf, itf), cond
 
-            free_long_j, cond_long_j = self._pair_refiners(
-                free_long_j, cond_long, names_cond)
+            if cond_long_j is None:
+                # Same pairing rule as _pair_refiners: refine both fits of a
+                # straggler or neither (one-sided refinement biases t)
+                free_long_j = None
             self._profile_cache[cache_key] = (run_fn, free_long_j,
                                               cond_long_j, names_free,
                                               names_cond)
         return self._profile_cache[cache_key]
+
+    def profile_ts_grid(self, key, target, hypotheses, n_toys, truth=None,
+                        fixed=None, mesh=None):
+        """Profile-LR statistics of ONE toy ensemble across a hypothesis
+        grid: the free fit runs once, then each hypothesis adds only a
+        warm-started conditional fit (one compiled program reused for every
+        h). This is the engine of per-toy limit setting
+        (:mod:`blueice_tpu.parallel.limits`) — it complements
+        :meth:`profile_ts_scan`, which draws a FRESH ensemble per hypothesis
+        (the Neyman calibration shape).
+
+        :return: (ts (n_hypotheses, n_toys), sorted hypotheses (ascending),
+          free ToyResults, list of per-hypothesis conditional ToyResults).
+        """
+        hypotheses = np.sort(np.asarray(hypotheses, dtype=float))
+        for h in hypotheses:
+            check_fixed_in_bounds(self.compiled, {target: float(h)})
+        counts = self.simulate(key, n_toys, truth, mesh)
+        return self._run_profile_grid(counts, target, hypotheses, fixed)
+
+    def _run_profile_grid(self, counts, target, hypotheses, fixed):
+        fit_free_j, free_long_j, names_free = self._fit_entry(fixed)
+        cond_fn, cond_long_j, names_cond = self._cond_entry(
+            target, fixed, names_free)
+        xf, llf, itf = jax.device_get(fit_free_j(counts))
+        if free_long_j is not None and cond_long_j is not None:
+            xf, llf, itf = _refine_stragglers(
+                free_long_j, counts, xf, llf, itf, self.max_iter)[:3]
+        xf_dev, llf_dev = jnp.asarray(xf), jnp.asarray(llf)
+        ts, conds = [], []
+        for h in hypotheses:
+            hj = jnp.asarray(float(h))
+            t, (xc, llc, itc) = jax.device_get(
+                cond_fn(counts, xf_dev, llf_dev, hj))
+            if cond_long_j is not None and (np.asarray(itc)
+                                            >= self.max_iter).any():
+                xc, llc, itc = _refine_stragglers(
+                    cond_long_j, counts, xc, llc, itc, self.max_iter,
+                    extra_args=(hj,))[:3]
+                t = np.maximum(2.0 * (llf - llc), 0.0)
+            ts.append(np.asarray(t))
+            conds.append(ToyResults(names_cond, xc, llc, itc))
+        return (np.stack(ts), hypotheses,
+                ToyResults(names_free, xf, llf, itf), conds)
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
                         mesh=None, truth=None, truth_at_hypothesis=True,
@@ -804,6 +874,94 @@ class UnbinnedToyStudy:
                 jax.jit(jax.vmap(one, in_axes=(0, None, None))),
                 free_long_j, cond_long_j, names_free, names_cond)
         return self._profile_cache[cache_key]
+
+    def _cond_entry(self, target, fixed, names_free):
+        """Unbinned twin of :meth:`BinnedToyStudy._cond_entry`: the
+        conditional fit as its own program over (keys, weights) — the
+        sample->score pipeline re-runs inside (threefry is counter-based, so
+        the same keys regenerate bit-identical events), warm-started from the
+        free optimum."""
+        fixed = dict(fixed or {})
+        cache_key = (target, self._freeze(fixed), 'cond')
+        if cache_key not in self._profile_cache:
+            fit_cond, names_cond = make_toy_fitter(
+                self.compiled, fixed=fixed, runtime_fixed=[target],
+                max_iter=self.max_iter, tol=self.tol, engine=self.engine)
+            warm_cols = ([names_free.index(n) for n in names_cond]
+                         if set(names_cond) <= set(names_free) else None)
+            wc = (np.asarray(warm_cols)
+                  if warm_cols is not None and len(warm_cols) else None)
+
+            def one(key, weights, x0, hypothesis):
+                coords, mask, bins = self._sample_one(key, weights)
+                ps_anchor = self._score_sampled(coords, bins)
+                if wc is not None:
+                    return fit_cond(ps_anchor, mask, (hypothesis,),
+                                    x0[jnp.asarray(wc)])
+                return fit_cond(ps_anchor, mask, (hypothesis,))
+
+            cond_v = jax.vmap(one, in_axes=(0, None, 0, None))
+
+            @jax.jit
+            def cond_fn(keys, weights, xf, llf, hypothesis):
+                xc, llc, itc = cond_v(keys, weights, xf, hypothesis)
+                t = jnp.maximum(2.0 * (llf - llc), 0.0)
+                return t, (xc, llc, itc)
+
+            cond_long_j = None
+            if self.two_stage and names_cond:
+                cond_long, _ = make_toy_fitter(
+                    self.compiled, fixed=fixed, runtime_fixed=[target],
+                    max_iter=4 * self.max_iter, tol=self.tol,
+                    engine=self.engine)
+                cond_long_j = self._sample_score_fit(cond_long,
+                                                     with_hypothesis=True)
+            self._profile_cache[cache_key] = (cond_fn, cond_long_j,
+                                              names_cond)
+        return self._profile_cache[cache_key]
+
+    def profile_ts_grid(self, key, target, hypotheses, n_toys, truth=None,
+                        fixed=None, mesh=None):
+        """Profile-LR statistics of ONE unbinned toy ensemble across a
+        hypothesis grid (see :meth:`BinnedToyStudy.profile_ts_grid`): the
+        free fit runs once, each hypothesis re-runs sample->score (same keys
+        => identical events) plus a warm-started conditional fit.
+
+        :return: (ts (n_hypotheses, n_toys), sorted hypotheses, free
+          ToyResults, list of conditional ToyResults)."""
+        hypotheses = np.sort(np.asarray(hypotheses, dtype=float))
+        for h in hypotheses:
+            check_fixed_in_bounds(self.compiled, {target: float(h)})
+        weights = self.expected_weights(**(truth or {}))
+        if mesh is not None:
+            n_toys = _round_up_toys(n_toys, mesh)
+        keys = jax.random.split(key, n_toys)
+        if mesh is not None:
+            keys = shard_toys(mesh, keys)
+        fit_free_j, free_long_j, names_free = self._fit_entry(fixed)
+        cond_fn, cond_long_j, names_cond = self._cond_entry(
+            target, fixed, names_free)
+        xf, llf, itf = jax.device_get(fit_free_j(keys, weights))
+        if free_long_j is not None and cond_long_j is not None:
+            xf, llf, itf = _refine_stragglers(
+                free_long_j, keys, xf, llf, itf, self.max_iter,
+                extra_args=(weights,))[:3]
+        xf_dev, llf_dev = jnp.asarray(xf), jnp.asarray(llf)
+        ts, conds = [], []
+        for h in hypotheses:
+            hj = jnp.asarray(float(h))
+            t, (xc, llc, itc) = jax.device_get(
+                cond_fn(keys, weights, xf_dev, llf_dev, hj))
+            if cond_long_j is not None and (np.asarray(itc)
+                                            >= self.max_iter).any():
+                xc, llc, itc = _refine_stragglers(
+                    cond_long_j, keys, xc, llc, itc, self.max_iter,
+                    extra_args=(weights, hj))[:3]
+                t = np.maximum(2.0 * (llf - llc), 0.0)
+            ts.append(np.asarray(t))
+            conds.append(ToyResults(names_cond, xc, llc, itc))
+        return (np.stack(ts), hypotheses,
+                ToyResults(names_free, xf, llf, itf), conds)
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
                         mesh=None, truth=None, truth_at_hypothesis=True,

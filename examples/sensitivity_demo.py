@@ -6,7 +6,8 @@ Covers the full workflow on the XENON1T-style model:
   2. fit an observed dataset (host scipy and gradient/Newton engines),
   3. set a Wilks upper limit,
   4. run a batched toy sensitivity ensemble on the accelerator,
-  5. calibrate the limit with a Neyman construction.
+  5. calibrate the limit with a Neyman construction,
+  6. compute the expected-sensitivity (Brazil) band from per-toy limits.
 
 Run:  PYTHONPATH=. python examples/sensitivity_demo.py [n_toys]
 (On a CPU-only machine, takes a few minutes; on a TPU the toy ensemble is
@@ -20,7 +21,8 @@ import numpy as np
 import jax
 
 from blueice_tpu.examples.xenon_like import build_likelihood
-from blueice_tpu.parallel import BinnedToyStudy, NeymanConstruction, make_mesh
+from blueice_tpu.parallel import (BinnedToyStudy, NeymanConstruction,
+                                  make_mesh, sensitivity_band)
 
 
 def main():
@@ -84,6 +86,18 @@ def main():
                                           bestfit_routine='jax')
     print("   UL(Neyman) = %.3f   (coverage check: %s)"
           % (ul_neyman, np.round(nc.coverage_check(0.9), 3)))
+
+    print("6) expected-sensitivity (Brazil) band: per-toy 90%% upper limits "
+          "over a\n   background-only ensemble...")
+    t0 = time.time()
+    out = sensitivity_band(
+        study, jax.random.PRNGKey(2), 'wimp_rate_multiplier',
+        hypotheses='auto', n_toys=n_toys, mesh=mesh)
+    band = out['band']
+    print("   %d toy limits in %.1fs: median %.3f, 68%% [%.3f, %.3f], "
+          "95%% [%.3f, %.3f]"
+          % (n_toys, time.time() - t0, band[0.5], band[0.16], band[0.84],
+             band[0.025], band[0.975]))
 
 
 if __name__ == '__main__':

@@ -1,0 +1,194 @@
+"""Per-toy upper limits and sensitivity bands (parallel/limits.py +
+profile_ts_grid): the batched equivalent of running the reference's
+one_parameter_interval over every toy of an ensemble."""
+
+import numpy as np
+import jax
+import pytest
+from scipy import stats
+
+from blueice_tpu.test_helpers import conf_for_test
+from blueice_tpu.likelihood import BinnedLogLikelihood, UnbinnedLogLikelihood
+from blueice_tpu.parallel import (BinnedToyStudy, UnbinnedToyStudy,
+                                  NeymanConstruction, toy_upper_limits,
+                                  sensitivity_band)
+
+TARGET = 's0_rate_multiplier'
+
+
+def _conf():
+    conf = conf_for_test(n_sources=2, mc=True,
+                         analysis_space=[['x', [-10, -1, 1, 10]]],
+                         n_events_for_pdf=int(2e5))
+    # s0: small signal at x=0; s1: large background centered at x=3, so a
+    # background-only 90% limit on the s0 multiplier lands around ~0.5
+    conf['sources'][0]['events_per_day'] = 20.0
+    conf['sources'][1]['mu'] = 3.0
+    return conf
+
+
+def _binned_lf():
+    lf = BinnedLogLikelihood(_conf())
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    return lf
+
+
+def _unbinned_lf():
+    lf = UnbinnedLogLikelihood(_conf())
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    return lf
+
+
+def test_grid_matches_profile_ts():
+    """A profile_ts_grid column equals profile_ts at that hypothesis on the
+    same key/truth (same toys, same statistic), for both study types."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    key = jax.random.PRNGKey(3)
+    truth = {TARGET: 0.0}
+    hyps = np.array([0.4, 0.8])
+    ts, hgrid, free, conds = study.profile_ts_grid(
+        key, TARGET, hyps, n_toys=16, truth=truth)
+    assert ts.shape == (2, 16) and np.all(hgrid == hyps)
+    assert len(conds) == 2 and np.isfinite(free.max_ll).all()
+    for j, h in enumerate(hyps):
+        t_ref, _, _ = study.profile_ts(key, 16, TARGET, float(h), truth=truth)
+        assert np.allclose(ts[j], t_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_grid_matches_profile_ts_unbinned():
+    lf = _unbinned_lf()
+    study = UnbinnedToyStudy(lf)
+    key = jax.random.PRNGKey(4)
+    truth = {TARGET: 0.0}
+    ts, hgrid, free, _ = study.profile_ts_grid(
+        key, TARGET, [0.6], n_toys=8, truth=truth)
+    t_ref, free_ref, _ = study.profile_ts(key, 8, TARGET, 0.6, truth=truth)
+    assert np.allclose(ts[0], t_ref, rtol=1e-6, atol=1e-9)
+    assert np.allclose(free[TARGET], free_ref[TARGET], rtol=1e-6, atol=1e-9)
+
+
+def test_limits_match_host_interval():
+    """Per-toy grid limits reproduce one_parameter_interval run on each toy's
+    dataset (the reference's per-dataset path, blueice/inference.py:332-389)."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    key = jax.random.PRNGKey(0)
+    hyps = np.linspace(0.0, 3.0, 61)
+    uls, ts, hgrid, free = toy_upper_limits(
+        study, key, TARGET, hyps, n_toys=4, return_grid=True)
+    assert np.isfinite(uls).all()
+    # Upper limits sit above the (one-sided) best fit
+    assert np.all(uls >= np.minimum(np.asarray(free[TARGET]), hyps[0]) - 1e-9)
+
+    counts = np.asarray(study.simulate(key, 4, {TARGET: 0.0}))
+    centers = [-5.5, 0.0, 5.5]
+    for i in range(4):
+        c = counts[i]
+        xs = np.concatenate([np.full(int(c[j]), centers[j])
+                             for j in range(3)])
+        d = np.zeros(len(xs), dtype=[('x', float), ('source', int)])
+        d['x'] = xs
+        lf.set_data(d)
+        ul_host = lf.one_parameter_interval(
+            TARGET, bound=5.0, kind='upper', confidence_level=0.9,
+            bestfit_routine='jax')
+        # Grid spacing 0.05; the piecewise-linear crossing is well inside it
+        assert abs(ul_host - uls[i]) < 0.05, (i, ul_host, uls[i])
+
+
+def test_limits_monotone_in_cl():
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    key = jax.random.PRNGKey(1)
+    hyps = np.linspace(0.0, 4.0, 41)
+    ul90 = toy_upper_limits(study, key, TARGET, hyps, n_toys=16, cl=0.9)
+    ul95 = toy_upper_limits(study, key, TARGET, hyps, n_toys=16, cl=0.95)
+    assert np.isfinite(ul90).all() and np.isfinite(ul95).all()
+    assert np.all(ul95 >= ul90 - 1e-9)
+
+
+def test_sensitivity_band():
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    out = sensitivity_band(study, jax.random.PRNGKey(2), TARGET,
+                           np.linspace(0.0, 4.0, 41), n_toys=48)
+    band = out['band']
+    qs = list(band)
+    assert qs == sorted(qs)
+    vals = [band[q] for q in qs]
+    assert np.isfinite(vals).all()
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+    assert len(out['limits']) == 48
+    assert out['n_beyond_grid'] == 0
+    # Wilks-regime scale check: the median expected limit of a ~23-event
+    # background under a 20-events/unit signal is O(0.5), not 0 or >2
+    assert 0.1 < band[0.5] < 2.0
+
+
+def test_sensitivity_band_beyond_grid_warns():
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    with pytest.warns(UserWarning, match="beyond the hypothesis grid"):
+        out = sensitivity_band(study, jax.random.PRNGKey(2), TARGET,
+                               np.linspace(0.0, 0.05, 6), n_toys=16)
+    assert out['n_beyond_grid'] > 0
+    assert np.isinf(out['band'][0.975])
+
+
+def test_limits_with_neyman_ppf():
+    """A toy-calibrated critical curve plugs in through the same t_ppf hook
+    as one_parameter_interval; in this Wilks-friendly scenario the calibrated
+    limits agree with the asymptotic ones to ~25%."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    nc = NeymanConstruction(study, TARGET, statistic='upper')
+    nc.scan(jax.random.PRNGKey(5), hypotheses=[0.3, 0.8, 1.5], n_toys=300)
+    key = jax.random.PRNGKey(6)
+    hyps = np.linspace(0.0, 4.0, 41)
+    ul_wilks = toy_upper_limits(study, key, TARGET, hyps, n_toys=24)
+    ul_neyman = toy_upper_limits(study, key, TARGET, hyps, n_toys=24,
+                                 t_ppf=nc.t_ppf)
+    assert np.isfinite(ul_neyman).all()
+    ratio = np.median(ul_neyman) / np.median(ul_wilks)
+    assert 0.75 < ratio < 1.35, ratio
+
+
+def test_auto_grid_matches_dense_explicit_grid():
+    """hypotheses='auto' sizes the grid from a free-fit pass; the resulting
+    limits agree with a dense explicit grid to interpolation resolution."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    key = jax.random.PRNGKey(8)
+    ul_auto = toy_upper_limits(study, key, TARGET, 'auto', n_toys=16)
+    ul_dense = toy_upper_limits(study, key, TARGET,
+                                np.linspace(0.0, 4.0, 161), n_toys=16)
+    assert np.isfinite(ul_auto).all()
+    assert np.allclose(ul_auto, ul_dense, atol=0.06, rtol=0.05)
+    with pytest.raises(ValueError, match="'auto'"):
+        toy_upper_limits(study, key, TARGET, 'carefully', n_toys=4)
+
+
+def test_limits_on_mesh_match_single_device():
+    """Per-toy limits are layout-invariant: the mesh-sharded ensemble gives
+    the same limits as the unsharded one for the same key."""
+    from blueice_tpu.parallel import make_mesh
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    key = jax.random.PRNGKey(7)
+    hyps = np.linspace(0.0, 4.0, 21)
+    ul_plain = toy_upper_limits(study, key, TARGET, hyps, n_toys=16)
+    ul_mesh = toy_upper_limits(study, key, TARGET, hyps, n_toys=16,
+                               mesh=make_mesh())
+    assert np.allclose(ul_mesh, ul_plain, rtol=1e-6, atol=1e-8)
+
+
+def test_bad_critical_values_raise():
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    with pytest.raises(ValueError, match="critical values must be positive"):
+        toy_upper_limits(study, jax.random.PRNGKey(0), TARGET,
+                         np.linspace(0, 2, 5), n_toys=4,
+                         t_ppf=lambda h, q: 0.0)

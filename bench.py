@@ -18,6 +18,9 @@ beeston-barlow, each with its own host baseline):
   bb       — xenon with bb_single Beeston-Barlow MC-statistics handling on
              the dominant ER background (the reference's signature feature,
              blueice/likelihood.py:618-660), full 50x62 binning, 256 toys
+  band     — 90% expected-limit (Brazil) band on the xenon scenario: per-toy
+             upper limits over a background-only ensemble
+             (parallel/limits.py), vs host one_parameter_interval loops
 
 vs_baseline: speedup over the reference-equivalent host path on this machine —
 sequential scipy minimization of the numpy/float64 likelihood, algorithmically
@@ -30,6 +33,9 @@ the slow XENON-scale loops.
 Also: `python bench.py mfu` prints the kernel roofline/MFU table (see
 blueice_tpu/utils/roofline.py) — achieved FLOP/s and HBM bytes/s of each
 fused Pallas kernel against the v5e VPU/HBM roofs, and which bound binds.
+`python bench.py mcmc` measures the device ensemble-MCMC sampler against the
+host stretch-move loop; `python bench.py splitcompile` A/Bs cold compile of
+the split vs fused profile programs.
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -245,6 +251,161 @@ def bench_mfu():
     }))
 
 
+def bench_band(n_toys=256, n_hyp=17, time_cap=120.0):
+    """Expected-sensitivity (Brazil) band on the XENON scenario: per-toy 90%
+    upper limits over a background-only ensemble (parallel/limits.py — one
+    free-fit program + one conditional program reused across the hypothesis
+    grid) vs the host path (one_parameter_interval per toy: a brentq scan of
+    scipy fits each, the reference's workflow)."""
+    import warnings
+    import jax
+    from blueice_tpu.parallel import BinnedToyStudy, sensitivity_band
+    from blueice_tpu.exceptions import OptimizationFailed
+    _enable_compile_cache()
+    np.random.seed(20260817)
+    lf = build_lf_xenon(bb=False)
+    target = 'wimp_rate_multiplier'
+
+    # Host baseline: limits via one_parameter_interval on bg-only toys
+    # (sequential scipy fits inside a brentq scan — the reference's loop).
+    # The host limits also SCALE THE GRID: the per-toy crossing is
+    # interpolated between grid points, so the grid must resolve the limits
+    # (this scenario's bg-only WIMP limits are ~0.02 — a blind [0, 4] grid
+    # would put every crossing inside one cell)
+    rng = np.random.default_rng(0)
+    times, host_uls = [], []
+    start = time.time()
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', RuntimeWarning)
+        src = target[:-len('_rate_multiplier')]
+        while True:
+            d = lf.base_model.simulate({src: 0.0}, rng=rng)
+            t0 = time.time()
+            lf.set_data(d)
+            try:
+                host_uls.append(lf.one_parameter_interval(
+                    target, bound=6.0, kind='upper', confidence_level=0.9))
+            except (OptimizationFailed, ValueError):
+                pass    # a failed toy costs what it costs
+            times.append(time.time() - t0)
+            if time.time() - start > time_cap or len(times) >= 16:
+                break
+    host_rate = 1.0 / float(np.median(times))
+    host_med_ul = float(np.median(host_uls)) if host_uls else 1.0
+    log("host: %d upper limits, median %.2fs each -> %.4f limits/s "
+        "(median UL %.4g)" % (len(times), float(np.median(times)),
+                              host_rate, host_med_ul))
+    hyps = np.linspace(0.0, 4.0 * host_med_ul, n_hyp)
+
+    study = _study_for(lf, 'band')
+    t0 = time.time()
+    out = sensitivity_band(study, jax.random.PRNGKey(0), target,
+                           hypotheses=hyps, n_toys=n_toys)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = sensitivity_band(study, jax.random.PRNGKey(1), target,
+                           hypotheses=hyps, n_toys=n_toys)
+    warm_s = time.time() - t0
+    band = out['band']
+    rate = n_toys / warm_s
+    log("device: %d toy limits x %d hypotheses in %.2fs (warm; compile+first "
+        "%.1fs) -> %.1f limits/s; median UL %.3f, 68%% [%.3f, %.3f]"
+        % (n_toys, n_hyp, warm_s, compile_s, rate, band[0.5], band[0.16],
+           band[0.84]))
+    assert np.isfinite(band[0.5]) and out['n_beyond_grid'] < n_toys // 4
+    if host_uls:
+        # Cross-validation: the device band's median limit must sit near the
+        # host one_parameter_interval median (few host samples -> loose)
+        ratio = band[0.5] / host_med_ul
+        log("device/host median-UL ratio: %.2f" % ratio)
+        assert 0.4 < ratio < 2.5, (band[0.5], host_med_ul)
+    return dict(limits_per_sec=round(rate, 2),
+                compile_first_run_s=round(compile_s, 1),
+                median_ul=round(band[0.5], 4),
+                band_68=[round(band[0.16], 4), round(band[0.84], 4)],
+                host_median_ul=round(host_med_ul, 4),
+                n_toys=n_toys, n_hypotheses=n_hyp,
+                host_limits_per_sec=round(host_rate, 4),
+                vs_baseline=round(rate / host_rate, 1))
+
+
+def bench_mcmc(n_walkers=64, big_walkers=2048, n_steps=400, n_burn_in=100):
+    """Device vs host ensemble MCMC on the Gaussian binned scenario: the same
+    stretch-move algorithm (emcee's, blueice/inference.py:249-321) run as one
+    scanned XLA program over the compiled likelihood (bestfit_emcee_device)
+    vs the host fallback sampler looping lf() per walker per half-step.
+    Posterior agreement is pinned by tests/test_mcmc.py; this measures
+    throughput (VERDICT r2 #7).
+
+    Two walker counts: the chain is inherently sequential, so at emcee's
+    default-scale ensembles (64 walkers) the chip idles between steps and the
+    edge over the host loop is modest; at production ensembles (2048 walkers
+    — what the device makes affordable) every half-step evaluates the batch
+    in lockstep, the per-step cost is nearly flat, and the throughput ratio
+    is the walker-parallelism. The headline is the big-ensemble ratio."""
+    import jax
+    from blueice_tpu.parallel.mcmc import bestfit_emcee_device
+    _enable_compile_cache()
+    np.random.seed(20260817)
+    lf = build_lf()
+    d = lf.base_model.simulate(rng=np.random.default_rng(0))
+    lf.set_data(d)
+
+    def host_rate(nw, steps):
+        # Built-in stretch-move fallback (no emcee in this image) —
+        # reference-equivalent per-call likelihood loop; per-step cost is
+        # constant, so a short chain measures the rate
+        t0 = time.time()
+        lf.bestfit_emcee(n_walkers=nw, n_steps=steps, n_burn_in=0, seed=1)
+        s = time.time() - t0
+        rate = nw * steps / s
+        log("host sampler: %d walkers x %d steps in %.2fs -> %.1f "
+            "walker-steps/s" % (nw, steps, s, rate))
+        return rate
+
+    from blueice_tpu.compile import build_logl
+    compiled = build_logl(lf)
+
+    def device_rate(nw):
+        t0 = time.time()
+        fit_dev, _ = bestfit_emcee_device(
+            lf, n_walkers=nw, n_steps=n_steps, n_burn_in=n_burn_in,
+            seed=1, compiled=compiled)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        fit_dev, _ = bestfit_emcee_device(
+            lf, n_walkers=nw, n_steps=n_steps, n_burn_in=n_burn_in,
+            seed=2, compiled=compiled)
+        s = time.time() - t0
+        rate = nw * n_steps / s
+        log("device sampler: %d walkers x %d steps in %.3fs -> %.0f "
+            "walker-steps/s (compile+first chain %.1fs); fit %s"
+            % (nw, n_steps, s, rate, compile_s, dict(fit_dev)))
+        assert 0.5 < fit_dev['s0_rate_multiplier'] < 2.0
+        return rate, compile_s
+
+    host_small = host_rate(n_walkers, 20)
+    host_big = host_rate(big_walkers, 2)
+    dev_small, _ = device_rate(n_walkers)
+    dev_big, compile_s = device_rate(big_walkers)
+    print(json.dumps({
+        "metric": "device ensemble-MCMC sampling rate (stretch move over the "
+                  "compiled Gaussian binned likelihood, %d walkers)"
+                  % big_walkers,
+        "value": round(dev_big, 1),
+        "unit": "walker-steps/s",
+        "vs_baseline": round(dev_big / host_big, 1),
+        "detail": {"host_walker_steps_per_s": round(host_big, 2),
+                   "small_ensemble": {
+                       "n_walkers": n_walkers,
+                       "device": round(dev_small, 1),
+                       "host": round(host_small, 2),
+                       "ratio": round(dev_small / host_small, 1)},
+                   "compile_first_chain_s": round(compile_s, 1),
+                   "n_steps": n_steps},
+    }))
+
+
 def bench_splitcompile(n_toys=None, scenario='xenon'):
     """Cold-compile A/B of the profile double fit: ONE fused XLA program vs
     TWO split programs (BinnedToyStudy(profile_mode=...)). Redirects the
@@ -288,9 +449,18 @@ def bench_splitcompile(n_toys=None, scenario='xenon'):
                              fits_per_sec=round(n_toys / warm, 1),
                              median_t=round(float(np.median(t)), 4))
         log("[%s/%s] cold %.1fs, warm %.3fs" % (scenario, mode, cold, warm))
-    agree = bool(np.allclose(t_seen['fused'], t_seen['split'],
-                             rtol=1e-4, atol=1e-5))
-    log("statistics agree between modes:", agree)
+    # f64 (CPU): the two modes run identical math and must agree to rounding.
+    # f32 (TPU): two differently-fused XLA programs of a 174k-event model
+    # converge to the same optima only to ~fit tolerance, so per-toy t values
+    # carry O(1e-2) numeric jitter; the distribution is what must match.
+    import jax
+    f64 = jax.devices()[0].platform == 'cpu'
+    max_diff = float(np.max(np.abs(t_seen['fused'] - t_seen['split'])))
+    med_diff = abs(float(np.median(t_seen['fused']))
+                   - float(np.median(t_seen['split'])))
+    agree = bool(max_diff < (1e-4 if f64 else 0.05) and med_diff < 0.01)
+    log("statistics agree between modes:", agree,
+        "(max per-toy |dt| %.2e, median |dt| %.2e)" % (max_diff, med_diff))
     print(json.dumps({
         "metric": "cold compile+first-run of the %s profile program, "
                   "split mode (two XLA programs)" % scenario,
@@ -299,7 +469,9 @@ def bench_splitcompile(n_toys=None, scenario='xenon'):
         "vs_baseline": round(results['fused']['compile_first_run_s']
                              / max(results['split']['compile_first_run_s'],
                                    1e-9), 2),
-        "detail": {"modes": results, "stats_agree": agree},
+        "detail": {"modes": results, "stats_agree": agree,
+                   "max_per_toy_t_diff": round(max_diff, 6),
+                   "median_t_diff": round(med_diff, 6)},
     }))
 
 
@@ -311,6 +483,19 @@ def main():
     if 'splitcompile' in args:
         nums = [int(a) for a in args if a.isdigit()]
         bench_splitcompile(nums[0] if nums else None)
+        return
+    if 'mcmc' in args:
+        bench_mcmc()
+        return
+    if 'band' in args:
+        nums = [int(a) for a in args if a.isdigit()]
+        dev = bench_band(nums[0] if nums else 256)
+        print(json.dumps({
+            "metric": "batched 90% expected-limit (Brazil) band: per-toy "
+                      "upper limits on the XENON scenario",
+            "value": dev['limits_per_sec'], "unit": "toy limits/s/chip",
+            "vs_baseline": dev['vs_baseline'], "detail": dev,
+        }))
         return
     nums = [int(a) for a in args if a.isdigit()]
     n_toys = nums[0] if nums else None
@@ -337,6 +522,11 @@ def main():
         except Exception as e:   # a broken scenario must not hide the rest
             log("[%s] FAILED: %r" % (name, e))
             results[name] = dict(error=repr(e))
+    try:
+        results['band'] = bench_band()
+    except Exception as e:
+        log("[band] FAILED: %r" % e)
+        results['band'] = dict(error=repr(e))
     head = results['gauss']
     print(json.dumps({
         "metric": METRICS['gauss'],

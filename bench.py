@@ -388,22 +388,16 @@ def bench_mcmc(n_walkers=64, big_walkers=2048, n_steps=400, n_burn_in=100):
     host_big = host_rate(big_walkers, 2)
     dev_small, _ = device_rate(n_walkers)
     dev_big, compile_s = device_rate(big_walkers)
-    print(json.dumps({
-        "metric": "device ensemble-MCMC sampling rate (stretch move over the "
-                  "compiled Gaussian binned likelihood, %d walkers)"
-                  % big_walkers,
-        "value": round(dev_big, 1),
-        "unit": "walker-steps/s",
-        "vs_baseline": round(dev_big / host_big, 1),
-        "detail": {"host_walker_steps_per_s": round(host_big, 2),
-                   "small_ensemble": {
-                       "n_walkers": n_walkers,
-                       "device": round(dev_small, 1),
-                       "host": round(host_small, 2),
-                       "ratio": round(dev_small / host_small, 1)},
-                   "compile_first_chain_s": round(compile_s, 1),
-                   "n_steps": n_steps},
-    }))
+    return dict(
+        walker_steps_per_sec=round(dev_big, 1),
+        n_walkers=big_walkers, n_steps=n_steps,
+        host_walker_steps_per_sec=round(host_big, 2),
+        vs_baseline=round(dev_big / host_big, 1),
+        small_ensemble={"n_walkers": n_walkers,
+                        "device": round(dev_small, 1),
+                        "host": round(host_small, 2),
+                        "ratio": round(dev_small / host_small, 1)},
+        compile_first_chain_s=round(compile_s, 1))
 
 
 def bench_splitcompile(n_toys=None, scenario='xenon'):
@@ -485,7 +479,15 @@ def main():
         bench_splitcompile(nums[0] if nums else None)
         return
     if 'mcmc' in args:
-        bench_mcmc()
+        dev = bench_mcmc()
+        print(json.dumps({
+            "metric": "device ensemble-MCMC sampling rate (stretch move over "
+                      "the compiled Gaussian binned likelihood, %d walkers)"
+                      % dev['n_walkers'],
+            "value": dev['walker_steps_per_sec'],
+            "unit": "walker-steps/s",
+            "vs_baseline": dev['vs_baseline'], "detail": dev,
+        }))
         return
     if 'band' in args:
         nums = [int(a) for a in args if a.isdigit()]
@@ -522,11 +524,12 @@ def main():
         except Exception as e:   # a broken scenario must not hide the rest
             log("[%s] FAILED: %r" % (name, e))
             results[name] = dict(error=repr(e))
-    try:
-        results['band'] = bench_band()
-    except Exception as e:
-        log("[band] FAILED: %r" % e)
-        results['band'] = dict(error=repr(e))
+    for name, fn in (('band', bench_band), ('mcmc', bench_mcmc)):
+        try:
+            results[name] = fn()
+        except Exception as e:
+            log("[%s] FAILED: %r" % (name, e))
+            results[name] = dict(error=repr(e))
     head = results['gauss']
     print(json.dumps({
         "metric": METRICS['gauss'],

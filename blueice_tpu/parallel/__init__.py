@@ -5,7 +5,8 @@ from .fitter import (fit_single, make_toy_fitter, make_batch_fitter,
 from .toys import (make_mesh, shard_toys, BinnedToyStudy, UnbinnedToyStudy,
                    ToyResults)
 from .neyman import NeymanConstruction
-from .limits import toy_upper_limits, sensitivity_band
+from .limits import (toy_upper_limits, toy_lower_limits,
+                     toy_central_intervals, sensitivity_band)
 from .distributed import (init_distributed, global_mesh,
                           profile_ts_distributed, run_distributed)
 from .mcmc import sample_stretch, bestfit_emcee_device

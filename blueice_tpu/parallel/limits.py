@@ -23,7 +23,8 @@ from collections import OrderedDict
 
 import numpy as np
 
-__all__ = ['toy_upper_limits', 'sensitivity_band']
+__all__ = ['toy_upper_limits', 'toy_lower_limits', 'toy_central_intervals',
+           'sensitivity_band']
 
 
 def _critical_curve(hypotheses, cl, t_ppf):
@@ -75,21 +76,33 @@ def _quantile_inf_aware(sorted_vals, q):
 
 def _auto_grid(study, key, target, n_toys, truth, fixed, mesh, n_points=33):
     """Hypothesis grid sized from a free-fit pass over the ensemble: cover
-    the best-fit distribution plus a 4-sigma one-sided margin (the 90/95%
-    limit sits ~1.3-1.7 sigma above the best fit). The free fits reuse the
-    grid run's own compiled program, and the toys regenerate bit-identically
-    from the key, so the extra cost is one program execution."""
+    the best-fit distribution plus a 6-sigma one-sided margin, clamped to
+    the target's bounds. The free fits reuse the grid run's own compiled
+    program, and the toys regenerate bit-identically from the key, so the
+    extra cost is one program execution."""
     free = study.run(key, n_toys, truth=truth, fixed=fixed, mesh=mesh)
     x = np.asarray(free[target])
     q16, q50, q84 = np.percentile(x, [16, 50, 84])
     # Spread estimate robust to boundary pile-up (bg-only rate fits pile at
     # 0, which crushes the IQR — std survives a half-pile at ~0.6 sigma)
     sigma = max((q84 - q16) / 2.0, float(np.std(x)), abs(q50) / 4.0, 1e-6)
+    lo_b, hi_b = study.compiled.bounds.get(target, (None, None))
     lo = min(0.0, float(np.min(x)))
+    if lo_b is not None:
+        # Fits respect the bounds, so this stays <= min(x) (every toy keeps
+        # a bracketing grid point at or below its best fit)
+        lo = max(lo, float(lo_b))
     # The limit sits ~1.3-2.3 sigma_fit above the best fit (cl 0.68-0.99),
     # and sigma here underestimates sigma_fit by up to ~2x under pile-up:
     # 6 sigma past the LARGEST best fit covers both with margin
     hi = float(np.max(x)) + 6.0 * sigma
+    if hi_b is not None:
+        hi = min(hi, float(hi_b))
+    if not hi > lo:
+        raise ValueError(
+            "auto hypothesis grid for %r is degenerate: [%g, %g] after "
+            "clamping to bounds (%s, %s) — pass an explicit grid"
+            % (target, lo, hi, lo_b, hi_b))
     return np.linspace(lo, hi, n_points)
 
 
@@ -112,8 +125,8 @@ def toy_upper_limits(study, key, target, hypotheses, n_toys, truth=None,
       the grid come back NaN (widen the grid). Pass ``'auto'`` to size the
       grid from the ensemble itself: a free-fit pass (the same compiled
       program the grid run reuses; toys are regenerated bit-identically from
-      the key) sets the range to cover best fits plus a 4-sigma one-sided
-      margin.
+      the key) sets the range to cover best fits plus a 6-sigma one-sided
+      margin, clamped to the target's bounds.
     :param truth: simulation truth dict; default ``{target: 0.0}`` — the
       standard background-only expected-limit ensemble.
     :param cl: confidence level (default 0.9).
@@ -127,6 +140,63 @@ def toy_upper_limits(study, key, target, hypotheses, n_toys, truth=None,
     """
     if truth is None:
         truth = {target: 0.0}
+    ts, hyps, free = _run_grid(study, key, target, hypotheses, n_toys,
+                               truth, fixed, mesh)
+    uls = _edge_from_curves(ts, hyps, np.asarray(free[target]),
+                            _checked_crit(hyps, cl, t_ppf), 'upper')
+    if return_grid:
+        return uls, ts, hyps, free
+    return uls
+
+
+def toy_lower_limits(study, key, target, hypotheses, n_toys, truth=None,
+                     fixed=None, cl=0.9, t_ppf=None, mesh=None,
+                     return_grid=False):
+    """Batched per-toy lower limits on ``target`` — the mirror of
+    :func:`toy_upper_limits` (``one_parameter_interval(kind='lower')``): the
+    largest hypothesis below the best fit where the one-sided statistic
+    (zeroed where the best fit lies below h) reaches the critical value.
+
+    :param truth: simulation truth; default the model defaults (signal
+      present — a background-only ensemble has no meaningful lower limit).
+      NaN marks limits below the grid; the quantile passed to ``t_ppf`` is
+      ``1 - cl``, matching ``one_parameter_interval``.
+    """
+    truth = dict(truth or {})
+    ts, hyps, free = _run_grid(study, key, target, hypotheses, n_toys,
+                               truth, fixed, mesh)
+    lls = _edge_from_curves(ts, hyps, np.asarray(free[target]),
+                            _checked_crit(hyps, 1.0 - cl, t_ppf), 'lower')
+    if return_grid:
+        return lls, ts, hyps, free
+    return lls
+
+
+def toy_central_intervals(study, key, target, hypotheses, n_toys, truth=None,
+                          fixed=None, cl=0.9, t_ppf=None, mesh=None):
+    """Batched per-toy central intervals on ``target``
+    (``one_parameter_interval(kind='central')``): both edges come from ONE
+    grid run — the free fits and conditional curves are shared, so a central
+    interval costs the same as a single-sided limit.
+
+    :param truth: simulation truth; default the model defaults.
+    :return: ((n_toys,) lower edges, (n_toys,) upper edges); NaN where an
+      edge lies outside the grid. Tail quantiles (1-cl)/2 each side, exactly
+      as in ``one_parameter_interval``.
+    """
+    truth = dict(truth or {})
+    ts, hyps, free = _run_grid(study, key, target, hypotheses, n_toys,
+                               truth, fixed, mesh)
+    x_hat = np.asarray(free[target])
+    tail = (1.0 - cl) / 2.0
+    lo = _edge_from_curves(ts, hyps, x_hat,
+                           _checked_crit(hyps, tail, t_ppf), 'lower')
+    hi = _edge_from_curves(ts, hyps, x_hat,
+                           _checked_crit(hyps, 1.0 - tail, t_ppf), 'upper')
+    return lo, hi
+
+
+def _run_grid(study, key, target, hypotheses, n_toys, truth, fixed, mesh):
     if isinstance(hypotheses, str):
         if hypotheses != 'auto':
             raise ValueError("hypotheses must be a grid of values or 'auto'")
@@ -134,20 +204,38 @@ def toy_upper_limits(study, key, target, hypotheses, n_toys, truth=None,
                                 mesh)
     ts, hyps, free, _ = study.profile_ts_grid(
         key, target, hypotheses, n_toys, truth=truth, fixed=fixed, mesh=mesh)
-    crit = _critical_curve(hyps, cl, t_ppf)
-    if (crit <= 0).any():
+    return ts, hyps, free
+
+
+def _checked_crit(hyps, quantile, t_ppf):
+    crit = _critical_curve(hyps, quantile, t_ppf)
+    if (crit < 0).any():
         raise ValueError(
-            "critical values must be positive for limit setting; got %s "
-            "(is the t_ppf quantile convention right? It is called as "
-            "t_ppf(hypothesis, cl))" % crit[crit <= 0][:3])
-    x_hat = np.asarray(free[target])
-    # One-sided q_mu: an upward best-fit fluctuation past h is not evidence
-    # against h as an upper limit
-    t_os = np.where(x_hat[None, :] <= hyps[:, None], ts, 0.0)
-    uls = _first_upcrossing(hyps, t_os - crit[:, None])
-    if return_grid:
-        return uls, ts, hyps, free
-    return uls
+            "critical values must be nonnegative; got %s (is the t_ppf "
+            "quantile convention right? It is called as "
+            "t_ppf(hypothesis, quantile))" % crit[crit < 0][:3])
+    # A calibrated critical value of exactly 0 is legitimate — e.g. a
+    # one-sided Neyman statistic at a hypothesis where > cl of the
+    # calibration toys sit at t = 0 (best fits piled on the rejecting side's
+    # boundary): there, ANY t > 0 rejects, so the limit degenerates to the
+    # best fit. Require strict positivity with a tiny floor so the zeroed
+    # region around the best fit does not itself read as a crossing.
+    return np.maximum(crit, 1e-12)
+
+
+def _edge_from_curves(ts, hyps, x_hat, crit, side):
+    """One interval edge per toy: the first crossing of the one-sided
+    statistic with the critical curve, scanning away from the best fit."""
+    if side == 'upper':
+        # One-sided q_mu: an upward best-fit fluctuation past h is not
+        # evidence against h as an upper limit
+        t_os = np.where(x_hat[None, :] <= hyps[:, None], ts, 0.0)
+        return _first_upcrossing(hyps, t_os - crit[:, None])
+    # Lower edge: first crossing scanning DOWNWARD from the best fit —
+    # the upcrossing search over the reversed grid in -h
+    t_os = np.where(x_hat[None, :] >= hyps[:, None], ts, 0.0)
+    e = (t_os - crit[:, None])[::-1]
+    return -_first_upcrossing(-hyps[::-1], e)
 
 
 def sensitivity_band(study, key, target, hypotheses, n_toys, truth=None,

@@ -77,6 +77,37 @@ def _refine_stragglers(fit_long, data_tree, x, ll, it, cap, extra_args=(),
     return x, ll, it, idx.size
 
 
+def _wrap_cond_long(cond_long):
+    """Jitted vmapped long-cap conditional refit with a broadcast hypothesis
+    — the calling shape ``_refine_stragglers`` uses with a trailing-h
+    extra_args. Shared by the refiner pairing and the grid entries."""
+    return jax.jit(jax.vmap(lambda d, x0, h: cond_long(d, None, (h,), x0),
+                            in_axes=(0, 0, None)))
+
+
+def _cond_scan(hypotheses, call_cond, refine_cond, llf, names_cond, cap):
+    """Per-hypothesis conditional-fit loop shared by the ``profile_ts_grid``
+    twins: run the compiled conditional program at each hypothesis, refine
+    its stragglers, recompute the statistic from the refined optima.
+
+    :param call_cond: hj -> (t, (xc, llc, itc)) device values.
+    :param refine_cond: (xc, llc, itc, hj) -> refined (xc, llc, itc), or
+      None when no refiner exists (then the free fit was not refined either —
+    one-sided refinement would bias t).
+    :return: (ts (n_hypotheses, n_toys), list of conditional ToyResults).
+    """
+    ts, conds = [], []
+    for h in hypotheses:
+        hj = jnp.asarray(float(h))
+        t, (xc, llc, itc) = jax.device_get(call_cond(hj))
+        if refine_cond is not None and (np.asarray(itc) >= cap).any():
+            xc, llc, itc = refine_cond(xc, llc, itc, hj)
+            t = np.maximum(2.0 * (llf - llc), 0.0)
+        ts.append(np.asarray(t))
+        conds.append(ToyResults(names_cond, xc, llc, itc))
+    return np.stack(ts), conds
+
+
 def make_mesh(devices=None, axis_name='toys'):
     """A 1-d device mesh for toy-level data parallelism."""
     devices = jax.devices() if devices is None else devices
@@ -329,11 +360,8 @@ class BinnedToyStudy:
         """Jitted long-cap conditional refit paired with the free one —
         stragglers are refined in both fits or neither (a one-sided
         refinement would bias the t statistic)."""
-        cond_long_j = None
-        if cond_long is not None and names_cond:
-            cond_long_j = jax.jit(jax.vmap(
-                lambda d, x0, h: cond_long(d, None, (h,), x0),
-                in_axes=(0, 0, None)))
+        cond_long_j = (_wrap_cond_long(cond_long)
+                       if cond_long is not None and names_cond else None)
         if cond_long_j is None:
             free_long_j = None
         return free_long_j, cond_long_j
@@ -374,11 +402,8 @@ class BinnedToyStudy:
                     t = jnp.maximum(2.0 * (llf - llc), 0.0)
                     return t, (xc, llc, itc)
 
-            cond_long_j = None
-            if cond_long is not None and names_cond:
-                cond_long_j = jax.jit(jax.vmap(
-                    lambda d, x0, h: cond_long(d, None, (h,), x0),
-                    in_axes=(0, 0, None)))
+            cond_long_j = (_wrap_cond_long(cond_long)
+                           if cond_long is not None and names_cond else None)
             self._profile_cache[cache_key] = (cond_fn, cond_long_j,
                                               names_cond)
         return self._profile_cache[cache_key]
@@ -436,21 +461,15 @@ class BinnedToyStudy:
             xf, llf, itf = _refine_stragglers(
                 free_long_j, counts, xf, llf, itf, self.max_iter)[:3]
         xf_dev, llf_dev = jnp.asarray(xf), jnp.asarray(llf)
-        ts, conds = [], []
-        for h in hypotheses:
-            hj = jnp.asarray(float(h))
-            t, (xc, llc, itc) = jax.device_get(
-                cond_fn(counts, xf_dev, llf_dev, hj))
-            if cond_long_j is not None and (np.asarray(itc)
-                                            >= self.max_iter).any():
-                xc, llc, itc = _refine_stragglers(
-                    cond_long_j, counts, xc, llc, itc, self.max_iter,
-                    extra_args=(hj,))[:3]
-                t = np.maximum(2.0 * (llf - llc), 0.0)
-            ts.append(np.asarray(t))
-            conds.append(ToyResults(names_cond, xc, llc, itc))
-        return (np.stack(ts), hypotheses,
-                ToyResults(names_free, xf, llf, itf), conds)
+        refine = None
+        if cond_long_j is not None:
+            refine = lambda xc, llc, itc, hj: _refine_stragglers(
+                cond_long_j, counts, xc, llc, itc, self.max_iter,
+                extra_args=(hj,))[:3]
+        ts, conds = _cond_scan(
+            hypotheses, lambda hj: cond_fn(counts, xf_dev, llf_dev, hj),
+            refine, llf, names_cond, self.max_iter)
+        return ts, hypotheses, ToyResults(names_free, xf, llf, itf), conds
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
                         mesh=None, truth=None, truth_at_hypothesis=True,
@@ -947,21 +966,16 @@ class UnbinnedToyStudy:
                 free_long_j, keys, xf, llf, itf, self.max_iter,
                 extra_args=(weights,))[:3]
         xf_dev, llf_dev = jnp.asarray(xf), jnp.asarray(llf)
-        ts, conds = [], []
-        for h in hypotheses:
-            hj = jnp.asarray(float(h))
-            t, (xc, llc, itc) = jax.device_get(
-                cond_fn(keys, weights, xf_dev, llf_dev, hj))
-            if cond_long_j is not None and (np.asarray(itc)
-                                            >= self.max_iter).any():
-                xc, llc, itc = _refine_stragglers(
-                    cond_long_j, keys, xc, llc, itc, self.max_iter,
-                    extra_args=(weights, hj))[:3]
-                t = np.maximum(2.0 * (llf - llc), 0.0)
-            ts.append(np.asarray(t))
-            conds.append(ToyResults(names_cond, xc, llc, itc))
-        return (np.stack(ts), hypotheses,
-                ToyResults(names_free, xf, llf, itf), conds)
+        refine = None
+        if cond_long_j is not None:
+            refine = lambda xc, llc, itc, hj: _refine_stragglers(
+                cond_long_j, keys, xc, llc, itc, self.max_iter,
+                extra_args=(weights, hj))[:3]
+        ts, conds = _cond_scan(
+            hypotheses,
+            lambda hj: cond_fn(keys, weights, xf_dev, llf_dev, hj),
+            refine, llf, names_cond, self.max_iter)
+        return ts, hypotheses, ToyResults(names_free, xf, llf, itf), conds
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
                         mesh=None, truth=None, truth_at_hypothesis=True,

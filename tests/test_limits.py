@@ -11,6 +11,7 @@ from blueice_tpu.test_helpers import conf_for_test
 from blueice_tpu.likelihood import BinnedLogLikelihood, UnbinnedLogLikelihood
 from blueice_tpu.parallel import (BinnedToyStudy, UnbinnedToyStudy,
                                   NeymanConstruction, toy_upper_limits,
+                                  toy_lower_limits, toy_central_intervals,
                                   sensitivity_band)
 
 TARGET = 's0_rate_multiplier'
@@ -185,10 +186,98 @@ def test_limits_on_mesh_match_single_device():
     assert np.allclose(ul_mesh, ul_plain, rtol=1e-6, atol=1e-8)
 
 
-def test_bad_critical_values_raise():
+def test_central_intervals_match_host():
+    """Per-toy central intervals reproduce one_parameter_interval(
+    kind='central') on each toy's dataset, including the degenerate case
+    where the interval's lower edge hits the parameter's 0 bound (host
+    brentq cannot bracket; grid edge is NaN)."""
     lf = _binned_lf()
     study = BinnedToyStudy(lf)
-    with pytest.raises(ValueError, match="critical values must be positive"):
-        toy_upper_limits(study, jax.random.PRNGKey(0), TARGET,
-                         np.linspace(0, 2, 5), n_toys=4,
-                         t_ppf=lambda h, q: 0.0)
+    key = jax.random.PRNGKey(11)
+    truth = {TARGET: 1.0}
+    hyps = np.linspace(0.0, 3.0, 121)
+    lo, hi = toy_central_intervals(study, key, TARGET, hyps, n_toys=3,
+                                   truth=truth)
+    free = study.run(key, 3, truth=truth)
+    x_hat = np.asarray(free[TARGET])
+    assert np.all(~np.isfinite(lo) | (lo <= x_hat + 1e-9))
+    assert np.all(~np.isfinite(hi) | (hi >= x_hat - 1e-9))
+
+    counts = np.asarray(study.simulate(key, 3, truth))
+    centers = [-5.5, 0.0, 5.5]
+    for i in range(3):
+        c = counts[i]
+        xs = np.concatenate([np.full(int(c[j]), centers[j])
+                             for j in range(3)])
+        d = np.zeros(len(xs), dtype=[('x', float), ('source', int)])
+        d['x'] = xs
+        lf.set_data(d)
+        try:
+            lo_h, hi_h = lf.one_parameter_interval(
+                TARGET, bound=(0.0, 5.0), kind='central',
+                confidence_level=0.9, bestfit_routine='jax')
+        except ValueError:
+            # host brentq can't bracket: the lower edge sits at/below 0 —
+            # the grid agrees by reporting NaN there
+            assert np.isnan(lo[i])
+            continue
+        assert abs(lo_h - lo[i]) < 0.05, (i, lo_h, lo[i])
+        assert abs(hi_h - hi[i]) < 0.05, (i, hi_h, hi[i])
+
+
+def test_lower_limits_mirror():
+    """Lower limits sit below the best fits and respond to cl like the
+    host convention (higher cl pushes the lower edge down)."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    key = jax.random.PRNGKey(12)
+    truth = {TARGET: 1.5}
+    hyps = np.linspace(0.0, 4.0, 81)
+    ll90 = toy_lower_limits(study, key, TARGET, hyps, n_toys=16, truth=truth)
+    ll95 = toy_lower_limits(study, key, TARGET, hyps, n_toys=16, truth=truth,
+                            cl=0.95)
+    free = study.run(key, 16, truth=truth)
+    x_hat = np.asarray(free[TARGET])
+    fin = np.isfinite(ll90)
+    assert fin.sum() >= 12
+    assert np.all(ll90[fin] <= x_hat[fin] + 1e-9)
+    both = fin & np.isfinite(ll95)
+    assert np.all(ll95[both] <= ll90[both] + 1e-9)
+
+
+def test_critical_value_edge_cases():
+    """Negative critical values raise; a calibrated critical value of exactly
+    0 (legitimate for one-sided Neyman statistics when calibration toys pile
+    at t=0) degenerates the limit to ~the best fit instead of crashing."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    key = jax.random.PRNGKey(9)
+    with pytest.raises(ValueError, match="critical values must be "
+                                         "nonnegative"):
+        toy_upper_limits(study, key, TARGET, np.linspace(0, 2, 5), n_toys=4,
+                         t_ppf=lambda h, q: -1.0)
+    hyps = np.linspace(0.0, 4.0, 81)
+    ul_zero = toy_upper_limits(study, key, TARGET, hyps, n_toys=8,
+                               t_ppf=lambda h, q: 0.0)
+    ul_wilks = toy_upper_limits(study, key, TARGET, hyps, n_toys=8)
+    free = study.run(key, 8, truth={TARGET: 0.0})
+    x_hat = np.asarray(free[TARGET])
+    assert np.isfinite(ul_zero).all()
+    assert np.all(ul_zero <= ul_wilks + 1e-9)
+    # crit=0 rejects any t > 0: the limit collapses onto the best fit
+    # (to grid resolution)
+    assert np.all(np.abs(ul_zero - x_hat) <= (hyps[1] - hyps[0]) + 1e-9)
+
+
+def test_auto_grid_respects_target_bounds():
+    """hypotheses='auto' clamps the grid to the target's bounds instead of
+    proposing out-of-range hypotheses (which every engine rejects)."""
+    lf = BinnedLogLikelihood(_conf())
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+    study = BinnedToyStudy(lf)
+    uls = toy_upper_limits(study, jax.random.PRNGKey(10), 'mu', 'auto',
+                           n_toys=8, truth={'mu': 0.0})
+    finite = uls[np.isfinite(uls)]
+    assert len(finite) >= 6          # an occasional beyond-bound NaN is fine
+    assert np.all(finite <= 1.0 + 1e-9)

@@ -84,8 +84,14 @@ def _auto_grid(study, key, target, n_toys, truth, fixed, mesh, n_points=33):
     x = np.asarray(free[target])
     q16, q50, q84 = np.percentile(x, [16, 50, 84])
     # Spread estimate robust to boundary pile-up (bg-only rate fits pile at
-    # 0, which crushes the IQR — std survives a half-pile at ~0.6 sigma)
-    sigma = max((q84 - q16) / 2.0, float(np.std(x)), abs(q50) / 4.0, 1e-6)
+    # 0, which crushes the IQR — std survives a half-pile at ~0.6 sigma).
+    # When EVERY fit sits exactly on the boundary (e.g. a zero-background
+    # child pins x_hat = 0 for all toys) no data-driven scale exists: start
+    # from the parameter's unit scale and let toy_upper_limits' adaptive
+    # retry find the real one.
+    sigma = max((q84 - q16) / 2.0, float(np.std(x)), abs(q50) / 4.0)
+    if sigma == 0.0:
+        sigma = max(abs(float(np.max(np.abs(x)))), 1.0) / 6.0
     lo_b, hi_b = study.compiled.bounds.get(target, (None, None))
     lo = min(0.0, float(np.min(x)))
     if lo_b is not None:
@@ -140,10 +146,65 @@ def toy_upper_limits(study, key, target, hypotheses, n_toys, truth=None,
     """
     if truth is None:
         truth = {target: 0.0}
-    ts, hyps, free = _run_grid(study, key, target, hypotheses, n_toys,
-                               truth, fixed, mesh)
-    uls = _edge_from_curves(ts, hyps, np.asarray(free[target]),
-                            _checked_crit(hyps, cl, t_ppf), 'upper')
+    auto = isinstance(hypotheses, str)
+    if auto:
+        if hypotheses != 'auto':
+            raise ValueError("hypotheses must be a grid of values or 'auto'")
+        hypotheses = _auto_grid(study, key, target, n_toys, truth, fixed,
+                                mesh)
+    n_points = len(np.asarray(hypotheses))
+    hi_b = study.compiled.bounds.get(target, (None, None))[1]
+    for _attempt in range(6):
+        ts, hyps, free, _ = study.profile_ts_grid(
+            key, target, hypotheses, n_toys, truth=truth, fixed=fixed,
+            mesh=mesh)
+        crit = _checked_crit(hyps, cl, t_ppf)
+        uls = _edge_from_curves(ts, hyps, np.asarray(free[target]),
+                                crit, 'upper')
+        if not auto:
+            break
+        # Adaptive auto grid: the free-fit spread can wildly misjudge the
+        # limit scale (e.g. a zero-background child pins every best fit to
+        # exactly 0 while the limit is set by the Poisson upper tail).
+        # Re-running costs only program EXECUTIONS — the fit programs are
+        # already compiled and the toys regenerate from the key.
+        fin = np.isfinite(uls)
+        lo, span = float(hyps[0]), float(hyps[-1] - hyps[0])
+        if not fin.all():
+            # Some toy's curve never reaches the critical value in-grid.
+            # t(h) past the best fit ranges from linear (boundary-pinned
+            # fit, Poisson-linear regime) to quadratic (Gaussian regime);
+            # LINEAR extrapolation of where the worst uncrossed toy's curve
+            # meets crit — h_need = x_hat + (h_end - x_hat) * crit/t(h_end)
+            # — is the conservative (never-undershooting) choice for any
+            # convex curve. Growth is clamped: at least a 2x span (progress
+            # even with a flat, information-free tail), at most 4096x (a
+            # t_end ~ 0 toy would otherwise fling the grid to infinity).
+            x_hat = np.asarray(free[target])[~fin]
+            t_end = np.asarray(ts)[-1][~fin]
+            d = np.maximum(float(hyps[-1]) - x_hat, 0.0)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                need = x_hat + d * (crit[-1] / np.maximum(t_end, 1e-300))
+            need = need[np.isfinite(need)]
+            growth = (1.5 * (float(np.max(need)) - lo) if len(need)
+                      else 8.0 * span)
+            hi = lo + float(np.clip(growth, 2.0 * span, 4096.0 * span))
+        elif float(np.max(uls)) < lo + 0.12 * span:
+            # Every limit crammed into the first cells: shrink for
+            # interpolation resolution
+            hi = lo + 3.0 * (float(np.max(uls)) - lo) + 1e-12
+        else:
+            break
+        if hi_b is not None:
+            hi = min(hi, float(hi_b))
+        new = np.linspace(lo, hi, n_points)
+        # Progress check must be scale-free: allclose's default ABSOLUTE
+        # tolerance would read any two microscopic grids (e.g. a
+        # tightly-pinned parameter whose fits pile at ~1e-14) as equal and
+        # end the search after one attempt
+        if not hi > lo or np.allclose(new, hyps, rtol=1e-9, atol=0.0):
+            break
+        hypotheses = new
     if return_grid:
         return uls, ts, hyps, free
     return uls

@@ -186,6 +186,30 @@ def test_limits_on_mesh_match_single_device():
     assert np.allclose(ul_mesh, ul_plain, rtol=1e-6, atol=1e-8)
 
 
+def test_grid_and_limits_on_sum_composition():
+    """profile_ts_grid and per-toy limits also drive compiled
+    LogLikelihoodSum studies (tuple count trees: per-child datasets, one
+    joint fit)."""
+    from blueice_tpu.likelihood import LogLikelihoodSum
+    lf1 = _binned_lf()
+    conf2 = conf_for_test(mc=True, analysis_space=[['x', [-10, 0, 10]]],
+                          n_events_for_pdf=int(2e5), events_per_day=500.)
+    lf2 = BinnedLogLikelihood(conf2)
+    lf2.add_rate_parameter('s0')
+    lf2.prepare()
+    study = BinnedToyStudy(LogLikelihoodSum([lf1, lf2]))
+    key = jax.random.PRNGKey(13)
+    truth = {TARGET: 0.0}
+    ts, hgrid, free, _ = study.profile_ts_grid(key, TARGET, [0.3, 0.9],
+                                               n_toys=8, truth=truth)
+    for j, h in enumerate(hgrid):
+        t_ref, _, _ = study.profile_ts(key, 8, TARGET, float(h), truth=truth)
+        assert np.allclose(ts[j], t_ref, rtol=1e-6, atol=1e-9)
+    uls = toy_upper_limits(study, key, TARGET, 'auto', n_toys=8)
+    assert np.isfinite(uls).all()
+    assert np.all(uls >= np.asarray(free[TARGET]) - 1e-9)
+
+
 def test_central_intervals_match_host():
     """Per-toy central intervals reproduce one_parameter_interval(
     kind='central') on each toy's dataset, including the degenerate case

@@ -146,6 +146,32 @@ def toy_upper_limits(study, key, target, hypotheses, n_toys, truth=None,
     """
     if truth is None:
         truth = {target: 0.0}
+    edges, ts, hyps, free = _adaptive_edges(
+        study, key, target, hypotheses, n_toys, truth, fixed, mesh, t_ppf,
+        specs=[('upper', cl)])
+    uls = edges[0]
+    if return_grid:
+        return uls, ts, hyps, free
+    return uls
+
+
+def _adaptive_edges(study, key, target, hypotheses, n_toys, truth, fixed,
+                    mesh, t_ppf, specs):
+    """Run the profile-LR grid and read off interval edges; with
+    ``hypotheses='auto'``, retry with a rescaled grid until every requested
+    edge is resolved (or pinned at the parameter's bound).
+
+    The free-fit spread that sizes the initial auto grid can wildly misjudge
+    the limit scale (e.g. a zero-background child pins every best fit to
+    exactly 0 while the limit is set by the Poisson upper tail). Retries cost
+    only program EXECUTIONS — the fit programs are already compiled and the
+    toys regenerate bit-identically from the key.
+
+    :param specs: list of (side, cl) pairs — one interval edge each. The
+      quantile handed to t_ppf is cl itself (matching
+      ``one_parameter_interval``'s convention for each kind).
+    :return: (list of per-spec edge arrays, ts, hyps, free).
+    """
     auto = isinstance(hypotheses, str)
     if auto:
         if hypotheses != 'auto':
@@ -153,61 +179,76 @@ def toy_upper_limits(study, key, target, hypotheses, n_toys, truth=None,
         hypotheses = _auto_grid(study, key, target, n_toys, truth, fixed,
                                 mesh)
     n_points = len(np.asarray(hypotheses))
-    hi_b = study.compiled.bounds.get(target, (None, None))[1]
+    lo_b, hi_b = study.compiled.bounds.get(target, (None, None))
+    upper_only = all(side == 'upper' for side, _ in specs)
     for _attempt in range(6):
         ts, hyps, free, _ = study.profile_ts_grid(
             key, target, hypotheses, n_toys, truth=truth, fixed=fixed,
             mesh=mesh)
-        crit = _checked_crit(hyps, cl, t_ppf)
-        uls = _edge_from_curves(ts, hyps, np.asarray(free[target]),
-                                crit, 'upper')
+        x_hat = np.asarray(free[target])
+        crits = [_checked_crit(hyps, cl, t_ppf) for _, cl in specs]
+        edges = [_edge_from_curves(ts, hyps, x_hat, crit, side)
+                 for (side, _), crit in zip(specs, crits)]
         if not auto:
             break
-        # Adaptive auto grid: the free-fit spread can wildly misjudge the
-        # limit scale (e.g. a zero-background child pins every best fit to
-        # exactly 0 while the limit is set by the Poisson upper tail).
-        # Re-running costs only program EXECUTIONS — the fit programs are
-        # already compiled and the toys regenerate from the key.
-        fin = np.isfinite(uls)
-        lo, span = float(hyps[0]), float(hyps[-1] - hyps[0])
-        if not fin.all():
-            # Some toy's curve never reaches the critical value in-grid.
-            # t(h) past the best fit ranges from linear (boundary-pinned
-            # fit, Poisson-linear regime) to quadratic (Gaussian regime);
-            # LINEAR extrapolation of where the worst uncrossed toy's curve
-            # meets crit — h_need = x_hat + (h_end - x_hat) * crit/t(h_end)
-            # — is the conservative (never-undershooting) choice for any
-            # convex curve. Growth is clamped: at least a 2x span (progress
-            # even with a flat, information-free tail), at most 4096x (a
-            # t_end ~ 0 toy would otherwise fling the grid to infinity).
-            x_hat = np.asarray(free[target])[~fin]
-            t_end = np.asarray(ts)[-1][~fin]
-            d = np.maximum(float(hyps[-1]) - x_hat, 0.0)
+        lo, hi = float(hyps[0]), float(hyps[-1])
+        span = hi - lo
+        new_lo, new_hi = lo, hi
+        max_fin = -np.inf
+        for (side, _), crit, edge in zip(specs, crits, edges):
+            fin = np.isfinite(edge)
+            if fin.any():
+                max_fin = max(max_fin, float(np.max(edge[fin])))
+            if fin.all():
+                continue
+            # Some toy's curve never reaches this critical value in-grid.
+            # t(h) away from the best fit ranges from linear
+            # (boundary-pinned fit, Poisson-linear regime) to quadratic
+            # (Gaussian regime); LINEAR extrapolation of where the worst
+            # uncrossed toy's curve meets crit — h_need = x_hat +/-
+            # (h_edge - x_hat) * crit/t(h_edge) — is the conservative
+            # (never-undershooting) choice for any convex curve. Growth is
+            # clamped: at least a 2x span (progress even with a flat,
+            # information-free tail), at most 4096x (a t ~ 0 toy would
+            # otherwise fling the grid to infinity).
+            if side == 'upper':
+                t_edge = np.asarray(ts)[-1][~fin]
+                d = np.maximum(hi - x_hat[~fin], 0.0)
+            else:
+                t_edge = np.asarray(ts)[0][~fin]
+                d = np.maximum(x_hat[~fin] - lo, 0.0)
             with np.errstate(divide='ignore', invalid='ignore'):
-                need = x_hat + d * (crit[-1] / np.maximum(t_end, 1e-300))
-            need = need[np.isfinite(need)]
-            growth = (1.5 * (float(np.max(need)) - lo) if len(need)
-                      else 8.0 * span)
-            hi = lo + float(np.clip(growth, 2.0 * span, 4096.0 * span))
-        elif float(np.max(uls)) < lo + 0.12 * span:
-            # Every limit crammed into the first cells: shrink for
-            # interpolation resolution
-            hi = lo + 3.0 * (float(np.max(uls)) - lo) + 1e-12
-        else:
-            break
+                reach = d * (crit[-1 if side == 'upper' else 0]
+                             / np.maximum(t_edge, 1e-300))
+            reach = reach[np.isfinite(reach)]
+            growth = float(np.clip(
+                1.5 * float(np.max(reach)) if len(reach) else 8.0 * span,
+                2.0 * span, 4096.0 * span))
+            if side == 'upper':
+                need = float(np.max(x_hat[~fin])) + growth
+                new_hi = max(new_hi, need)
+            else:
+                need = float(np.min(x_hat[~fin])) - growth
+                new_lo = min(new_lo, need)
+        if new_hi == hi and new_lo == lo and upper_only \
+                and np.isfinite(max_fin) and max_fin < lo + 0.12 * span:
+            # Every upper limit crammed into the first cells: shrink for
+            # interpolation resolution (only safe single-sided — a central
+            # interval needs the grid to keep covering both edges)
+            new_hi = lo + 3.0 * (max_fin - lo) + 1e-12
         if hi_b is not None:
-            hi = min(hi, float(hi_b))
-        new = np.linspace(lo, hi, n_points)
+            new_hi = min(new_hi, float(hi_b))
+        if lo_b is not None:
+            new_lo = max(new_lo, float(lo_b))
+        new = np.linspace(new_lo, new_hi, n_points)
         # Progress check must be scale-free: allclose's default ABSOLUTE
         # tolerance would read any two microscopic grids (e.g. a
         # tightly-pinned parameter whose fits pile at ~1e-14) as equal and
         # end the search after one attempt
-        if not hi > lo or np.allclose(new, hyps, rtol=1e-9, atol=0.0):
+        if not new_hi > new_lo or np.allclose(new, hyps, rtol=1e-9, atol=0.0):
             break
         hypotheses = new
-    if return_grid:
-        return uls, ts, hyps, free
-    return uls
+    return edges, ts, hyps, free
 
 
 def toy_lower_limits(study, key, target, hypotheses, n_toys, truth=None,
@@ -224,10 +265,10 @@ def toy_lower_limits(study, key, target, hypotheses, n_toys, truth=None,
       ``1 - cl``, matching ``one_parameter_interval``.
     """
     truth = dict(truth or {})
-    ts, hyps, free = _run_grid(study, key, target, hypotheses, n_toys,
-                               truth, fixed, mesh)
-    lls = _edge_from_curves(ts, hyps, np.asarray(free[target]),
-                            _checked_crit(hyps, 1.0 - cl, t_ppf), 'lower')
+    edges, ts, hyps, free = _adaptive_edges(
+        study, key, target, hypotheses, n_toys, truth, fixed, mesh, t_ppf,
+        specs=[('lower', 1.0 - cl)])
+    lls = edges[0]
     if return_grid:
         return lls, ts, hyps, free
     return lls
@@ -246,26 +287,11 @@ def toy_central_intervals(study, key, target, hypotheses, n_toys, truth=None,
       as in ``one_parameter_interval``.
     """
     truth = dict(truth or {})
-    ts, hyps, free = _run_grid(study, key, target, hypotheses, n_toys,
-                               truth, fixed, mesh)
-    x_hat = np.asarray(free[target])
     tail = (1.0 - cl) / 2.0
-    lo = _edge_from_curves(ts, hyps, x_hat,
-                           _checked_crit(hyps, tail, t_ppf), 'lower')
-    hi = _edge_from_curves(ts, hyps, x_hat,
-                           _checked_crit(hyps, 1.0 - tail, t_ppf), 'upper')
-    return lo, hi
-
-
-def _run_grid(study, key, target, hypotheses, n_toys, truth, fixed, mesh):
-    if isinstance(hypotheses, str):
-        if hypotheses != 'auto':
-            raise ValueError("hypotheses must be a grid of values or 'auto'")
-        hypotheses = _auto_grid(study, key, target, n_toys, truth, fixed,
-                                mesh)
-    ts, hyps, free, _ = study.profile_ts_grid(
-        key, target, hypotheses, n_toys, truth=truth, fixed=fixed, mesh=mesh)
-    return ts, hyps, free
+    edges, _, _, _ = _adaptive_edges(
+        study, key, target, hypotheses, n_toys, truth, fixed, mesh, t_ppf,
+        specs=[('lower', tail), ('upper', 1.0 - tail)])
+    return edges[0], edges[1]
 
 
 def _checked_crit(hyps, quantile, t_ppf):

@@ -269,6 +269,39 @@ def test_lower_limits_mirror():
     assert np.all(ll95[both] <= ll90[both] + 1e-9)
 
 
+def test_auto_grid_lower_and_central():
+    """hypotheses='auto' also drives lower limits and central intervals:
+    the adaptive retry widens the grid on whichever side an edge escapes,
+    and the results match an explicit wide grid to interpolation
+    resolution."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    key = jax.random.PRNGKey(21)
+    truth = {TARGET: 1.5}
+    wide = np.linspace(0.0, 6.0, 241)
+    ll_auto = toy_lower_limits(study, key, TARGET, 'auto', n_toys=16,
+                               truth=truth)
+    ll_ref = toy_lower_limits(study, key, TARGET, wide, n_toys=16,
+                              truth=truth)
+    fin = np.isfinite(ll_auto) & np.isfinite(ll_ref)
+    assert fin.sum() >= 12
+    assert np.allclose(ll_auto[fin], ll_ref[fin], atol=0.08)
+
+    lo_a, hi_a = toy_central_intervals(study, key, TARGET, 'auto', n_toys=16,
+                                       truth=truth)
+    lo_r, hi_r = toy_central_intervals(study, key, TARGET, wide, n_toys=16,
+                                       truth=truth)
+    free = study.run(key, 16, truth=truth)
+    x_hat = np.asarray(free[TARGET])
+    # every auto upper edge resolved and bracketing the best fit
+    assert np.isfinite(hi_a).all()
+    assert np.all(hi_a >= x_hat - 1e-9)
+    assert np.allclose(hi_a, hi_r, atol=0.08)
+    both = np.isfinite(lo_a) & np.isfinite(lo_r)
+    assert np.allclose(lo_a[both], lo_r[both], atol=0.08)
+    assert np.all(lo_a[both] <= x_hat[both] + 1e-9)
+
+
 def test_critical_value_edge_cases():
     """Negative critical values raise; a calibrated critical value of exactly
     0 (legitimate for one-sided Neyman statistics when calibration toys pile

@@ -48,4 +48,6 @@ def test_measure_binned_kernel_interpret():
     assert v['gflops_achieved'] > 0
     assert v['binding'] in ('compute', 'hbm')
     assert 'binned_vgh_fused' in v['kernel']
+    # Dispatch-amortized timing: the single-dispatch measurement rides along
+    assert v['dispatch_s'] > 0 and v['n_inner'] >= 2
     assert format_report([v]).count('\n') == 1

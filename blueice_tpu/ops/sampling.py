@@ -24,6 +24,16 @@ def sample_from_template(key, weights, edges, n):
     """
     weights = jnp.asarray(weights)
     shape = weights.shape
+    # A bare edge array for a 1-d template is a natural mistake; the failure
+    # it causes otherwise (scalar iteration deep in the loop below) is cryptic
+    if len(edges) != len(shape) or any(
+            jnp.ndim(e) != 1 or jnp.shape(e)[0] != shape[d] + 1
+            for d, e in enumerate(edges)):
+        raise ValueError(
+            "edges must be a list of %d 1-d arrays, one per weights axis, "
+            "each one longer than its axis %s — got %s"
+            % (len(shape), shape,
+               [jnp.shape(jnp.asarray(e)) for e in edges]))
     flat = weights.reshape(-1)
     k_bin, k_uni = jax.random.split(key)
     logits = jnp.log(jnp.where(flat > 0, flat, 0.0))

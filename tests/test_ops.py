@@ -205,3 +205,18 @@ def test_sample_from_template_integer_weights():
                                jnp.asarray([3, 1]), edges, 50)
     assert out.shape == (50, 1)
     assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+
+def test_sample_from_template_rejects_bare_edge_array():
+    """A flat edge array (instead of a one-per-axis list) must raise a clear
+    ValueError, not a cryptic IndexError from scalar iteration."""
+    import jax
+    import pytest
+    from blueice_tpu.ops.sampling import sample_from_template
+    with pytest.raises(ValueError, match="one per weights axis"):
+        sample_from_template(jax.random.PRNGKey(0), jnp.ones(4),
+                             jnp.linspace(0.0, 1.0, 5), 8)
+    # Wrong length per axis is caught too
+    with pytest.raises(ValueError, match="one per weights axis"):
+        sample_from_template(jax.random.PRNGKey(0), jnp.ones(4),
+                             [jnp.linspace(0.0, 1.0, 4)], 8)

@@ -386,6 +386,12 @@ def plot_likelihood_ratio(lf, *space, vmax=15, bestfit_routine=None,
     remaining parameters at each point.
     :param space: tuples (dim_name, points); further kwargs are passed to lf and
       parameters not passed are fitted at each point.
+
+    This is the reference-style host loop (one scipy fit per grid point;
+    reference: blueice/inference.py:392-443). For dense grids, the same
+    surface computes at toy-ensemble throughput on the accelerator via
+    :meth:`blueice_tpu.parallel.toys.BinnedToyStudy.profile_map` (t/2 is
+    this function's ratio).
     """
     import itertools
     import matplotlib.pyplot as plt

@@ -498,6 +498,107 @@ class BinnedToyStudy:
         ts = np.stack(out)
         return (ts, frees) if return_free else ts
 
+    def observed_counts(self, counts=None):
+        """Observed count tensor(s) for ONE dataset, cast and shape-checked
+        against :meth:`expected_counts`' structure. ``counts=None`` takes the
+        histogram of the likelihood's own ``set_data`` events."""
+        if counts is None:
+            h = getattr(self.lf, 'data_events_per_bin', None)
+            if h is None:
+                raise ValueError(
+                    "No counts given and the likelihood has no data bound — "
+                    "call lf.set_data(...) first or pass counts= explicitly "
+                    "(for a compiled Sum: one count tensor per child)")
+            counts = h.values
+        expected = self.expected_counts()
+
+        def _cast(e, c):
+            c = jnp.asarray(c, e.dtype)
+            if c.shape != e.shape:
+                raise ValueError(
+                    "counts shape %s does not match the analysis space %s"
+                    % (c.shape, e.shape))
+            return c
+        return jax.tree_util.tree_map(_cast, expected, counts)
+
+    def profile_map(self, space, counts=None, fixed=None):
+        """Profiled likelihood-ratio map on one OBSERVED dataset:
+        t(theta) = 2(LL_free - LL(theta fixed, rest profiled)) over a 1- or
+        2-dimensional parameter grid, every grid point a lane of ONE vmapped
+        conditional-fit program warm-started from the single free fit — the
+        device twin of ``plot_likelihood_ratio``'s per-point host fits
+        (reference: blueice/inference.py:392-443), at toy-ensemble throughput.
+
+        :param space: 1 or 2 ``(param_name, grid values)`` pairs.
+        :param counts: observed count tensor(s) shaped like
+          :meth:`expected_counts`; default: the likelihood's ``set_data``
+          histogram (:meth:`observed_counts`).
+        :param fixed: extra parameters held fixed everywhere.
+        :return: (t array shaped ``(len(grid1)[, len(grid2)])``, free
+          ToyResults (1 row), conditional ToyResults (one row per grid
+          point, C order)). ``plt.pcolormesh(g2, g1, t)`` or
+          ``plt.plot(g1, t)`` plots it directly; t/2 is the
+          -log-likelihood-ratio surface ``plot_likelihood_ratio`` shows.
+        """
+        space = list(space)
+        if len(space) not in (1, 2):
+            raise ValueError(
+                "space must be 1 or 2 (name, grid) pairs, got %d" % len(space))
+        targets = [name for name, _ in space]
+        grids = [np.asarray(g, dtype=float).ravel() for _, g in space]
+        for name, g in zip(targets, grids):
+            if g.size == 0:
+                raise ValueError("empty grid for %r" % name)
+            for v in g:
+                check_fixed_in_bounds(self.compiled, {name: float(v)})
+        counts = self.observed_counts(counts)
+        counts1 = jax.tree_util.tree_map(lambda c: c[None], counts)
+
+        # The free fit reuses run()/fit_toys()' compiled program (batch 1)
+        fit_free_j, free_long_j, names_free = self._fit_entry(fixed)
+        xf, llf, itf = jax.device_get(fit_free_j(counts1))
+        if free_long_j is not None:
+            xf, llf, itf = _refine_stragglers(
+                free_long_j, counts1, xf, llf, itf, self.max_iter)[:3]
+
+        cache_key = (tuple(targets), self._freeze(fixed), 'map')
+        entry = self._profile_cache.get(cache_key)
+        if entry is None:
+            # One single-stage program with the long iteration cap: a map is
+            # one dataset lockstep across a few hundred lanes, so the
+            # two-stage straggler machinery would buy nothing
+            fit_cond, names_cond = make_toy_fitter(
+                self.compiled, fixed=dict(fixed or {}),
+                runtime_fixed=list(targets),
+                max_iter=(4 * self.max_iter if self.two_stage
+                          else self.max_iter),
+                tol=self.tol, engine=self.engine)
+            warm = (np.asarray([names_free.index(n) for n in names_cond])
+                    if names_cond and set(names_cond) <= set(names_free)
+                    else None)
+            k = len(targets)
+
+            @jax.jit
+            def map_fn(data, x0, points):
+                def one(pt):
+                    fv = tuple(pt[i] for i in range(k))
+                    if x0 is not None:
+                        return fit_cond(data, None, fv, x0)
+                    return fit_cond(data, None, fv)
+                return jax.vmap(one)(points)
+            entry = (map_fn, names_cond, warm)
+            self._profile_cache[cache_key] = entry
+        map_fn, names_cond, warm = entry
+
+        pts = jnp.asarray([tup for tup in itertools.product(*grids)])
+        x0 = (jnp.asarray(xf[0])[jnp.asarray(warm)]
+              if warm is not None and len(warm) else None)
+        xc, llc, itc = jax.device_get(map_fn(counts, x0, pts))
+        t = np.maximum(2.0 * (np.asarray(llf)[0] - np.asarray(llc)), 0.0)
+        return (t.reshape(tuple(len(g) for g in grids)),
+                ToyResults(names_free, xf, llf, itf),
+                ToyResults(names_cond, xc, llc, itc))
+
 
 class UnbinnedToyStudy:
     """Batched unbinned-likelihood toy fits.

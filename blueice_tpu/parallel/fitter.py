@@ -588,7 +588,15 @@ def _make_param_graph(compiled, names, fixed, transform, runtime_fixed=()):
     anchor-cell indices, and the prior term. Shared by the binned and
     unbinned closed-form engines."""
     shape_names = compiled.shape_names
-    anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
+    # This builder can be entered lazily inside a jit trace (the unbinned
+    # engine choice depends on the per-trace event count). The anchor-array
+    # conversion must then still produce CONCRETE constants: without x64 the
+    # float64->float32 cast is otherwise traced, and the resulting tracer —
+    # captured by these closures, which outlive the trace via the engine's
+    # parts memo — leaks into the next retrace (UnexpectedTracerError on the
+    # first set_data rebind).
+    with jax.ensure_compile_time_eval():
+        anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
     runtime_fixed = list(runtime_fixed)
 
     def params_of_u(u, fixed_values):

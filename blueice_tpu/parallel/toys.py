@@ -108,6 +108,23 @@ def _cond_scan(hypotheses, call_cond, refine_cond, llf, names_cond, cap):
     return np.stack(ts), conds
 
 
+def _check_map_space(compiled, space):
+    """Validate a profile_map ``space`` spec: 1 or 2 (name, grid) pairs,
+    nonempty grids, every grid point inside the parameter's range."""
+    space = list(space)
+    if len(space) not in (1, 2):
+        raise ValueError(
+            "space must be 1 or 2 (name, grid) pairs, got %d" % len(space))
+    targets = [name for name, _ in space]
+    grids = [np.asarray(g, dtype=float).ravel() for _, g in space]
+    for name, g in zip(targets, grids):
+        if g.size == 0:
+            raise ValueError("empty grid for %r" % name)
+        for v in g:
+            check_fixed_in_bounds(compiled, {name: float(v)})
+    return targets, grids
+
+
 def make_mesh(devices=None, axis_name='toys'):
     """A 1-d device mesh for toy-level data parallelism."""
     devices = jax.devices() if devices is None else devices
@@ -540,17 +557,7 @@ class BinnedToyStudy:
           ``plt.plot(g1, t)`` plots it directly; t/2 is the
           -log-likelihood-ratio surface ``plot_likelihood_ratio`` shows.
         """
-        space = list(space)
-        if len(space) not in (1, 2):
-            raise ValueError(
-                "space must be 1 or 2 (name, grid) pairs, got %d" % len(space))
-        targets = [name for name, _ in space]
-        grids = [np.asarray(g, dtype=float).ravel() for _, g in space]
-        for name, g in zip(targets, grids):
-            if g.size == 0:
-                raise ValueError("empty grid for %r" % name)
-            for v in g:
-                check_fixed_in_bounds(self.compiled, {name: float(v)})
+        targets, grids = _check_map_space(self.compiled, space)
         counts = self.observed_counts(counts)
         counts1 = jax.tree_util.tree_map(lambda c: c[None], counts)
 
@@ -1099,3 +1106,78 @@ class UnbinnedToyStudy:
             frees.append(free)
         ts = np.stack(out)
         return (ts, frees) if return_free else ts
+
+    def profile_map(self, space, fixed=None):
+        """Profiled likelihood-ratio map on the OBSERVED dataset (the events
+        bound by ``lf.set_data``): t(theta) = 2(LL_free - LL(theta fixed,
+        rest profiled)) over a 1- or 2-dimensional parameter grid, all grid
+        points lanes of ONE vmapped conditional-fit program warm-started
+        from the single free fit — the unbinned twin of
+        :meth:`BinnedToyStudy.profile_map` (device twin of
+        ``plot_likelihood_ratio``, reference blueice/inference.py:392-443).
+
+        The per-event anchor densities are read from the likelihood's
+        current ``set_data`` build at call time, so re-binding data never
+        leaves a stale map (new data with the same event count reuses the
+        compiled programs).
+
+        :return: (t array shaped ``(len(grid1)[, len(grid2)])``, free
+          ToyResults (1 row), conditional ToyResults (one row per grid
+          point, C order)).
+        """
+        targets, grids = _check_map_space(self.compiled, space)
+        build = getattr(self.lf, '_builds', {}).get('ps')
+        if build is None:
+            raise ValueError(
+                "No observed dataset bound — call lf.set_data(...) first")
+        if build[0] == 'source_wise':
+            raise NotImplementedError(
+                "profile_map needs a dense global anchor grid (or no shape "
+                "parameters); source-wise morphing maps run via the host "
+                "path (plot_likelihood_ratio)")
+        tensor = jnp.asarray(build[2] if build[0] == 'global' else build[1],
+                             dtype=self.compiled.dtype)
+        mask = jnp.ones(tensor.shape[-1], dtype=bool)
+
+        cache_key = (tuple(targets), self._freeze(fixed), 'map')
+        entry = self._profile_cache.get(cache_key)
+        if entry is None:
+            # One dataset, lockstep lanes: a single program with the long
+            # iteration cap instead of the two-stage straggler machinery
+            cap = 4 * self.max_iter if self.two_stage else self.max_iter
+            fit_free, names_free = make_toy_fitter(
+                self.compiled, fixed=dict(fixed or {}), max_iter=cap,
+                tol=self.tol, engine=self.engine)
+            fit_cond, names_cond = make_toy_fitter(
+                self.compiled, fixed=dict(fixed or {}),
+                runtime_fixed=list(targets), max_iter=cap, tol=self.tol,
+                engine=self.engine)
+            warm = (np.asarray([names_free.index(n) for n in names_cond])
+                    if names_cond and set(names_cond) <= set(names_free)
+                    else None)
+            k = len(targets)
+
+            @jax.jit
+            def map_fn(tensor, mask, points):
+                free = fit_free(tensor, mask)
+                x0 = (free[0][jnp.asarray(warm)]
+                      if warm is not None and len(warm) else None)
+
+                def one(pt):
+                    fv = tuple(pt[i] for i in range(k))
+                    if x0 is not None:
+                        return fit_cond(tensor, mask, fv, x0)
+                    return fit_cond(tensor, mask, fv)
+                return free, jax.vmap(one)(points)
+            entry = (map_fn, names_free, names_cond)
+            self._profile_cache[cache_key] = entry
+        map_fn, names_free, names_cond = entry
+
+        pts = jnp.asarray([tup for tup in itertools.product(*grids)])
+        (xf, llf, itf), (xc, llc, itc) = jax.device_get(
+            map_fn(tensor, mask, pts))
+        t = np.maximum(2.0 * (float(llf) - np.asarray(llc)), 0.0)
+        return (t.reshape(tuple(len(g) for g in grids)),
+                ToyResults(names_free, np.asarray(xf)[None],
+                           np.asarray(llf)[None], np.asarray(itf)[None]),
+                ToyResults(names_cond, xc, llc, itc))

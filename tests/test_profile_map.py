@@ -97,3 +97,110 @@ def test_profile_map_validation():
     study2 = BinnedToyStudy(lf2)
     with pytest.raises(ValueError, match="no data bound"):
         study2.profile_map([('s0_rate_multiplier', [1.0])])
+
+
+def _unbinned_lf_and_data(seed=11):
+    from blueice_tpu.likelihood import UnbinnedLogLikelihood
+    conf = conf_for_test(mc=True, analysis_space=[['x', [-10, -1, 1, 10]]],
+                         n_events_for_pdf=int(2e5))
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+    rng = np.random.default_rng(seed)
+    xs = np.concatenate([rng.normal(0, 1, 500), rng.uniform(-10, 10, 100)])
+    xs = xs[(xs > -10) & (xs < 10)]
+    d = np.zeros(len(xs), dtype=[('x', float), ('source', int)])
+    d['x'] = xs
+    lf.set_data(d)
+    return lf
+
+
+def test_unbinned_profile_map_2d_is_exact_against_host_ll():
+    from blueice_tpu.parallel import UnbinnedToyStudy
+    lf = _unbinned_lf_and_data()
+    study = UnbinnedToyStudy(lf)
+    g_r = np.linspace(0.8, 1.2, 3)
+    g_mu = np.linspace(-0.5, 0.5, 3)
+    t, free, cond = study.profile_map(
+        [('s0_rate_multiplier', g_r), ('mu', g_mu)])
+    assert t.shape == (3, 3)
+    llf = float(free.max_ll[0])
+    for i, r in enumerate(g_r):
+        for j, m in enumerate(g_mu):
+            ll = lf(s0_rate_multiplier=float(r), mu=float(m))
+            assert np.isclose(t[i, j], max(2.0 * (llf - ll), 0.0),
+                              rtol=1e-6, atol=1e-4)
+
+
+def test_unbinned_profile_map_1d_matches_host_profiled_fits():
+    from blueice_tpu.parallel import UnbinnedToyStudy
+    lf = _unbinned_lf_and_data()
+    study = UnbinnedToyStudy(lf)
+    grid = np.linspace(0.8, 1.2, 4)
+    t, free, cond = study.profile_map([('s0_rate_multiplier', grid)])
+    assert (t >= 0).all() and cond.max_ll.shape == (4,)
+    _, llf_host = bestfit_scipy(lf)
+    for i, r in enumerate(grid):
+        _, llc_host = bestfit_scipy(lf, s0_rate_multiplier=float(r))
+        t_host = max(2.0 * (llf_host - llc_host), 0.0)
+        assert abs(t[i] - t_host) < 5e-3
+
+
+def test_unbinned_profile_map_requires_data():
+    from blueice_tpu.likelihood import UnbinnedLogLikelihood
+    from blueice_tpu.parallel import UnbinnedToyStudy
+    conf = conf_for_test(mc=True, analysis_space=[['x', [-10, -1, 1, 10]]],
+                         n_events_for_pdf=int(1e5))
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    study = UnbinnedToyStudy(lf)
+    with pytest.raises(ValueError, match="set_data"):
+        study.profile_map([('s0_rate_multiplier', [1.0])])
+
+
+def test_profile_map_retrace_after_set_data_x64_off():
+    """Regression: without x64, the anchor-array float64->float32 cast inside
+    the lazily-entered unbinned parts builder was traced, and the engine's
+    parts memo leaked that tracer into the retrace a new event count
+    triggers (UnexpectedTracerError on the first set_data rebind). Needs a
+    subprocess: conftest enables x64 in-process, which masks the cast."""
+    import os
+    import subprocess
+    import sys
+    code = """
+import os
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+import jax; jax.config.update('jax_platforms', 'cpu')
+assert not jax.config.jax_enable_x64
+import numpy as np
+from blueice_tpu.test_helpers import conf_for_test
+from blueice_tpu.likelihood import UnbinnedLogLikelihood
+from blueice_tpu.parallel import UnbinnedToyStudy
+conf = conf_for_test(mc=True, analysis_space=[['x', [-10, -1, 1, 10]]],
+                     n_events_for_pdf=int(5e4))
+lf = UnbinnedLogLikelihood(conf)
+lf.add_rate_parameter('s0')
+lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+lf.prepare()
+rng = np.random.default_rng(0)
+study = UnbinnedToyStudy(lf)
+for n in (200, 230):   # different event counts force a retrace
+    d = np.zeros(n, dtype=[('x', float), ('source', int)])
+    d['x'] = rng.normal(0, 1, n)
+    lf.set_data(d)
+    t, free, cond = study.profile_map([('s0_rate_multiplier', [0.9, 1.1])])
+    assert np.isfinite(t).all()
+print('RETRACE_OK')
+"""
+    env = dict(os.environ)
+    env.pop('JAX_ENABLE_X64', None)
+    for trigger in ('PALLAS_AXON_POOL_IPS', 'TPU_LIBRARY_PATH',
+                    'PJRT_LIBRARY_PATH'):
+        env.pop(trigger, None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, '-c', code], cwd=repo, env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert 'RETRACE_OK' in proc.stdout

@@ -24,7 +24,7 @@ from collections import OrderedDict
 import numpy as np
 
 __all__ = ['toy_upper_limits', 'toy_lower_limits', 'toy_central_intervals',
-           'sensitivity_band']
+           'sensitivity_band', 'observed_interval']
 
 
 def _critical_curve(hypotheses, cl, t_ppf):
@@ -81,7 +81,14 @@ def _auto_grid(study, key, target, n_toys, truth, fixed, mesh, n_points=33):
     program, and the toys regenerate bit-identically from the key, so the
     extra cost is one program execution."""
     free = study.run(key, n_toys, truth=truth, fixed=fixed, mesh=mesh)
-    x = np.asarray(free[target])
+    return _grid_from_fits(np.asarray(free[target]),
+                           study.compiled.bounds.get(target, (None, None)),
+                           n_points)
+
+
+def _grid_from_fits(x, bounds, n_points=33):
+    """Initial hypothesis grid covering best fits ``x`` plus a 6-sigma
+    one-sided margin, clamped to the parameter ``bounds``."""
     q16, q50, q84 = np.percentile(x, [16, 50, 84])
     # Spread estimate robust to boundary pile-up (bg-only rate fits pile at
     # 0, which crushes the IQR — std survives a half-pile at ~0.6 sigma).
@@ -92,7 +99,7 @@ def _auto_grid(study, key, target, n_toys, truth, fixed, mesh, n_points=33):
     sigma = max((q84 - q16) / 2.0, float(np.std(x)), abs(q50) / 4.0)
     if sigma == 0.0:
         sigma = max(abs(float(np.max(np.abs(x)))), 1.0) / 6.0
-    lo_b, hi_b = study.compiled.bounds.get(target, (None, None))
+    lo_b, hi_b = bounds
     lo = min(0.0, float(np.min(x)))
     if lo_b is not None:
         # Fits respect the bounds, so this stays <= min(x) (every toy keeps
@@ -106,9 +113,9 @@ def _auto_grid(study, key, target, n_toys, truth, fixed, mesh, n_points=33):
         hi = min(hi, float(hi_b))
     if not hi > lo:
         raise ValueError(
-            "auto hypothesis grid for %r is degenerate: [%g, %g] after "
-            "clamping to bounds (%s, %s) — pass an explicit grid"
-            % (target, lo, hi, lo_b, hi_b))
+            "auto hypothesis grid is degenerate: [%g, %g] after clamping to "
+            "bounds (%s, %s) — pass an explicit grid"
+            % (lo, hi, lo_b, hi_b))
     return np.linspace(lo, hi, n_points)
 
 
@@ -157,39 +164,55 @@ def toy_upper_limits(study, key, target, hypotheses, n_toys, truth=None,
 
 def _adaptive_edges(study, key, target, hypotheses, n_toys, truth, fixed,
                     mesh, t_ppf, specs):
-    """Run the profile-LR grid and read off interval edges; with
-    ``hypotheses='auto'``, retry with a rescaled grid until every requested
-    edge is resolved (or pinned at the parameter's bound).
-
-    The free-fit spread that sizes the initial auto grid can wildly misjudge
-    the limit scale (e.g. a zero-background child pins every best fit to
-    exactly 0 while the limit is set by the Poisson upper tail). Retries cost
-    only program EXECUTIONS — the fit programs are already compiled and the
-    toys regenerate bit-identically from the key.
-
-    :param specs: list of (side, cl) pairs — one interval edge each. The
-      quantile handed to t_ppf is cl itself (matching
-      ``one_parameter_interval``'s convention for each kind).
-    :return: (list of per-spec edge arrays, ts, hyps, free).
-    """
+    """Toy-ensemble front end of :func:`_adaptive_edges_impl`: run the
+    profile-LR grid over a simulated ensemble (toys regenerate bit-identically
+    from the key, so auto-grid retries cost only program executions)."""
     auto = isinstance(hypotheses, str)
     if auto:
         if hypotheses != 'auto':
             raise ValueError("hypotheses must be a grid of values or 'auto'")
         hypotheses = _auto_grid(study, key, target, n_toys, truth, fixed,
                                 mesh)
+
+    def run_grid(hyps):
+        ts, hyps, free, _ = study.profile_ts_grid(
+            key, target, hyps, n_toys, truth=truth, fixed=fixed, mesh=mesh)
+        return np.asarray(ts), np.asarray(hyps), free
+
+    return _adaptive_edges_impl(
+        run_grid, study.compiled.bounds.get(target, (None, None)),
+        hypotheses, target, t_ppf, specs, adapt=auto)
+
+
+def _adaptive_edges_impl(run_grid, bounds, hypotheses, target, t_ppf, specs,
+                         adapt=True):
+    """Run the profile-LR grid and read off interval edges, retrying with a
+    rescaled grid until every requested edge is resolved (or pinned at the
+    parameter's bound).
+
+    The free-fit spread that sizes an initial auto grid can wildly misjudge
+    the limit scale (e.g. a zero-background child pins every best fit to
+    exactly 0 while the limit is set by the Poisson upper tail); retries cost
+    only executions of the already-compiled programs.
+
+    :param run_grid: callable(hypotheses) -> (ts (H, T), sorted hypotheses,
+      free ToyResults) — a toy ensemble or a single observed dataset (T=1).
+    :param bounds: the target's (lo, hi) parameter bounds.
+    :param specs: list of (side, cl) pairs — one interval edge each. The
+      quantile handed to t_ppf is cl itself (matching
+      ``one_parameter_interval``'s convention for each kind).
+    :return: (list of per-spec edge arrays, ts, hyps, free).
+    """
     n_points = len(np.asarray(hypotheses))
-    lo_b, hi_b = study.compiled.bounds.get(target, (None, None))
+    lo_b, hi_b = bounds
     upper_only = all(side == 'upper' for side, _ in specs)
     for _attempt in range(6):
-        ts, hyps, free, _ = study.profile_ts_grid(
-            key, target, hypotheses, n_toys, truth=truth, fixed=fixed,
-            mesh=mesh)
+        ts, hyps, free = run_grid(hypotheses)
         x_hat = np.asarray(free[target])
         crits = [_checked_crit(hyps, cl, t_ppf) for _, cl in specs]
         edges = [_edge_from_curves(ts, hyps, x_hat, crit, side)
                  for (side, _), crit in zip(specs, crits)]
-        if not auto:
+        if not adapt:
             break
         lo, hi = float(hyps[0]), float(hyps[-1])
         span = hi - lo
@@ -343,6 +366,12 @@ def sensitivity_band(study, key, target, hypotheses, n_toys, truth=None,
     uls = toy_upper_limits(study, key, target, hypotheses, n_toys,
                            truth=truth, fixed=fixed, cl=cl, t_ppf=t_ppf,
                            mesh=mesh)
+    return _band_from_limits(uls, quantiles)
+
+
+def _band_from_limits(uls, quantiles):
+    """Order-statistic band of per-toy limits; beyond-grid (NaN) limits
+    enter as +inf so the quantiles stay unbiased."""
     beyond = ~np.isfinite(uls)
     n_beyond = int(beyond.sum())
     uls_full = np.where(beyond, np.inf, uls)
@@ -354,3 +383,97 @@ def sensitivity_band(study, key, target, hypotheses, n_toys, truth=None,
             "%d/%d toy limits lie beyond the hypothesis grid: band edges "
             "among them are inf — widen the grid" % (n_beyond, len(uls)))
     return {'limits': uls_full, 'band': band, 'n_beyond_grid': n_beyond}
+
+
+def observed_interval(study, target, hypotheses='auto', counts=None,
+                      kind='upper', cl=0.9, t_ppf=None, fixed=None,
+                      return_grid=False):
+    """Confidence interval on the OBSERVED dataset from the compiled
+    profile-LR curve — the device twin of ``one_parameter_interval``
+    (reference: blueice/inference.py:332-389). The whole hypothesis scan is
+    executions of one warm-started conditional-fit program
+    (:meth:`~blueice_tpu.parallel.toys.BinnedToyStudy.profile_map`); the edge
+    is the same critical-curve crossing interpolation as the per-toy limits.
+    Wilks by default; a toy-calibrated ``t_ppf(hypothesis, quantile)`` (e.g.
+    ``NeymanConstruction.t_ppf``) plugs in identically.
+
+    :param study: a BinnedToyStudy or UnbinnedToyStudy. The dataset is the
+      likelihood's ``set_data`` one; binned studies also accept explicit
+      ``counts=`` tensors.
+    :param hypotheses: grid of target values (edges interpolate between
+      points, NaN beyond the grid), or ``'auto'`` to size the grid from the
+      observed best fit and rescale until every requested edge resolves or
+      pins at a parameter bound.
+    :param kind: 'upper', 'lower' or 'central' — conventions (including the
+      quantile handed to t_ppf per side) exactly as in
+      ``one_parameter_interval``.
+    :return: float for 'upper'/'lower', (lower, upper) floats for 'central'.
+      With return_grid, (result, ts (H,), hypotheses, free ToyResults).
+    """
+    if kind == 'upper':
+        specs = [('upper', cl)]
+    elif kind == 'lower':
+        specs = [('lower', 1.0 - cl)]
+    elif kind == 'central':
+        tail = (1.0 - cl) / 2.0
+        specs = [('lower', tail), ('upper', 1.0 - tail)]
+    else:
+        raise ValueError("kind must be 'upper', 'lower' or 'central'")
+
+    map_kwargs = {'fixed': fixed}
+    if counts is not None:
+        if not hasattr(study, 'observed_counts'):
+            raise ValueError(
+                "counts= applies to binned studies; unbinned observed data "
+                "is bound with lf.set_data")
+        map_kwargs['counts'] = counts
+
+    def run_grid(hyps):
+        hyps = np.sort(np.asarray(hyps, dtype=float))
+        t, free, _ = study.profile_map([(target, hyps)], **map_kwargs)
+        return np.asarray(t)[:, None], hyps, free
+
+    bounds = study.compiled.bounds.get(target, (None, None))
+    auto = isinstance(hypotheses, str)
+    if auto:
+        if hypotheses != 'auto':
+            raise ValueError("hypotheses must be a grid of values or 'auto'")
+        # Seed the grid from the observed best fit (one tiny map execution);
+        # the adaptive retries find the real scale even when this misjudges
+        defaults = study.compiled.defaults
+        _, free0, _ = study.profile_map(
+            [(target, [float(defaults[target])])], **map_kwargs)
+        hypotheses = _grid_from_fits(np.asarray(free0[target]), bounds)
+
+    edges, ts, hyps, free = _adaptive_edges_impl(
+        run_grid, bounds, hypotheses, target, t_ppf, specs, adapt=auto)
+
+    if auto and all(np.isfinite(e).all() for e in edges):
+        # One zoom pass for interpolation resolution: the auto grid is sized
+        # to FIND the edges (best fit + 6 sigma), which for one dataset can
+        # dwarf the interval itself. Re-run the (already compiled) program on
+        # a grid hugging the found edges and the best fit.
+        finite = [float(e[0]) for e in edges]
+        span = float(hyps[-1] - hyps[0])
+        step = span / max(len(hyps) - 1, 1)
+        x_hat = float(np.asarray(free[target])[0])
+        g_lo = min(min(finite), x_hat) - step
+        g_hi = max(max(finite), x_hat) + step
+        if bounds[0] is not None:
+            g_lo = max(g_lo, float(bounds[0]))
+        if bounds[1] is not None:
+            g_hi = min(g_hi, float(bounds[1]))
+        if g_hi > g_lo and (g_hi - g_lo) < 0.6 * span:
+            zoomed = _adaptive_edges_impl(
+                run_grid, bounds, np.linspace(g_lo, g_hi, len(hyps)),
+                target, t_ppf, specs, adapt=False)
+            # Keep the zoom only if every edge is still resolved (a crossing
+            # could in principle slip past the one-step margin)
+            if all(np.isfinite(e).all() for e in zoomed[0]):
+                edges, ts, hyps, free = zoomed
+
+    out = (float(edges[0][0]) if kind != 'central'
+           else (float(edges[0][0]), float(edges[1][0])))
+    if return_grid:
+        return out, np.asarray(ts)[:, 0], hyps, free
+    return out

@@ -204,3 +204,46 @@ print('RETRACE_OK')
                           capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert 'RETRACE_OK' in proc.stdout
+
+
+def test_observed_interval_matches_host_one_parameter_interval():
+    """observed_interval reproduces one_parameter_interval on the same
+    dataset (the reference's observed-data workflow) for all three kinds."""
+    from blueice_tpu.parallel import observed_interval
+    lf, study, counts = _lf_and_data(seed=9)
+    ul = observed_interval(study, 's0_rate_multiplier', kind='upper', cl=0.9)
+    ul_host = lf.one_parameter_interval(
+        's0_rate_multiplier', bound=5.0, kind='upper', confidence_level=0.9,
+        bestfit_routine='jax')
+    assert abs(ul - ul_host) < 0.05, (ul, ul_host)
+
+    lo, hi = observed_interval(study, 's0_rate_multiplier', kind='central',
+                               cl=0.9)
+    lo_host, hi_host = lf.one_parameter_interval(
+        's0_rate_multiplier', bound=(0.0, 5.0), kind='central',
+        confidence_level=0.9, bestfit_routine='jax')
+    assert lo < hi
+    assert abs(lo - lo_host) < 0.05 and abs(hi - hi_host) < 0.05
+
+    ll = observed_interval(study, 's0_rate_multiplier', kind='lower', cl=0.9)
+    assert ll < ul
+
+
+def test_observed_interval_unbinned_and_validation():
+    from blueice_tpu.parallel import UnbinnedToyStudy, observed_interval
+    import pytest as _pytest
+    lf = _unbinned_lf_and_data(seed=21)
+    study = UnbinnedToyStudy(lf)
+    ul, ts, hyps, free = observed_interval(
+        study, 's0_rate_multiplier', kind='upper', cl=0.9, return_grid=True)
+    ul_host = lf.one_parameter_interval(
+        's0_rate_multiplier', bound=5.0, kind='upper', confidence_level=0.9,
+        bestfit_routine='jax')
+    grid_step = float(hyps[1] - hyps[0])
+    assert abs(ul - ul_host) < max(2 * grid_step, 0.05), (ul, ul_host)
+    assert ts.shape == (len(hyps),)
+    with _pytest.raises(ValueError, match="kind"):
+        observed_interval(study, 's0_rate_multiplier', kind='both')
+    with _pytest.raises(ValueError, match="binned"):
+        observed_interval(study, 's0_rate_multiplier',
+                          counts=np.zeros(3))

@@ -26,6 +26,8 @@ import numpy as np
 __all__ = ['toy_upper_limits', 'toy_lower_limits', 'toy_central_intervals',
            'sensitivity_band', 'observed_interval']
 
+_AUTO_GRID_POINTS = 33
+
 
 def _critical_curve(hypotheses, cl, t_ppf):
     if t_ppf is None:
@@ -74,7 +76,8 @@ def _quantile_inf_aware(sorted_vals, q):
     return a + (b - a) * (pos - lo)
 
 
-def _auto_grid(study, key, target, n_toys, truth, fixed, mesh, n_points=33):
+def _auto_grid(study, key, target, n_toys, truth, fixed, mesh,
+               n_points=_AUTO_GRID_POINTS):
     """Hypothesis grid sized from a free-fit pass over the ensemble: cover
     the best-fit distribution plus a 6-sigma one-sided margin, clamped to
     the target's bounds. The free fits reuse the grid run's own compiled
@@ -86,7 +89,16 @@ def _auto_grid(study, key, target, n_toys, truth, fixed, mesh, n_points=33):
                            n_points)
 
 
-def _grid_from_fits(x, bounds, n_points=33):
+def _auto_requested(hypotheses):
+    """True for hypotheses='auto'; raises on any other string."""
+    if isinstance(hypotheses, str):
+        if hypotheses != 'auto':
+            raise ValueError("hypotheses must be a grid of values or 'auto'")
+        return True
+    return False
+
+
+def _grid_from_fits(x, bounds, n_points=_AUTO_GRID_POINTS):
     """Initial hypothesis grid covering best fits ``x`` plus a 6-sigma
     one-sided margin, clamped to the parameter ``bounds``."""
     q16, q50, q84 = np.percentile(x, [16, 50, 84])
@@ -167,10 +179,8 @@ def _adaptive_edges(study, key, target, hypotheses, n_toys, truth, fixed,
     """Toy-ensemble front end of :func:`_adaptive_edges_impl`: run the
     profile-LR grid over a simulated ensemble (toys regenerate bit-identically
     from the key, so auto-grid retries cost only program executions)."""
-    auto = isinstance(hypotheses, str)
+    auto = _auto_requested(hypotheses)
     if auto:
-        if hypotheses != 'auto':
-            raise ValueError("hypotheses must be a grid of values or 'auto'")
         hypotheses = _auto_grid(study, key, target, n_toys, truth, fixed,
                                 mesh)
 
@@ -427,23 +437,33 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
                 "counts= applies to binned studies; unbinned observed data "
                 "is bound with lf.set_data")
         map_kwargs['counts'] = counts
+    # Binned studies run the free fit as a separate program: memoize its
+    # result across the adaptive retries (one dataset, identical fit). The
+    # unbinned map fuses the free fit into the same dispatch as the grid
+    # lanes, where re-running it costs one lane-equivalent — nothing to save.
+    binned = hasattr(study, 'observed_counts')
+    memo = {}
 
     def run_grid(hyps):
         hyps = np.sort(np.asarray(hyps, dtype=float))
-        t, free, _ = study.profile_map([(target, hyps)], **map_kwargs)
+        kw = dict(map_kwargs)
+        if binned and 'free' in memo:
+            kw['_free'] = memo['free']
+        t, free, _ = study.profile_map([(target, hyps)], **kw)
+        memo['free'] = free
         return np.asarray(t)[:, None], hyps, free
 
     bounds = study.compiled.bounds.get(target, (None, None))
-    auto = isinstance(hypotheses, str)
+    auto = _auto_requested(hypotheses)
     if auto:
-        if hypotheses != 'auto':
-            raise ValueError("hypotheses must be a grid of values or 'auto'")
-        # Seed the grid from the observed best fit (one tiny map execution);
-        # the adaptive retries find the real scale even when this misjudges
-        defaults = study.compiled.defaults
-        _, free0, _ = study.profile_map(
-            [(target, [float(defaults[target])])], **map_kwargs)
-        hypotheses = _grid_from_fits(np.asarray(free0[target]), bounds)
+        # Seed the grid from the observed best fit. The seed scan uses a
+        # constant grid of the SAME length as the later attempts, so one
+        # compiled map program (points shape (n, 1)) serves the seed, every
+        # adaptive retry and the zoom pass alike.
+        x0 = float(study.compiled.defaults[target])
+        _, _, free0 = run_grid(np.full(_AUTO_GRID_POINTS, x0))
+        hypotheses = _grid_from_fits(np.asarray(free0[target]), bounds,
+                                     _AUTO_GRID_POINTS)
 
     edges, ts, hyps, free = _adaptive_edges_impl(
         run_grid, bounds, hypotheses, target, t_ppf, specs, adapt=auto)
@@ -472,6 +492,16 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
             if all(np.isfinite(e).all() for e in zoomed[0]):
                 edges, ts, hyps, free = zoomed
 
+    for (side, _), e in zip(specs, edges):
+        if not np.isfinite(e).all():
+            warnings.warn(
+                "the %s edge did not resolve within the hypothesis grid "
+                "[%g, %g]%s — returning NaN. The profile-LR curve may never "
+                "reach the critical value inside the parameter's bounds "
+                "(no exclusion at this confidence level), or an explicit "
+                "grid may be too narrow."
+                % (side, float(hyps[0]), float(hyps[-1]),
+                   " (after adaptive rescaling)" if auto else ""))
     out = (float(edges[0][0]) if kind != 'central'
            else (float(edges[0][0]), float(edges[1][0])))
     if return_grid:

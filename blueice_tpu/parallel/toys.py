@@ -108,14 +108,25 @@ def _cond_scan(hypotheses, call_cond, refine_cond, llf, names_cond, cap):
     return np.stack(ts), conds
 
 
-def _check_map_space(compiled, space):
-    """Validate a profile_map ``space`` spec: 1 or 2 (name, grid) pairs,
-    nonempty grids, every grid point inside the parameter's range."""
+def _check_map_space(compiled, space, fixed=None):
+    """Validate a profile_map ``space`` spec: 1 or 2 DISTINCT (name, grid)
+    pairs, none also in ``fixed`` (a duplicated target would silently let the
+    last grid value win — a fake 2-D map; a fixed target would constrain the
+    free fit, so t would not be a profile-LR curve), nonempty grids, every
+    grid point inside the parameter's range."""
     space = list(space)
     if len(space) not in (1, 2):
         raise ValueError(
             "space must be 1 or 2 (name, grid) pairs, got %d" % len(space))
     targets = [name for name, _ in space]
+    if len(set(targets)) != len(targets):
+        raise ValueError("space names a parameter twice: %s" % targets)
+    clash = sorted(set(targets) & set(fixed or {}))
+    if clash:
+        raise ValueError(
+            "space parameters %s are also in fixed= — a fixed target would "
+            "constrain the free fit too, so the map would not be a "
+            "profile-LR surface" % clash)
     grids = [np.asarray(g, dtype=float).ravel() for _, g in space]
     for name, g in zip(targets, grids):
         if g.size == 0:
@@ -538,7 +549,7 @@ class BinnedToyStudy:
             return c
         return jax.tree_util.tree_map(_cast, expected, counts)
 
-    def profile_map(self, space, counts=None, fixed=None):
+    def profile_map(self, space, counts=None, fixed=None, _free=None):
         """Profiled likelihood-ratio map on one OBSERVED dataset:
         t(theta) = 2(LL_free - LL(theta fixed, rest profiled)) over a 1- or
         2-dimensional parameter grid, every grid point a lane of ONE vmapped
@@ -557,16 +568,21 @@ class BinnedToyStudy:
           ``plt.plot(g1, t)`` plots it directly; t/2 is the
           -log-likelihood-ratio surface ``plot_likelihood_ratio`` shows.
         """
-        targets, grids = _check_map_space(self.compiled, space)
+        targets, grids = _check_map_space(self.compiled, space, fixed)
         counts = self.observed_counts(counts)
         counts1 = jax.tree_util.tree_map(lambda c: c[None], counts)
 
-        # The free fit reuses run()/fit_toys()' compiled program (batch 1)
+        # The free fit reuses run()/fit_toys()' compiled program (batch 1);
+        # _free short-circuits it with a previous call's free ToyResults on
+        # the SAME dataset (observed_interval's adaptive retries)
         fit_free_j, free_long_j, names_free = self._fit_entry(fixed)
-        xf, llf, itf = jax.device_get(fit_free_j(counts1))
-        if free_long_j is not None:
-            xf, llf, itf = _refine_stragglers(
-                free_long_j, counts1, xf, llf, itf, self.max_iter)[:3]
+        if _free is not None:
+            xf, llf, itf = _free.x, _free.max_ll, _free.n_iter
+        else:
+            xf, llf, itf = jax.device_get(fit_free_j(counts1))
+            if free_long_j is not None:
+                xf, llf, itf = _refine_stragglers(
+                    free_long_j, counts1, xf, llf, itf, self.max_iter)[:3]
 
         cache_key = (tuple(targets), self._freeze(fixed), 'map')
         entry = self._profile_cache.get(cache_key)
@@ -1125,7 +1141,7 @@ class UnbinnedToyStudy:
           ToyResults (1 row), conditional ToyResults (one row per grid
           point, C order)).
         """
-        targets, grids = _check_map_space(self.compiled, space)
+        targets, grids = _check_map_space(self.compiled, space, fixed)
         build = getattr(self.lf, '_builds', {}).get('ps')
         if build is None:
             raise ValueError(

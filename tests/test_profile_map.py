@@ -247,3 +247,44 @@ def test_observed_interval_unbinned_and_validation():
     with _pytest.raises(ValueError, match="binned"):
         observed_interval(study, 's0_rate_multiplier',
                           counts=np.zeros(3))
+
+
+def test_profile_map_rejects_duplicate_and_fixed_targets():
+    """Review regression: a duplicated space name silently produced a fake
+    2-D map (last grid value wins), and a target also in fixed= constrained
+    the free fit so t was not a profile-LR curve."""
+    lf, study, counts = _lf_and_data()
+    with pytest.raises(ValueError, match="twice"):
+        study.profile_map([('mu', [0.0, 0.5]), ('mu', [0.0, 0.5])],
+                          counts=counts)
+    with pytest.raises(ValueError, match="fixed"):
+        study.profile_map([('mu', [0.0, 0.5])], counts=counts,
+                          fixed={'mu': 0.3})
+
+
+def test_observed_interval_warns_on_unresolvable_edge():
+    """An empty dataset leaves the shape parameter unconstrained: t stays ~0
+    across its whole anchor range, so no 90% edge exists — the result is NaN
+    with a warning, not a silent NaN."""
+    from blueice_tpu.parallel import observed_interval
+    lf, study, counts = _lf_and_data()
+    with pytest.warns(UserWarning, match="did not resolve"):
+        ul = observed_interval(study, 'mu', kind='upper', cl=0.9,
+                               counts=np.zeros_like(counts))
+    assert np.isnan(ul)
+
+
+def test_observed_interval_seed_reuses_one_map_program():
+    """The 'auto' seed scan uses the same grid length as the adaptive
+    attempts, so one compiled map program serves seed, retries and zoom."""
+    from blueice_tpu.parallel import observed_interval
+    lf, study, counts = _lf_and_data()
+    observed_interval(study, 's0_rate_multiplier', kind='upper', cl=0.9,
+                      counts=counts)
+    keys = [k for k in study._profile_cache if k[-1] == 'map']
+    assert len(keys) == 1
+    map_fn = study._profile_cache[keys[0]][0]
+    # One jitted callable; its cache should hold exactly one points shape
+    sizes = getattr(map_fn, '_cache_size', None)
+    if callable(sizes):
+        assert map_fn._cache_size() == 1

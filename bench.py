@@ -21,6 +21,9 @@ beeston-barlow, each with its own host baseline):
   band     — 90% expected-limit (Brazil) band on the xenon scenario: per-toy
              upper limits over a background-only ensemble
              (parallel/limits.py), vs host one_parameter_interval loops
+  interval — observed-data 90% upper limit on ONE xenon dataset
+             (parallel.limits.observed_interval, adaptive auto grid) vs the
+             host one_parameter_interval loop on the same dataset
 
 vs_baseline: speedup over the reference-equivalent host path on this machine —
 sequential scipy minimization of the numpy/float64 likelihood, algorithmically
@@ -329,6 +332,47 @@ def bench_band(n_toys=256, n_hyp=17, time_cap=120.0):
                 vs_baseline=round(rate / host_rate, 1))
 
 
+def bench_interval(time_cap=120.0):
+    """Observed-data 90% upper limit (parallel.limits.observed_interval,
+    adaptive auto grid) on one bg-only XENON dataset vs the host
+    one_parameter_interval brentq-of-scipy-fits loop on the SAME dataset —
+    the reference's single-dataset workflow (blueice/inference.py:332-389)."""
+    import warnings
+    from blueice_tpu.parallel import observed_interval
+    _enable_compile_cache()
+    np.random.seed(20260817)
+    lf = build_lf_xenon(bb=False)
+    target = 'wimp_rate_multiplier'
+    rng = np.random.default_rng(1)
+    d = lf.base_model.simulate({'wimp': 0.0}, rng=rng)
+    lf.set_data(d)
+
+    study = _study_for(lf, 'interval')
+    t0 = time.time()
+    ul = float(observed_interval(study, target, kind='upper', cl=0.9))
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        ul = float(observed_interval(study, target, kind='upper', cl=0.9))
+        times.append(time.time() - t0)
+    warm = min(times)
+    log("device observed 90%% UL %.4g in %.2fs warm (compile+first %.1fs)"
+        % (ul, warm, compile_s))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', RuntimeWarning)
+        t0 = time.time()
+        ul_host = float(lf.one_parameter_interval(
+            target, bound=6.0, kind='upper', confidence_level=0.9))
+        host_s = time.time() - t0
+    log("host one_parameter_interval: %.1fs (UL %.4g)" % (host_s, ul_host))
+    return dict(ul=round(ul, 5), seconds_warm=round(warm, 3),
+                compile_first_run_s=round(compile_s, 1),
+                host_seconds=round(host_s, 1), host_ul=round(ul_host, 5),
+                vs_baseline=round(host_s / warm, 1))
+
+
 def bench_mcmc(n_walkers=64, big_walkers=2048, n_steps=400, n_burn_in=100):
     """Device vs host ensemble MCMC on the Gaussian binned scenario: the same
     stretch-move algorithm (emcee's, blueice/inference.py:249-321) run as one
@@ -489,6 +533,15 @@ def main():
             "vs_baseline": dev['vs_baseline'], "detail": dev,
         }))
         return
+    if 'interval' in args:
+        dev = bench_interval()
+        print(json.dumps({
+            "metric": "observed-data 90% upper limit (compiled profile-LR "
+                      "scan on one XENON dataset)",
+            "value": dev['seconds_warm'], "unit": "s/interval (warm)",
+            "vs_baseline": dev['vs_baseline'], "detail": dev,
+        }))
+        return
     if 'band' in args:
         nums = [int(a) for a in args if a.isdigit()]
         dev = bench_band(nums[0] if nums else 256)
@@ -524,7 +577,8 @@ def main():
         except Exception as e:   # a broken scenario must not hide the rest
             log("[%s] FAILED: %r" % (name, e))
             results[name] = dict(error=repr(e))
-    for name, fn in (('band', bench_band), ('mcmc', bench_mcmc)):
+    for name, fn in (('band', bench_band), ('mcmc', bench_mcmc),
+                     ('interval', bench_interval)):
         try:
             results[name] = fn()
         except Exception as e:

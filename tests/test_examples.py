@@ -17,3 +17,16 @@ def test_combined_runs_demo(monkeypatch, capsys, tmp_path):
     assert 'joint bestfit' in out
     assert 'UL on signal_rate_multiplier' in out
     assert 'done.' in out
+
+
+_OBS_DEMO = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'examples', 'observed_analysis_demo.py')
+
+
+def test_observed_analysis_demo(monkeypatch, capsys, tmp_path):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, 'argv', ['observed_analysis_demo.py', '11'])
+    runpy.run_path(_OBS_DEMO, run_name='__main__')
+    out = capsys.readouterr().out
+    assert '90% UL' in out and '68% central' in out
+    assert 'done.' in out

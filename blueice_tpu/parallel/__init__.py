@@ -8,6 +8,8 @@ from .neyman import NeymanConstruction
 from .limits import (toy_upper_limits, toy_lower_limits,
                      toy_central_intervals, sensitivity_band,
                      observed_interval)
+from .discovery import (discovery_ts, observed_discovery,
+                        asimov_discovery)
 from .distributed import (init_distributed, global_mesh,
                           profile_ts_distributed, run_distributed)
 from .mcmc import sample_stretch, bestfit_emcee_device

@@ -1,0 +1,148 @@
+"""Discovery significance on the compiled profile-likelihood engines.
+
+The reference stops at interval setting (blueice/inference.py:332-389) and
+leaves discovery tests — "is the signal rate nonzero?" — to the user, who
+assembles them by hand from bestfit calls. This module supplies the standard
+machinery (Cowan, Cranmer, Gross, Vitells, arXiv:1007.1727) on the same
+compiled double-fit programs that power limit setting:
+
+- :func:`discovery_ts`: the one-sided discovery statistic
+  ``q0 = 2(LL(x_hat) - LL(target=null)) if x_hat > null else 0``
+  for every toy of a batched ensemble (one compiled program).
+- :func:`observed_discovery`: observed q0 on one dataset, with the
+  asymptotic p-value/Z (half-chi2 null) and, optionally, a toy-calibrated
+  p-value from a null-hypothesis ensemble run on the same program.
+- :func:`asimov_discovery`: the median expected significance from the
+  Asimov dataset (expected counts at the signal truth), binned studies.
+
+All functions take a ``BinnedToyStudy`` or ``UnbinnedToyStudy``
+(:mod:`blueice_tpu.parallel.toys`); ``asimov_discovery`` is binned-only
+(an Asimov *event set* does not exist for unbinned data — use the median of
+:func:`discovery_ts` under the signal truth instead).
+"""
+
+import numpy as np
+from scipy import stats
+
+__all__ = ['discovery_ts', 'observed_discovery', 'asimov_discovery']
+
+
+def _check_target_free(target, fixed):
+    if target in (fixed or {}):
+        raise ValueError(
+            "the discovery target %r cannot also be in fixed= — the free "
+            "fit must float it" % target)
+
+
+def _one_sided(t, x_hat, null):
+    """Mask the two-sided profile-LR statistic to the discovery convention:
+    a downward fluctuation (best fit at or below the null) is no evidence
+    FOR a signal, so q0 = 0 there. For a target bounded below at the null
+    (the usual [0, inf) rate multiplier) this is a no-op — the bounded best
+    fit pins to the null and t is already 0 — but for ``allow_negative``
+    targets it is what makes q0 one-sided."""
+    return np.where(np.asarray(x_hat) > null, np.asarray(t), 0.0)
+
+
+def discovery_ts(study, key, n_toys, target, truth=None, fixed=None,
+                 mesh=None, null=0.0):
+    """Per-toy discovery statistic q0 over a batched toy ensemble.
+
+    Simulates ``n_toys`` datasets at ``truth`` and computes
+    ``q0 = 2(LL_free - LL(target=null))``, zeroed for toys whose best fit
+    lands at or below ``null`` (one-sided convention). With
+    ``truth[target] = null`` this is the null-calibration ensemble (q0's
+    sampling distribution under background-only, asymptotically a half-chi2
+    with a point mass at 0); with the signal truth it is the expected
+    discovery-significance distribution.
+
+    :return: (q0 array (n_toys,), free ToyResults, conditional ToyResults).
+    """
+    _check_target_free(target, fixed)
+    t, free, cond = study.profile_ts(key, n_toys, target, float(null),
+                                     truth=truth, fixed=fixed, mesh=mesh)
+    return _one_sided(t, free[target], float(null)), free, cond
+
+
+def _significance(q0):
+    """Asymptotic (p, Z) of an observed q0: Z = sqrt(q0), p = 1 - Phi(Z)."""
+    z = float(np.sqrt(max(q0, 0.0)))
+    return float(stats.norm.sf(z)), z
+
+
+def observed_discovery(study, target, counts=None, fixed=None, null=0.0,
+                       key=None, n_calibration=0, truth=None, mesh=None):
+    """Observed discovery test on ONE dataset.
+
+    Computes the observed ``q0`` via the compiled profile map (one free fit +
+    one conditional fit at ``target=null``), the asymptotic p-value and
+    significance ``Z = sqrt(q0)``, and — when ``key`` and ``n_calibration``
+    are given — a toy-calibrated p-value: the add-one-smoothed fraction of a
+    null-hypothesis ensemble (``truth`` with ``target=null``) whose q0
+    reaches the observed one. Toy calibration reuses the ensemble double-fit
+    program, so its cost is one toy study.
+
+    :param counts: observed count tensor(s) (binned studies only); default
+      is the likelihood's ``set_data`` dataset for either study type.
+    :return: dict with ``q0``, ``x_hat``, ``p_asymptotic``, ``Z_asymptotic``
+      and, when calibrated, ``p_toys``, ``Z_toys``, ``q0_calibration``.
+    """
+    _check_target_free(target, fixed)
+    null = float(null)
+    kwargs = {'fixed': fixed}
+    if counts is not None:
+        if not hasattr(study, 'observed_counts'):
+            raise ValueError(
+                "counts= applies to binned studies; unbinned observed data "
+                "is bound with lf.set_data")
+        kwargs['counts'] = counts
+    t, free, _ = study.profile_map([(target, np.asarray([null]))], **kwargs)
+    x_hat = float(np.asarray(free[target])[0])
+    q0 = float(_one_sided(np.asarray(t).ravel(), [x_hat], null)[0])
+    p, z = _significance(q0)
+    out = {'q0': q0, 'x_hat': x_hat, 'p_asymptotic': p, 'Z_asymptotic': z}
+
+    if n_calibration:
+        if key is None:
+            raise ValueError("toy calibration needs key= for the ensemble")
+        null_truth = dict(truth or {})
+        null_truth[target] = null
+        q0_toys, _, _ = discovery_ts(study, key, int(n_calibration), target,
+                                     truth=null_truth, fixed=fixed,
+                                     mesh=mesh, null=null)
+        # Add-one smoothing keeps p strictly positive (an observed q0 above
+        # every calibration toy is evidence, not p = 0) and is the standard
+        # unbiased permutation-test estimator
+        n_ge = int((q0_toys >= q0 * (1.0 - 1e-12)).sum())
+        p_toys = (1.0 + n_ge) / (1.0 + len(q0_toys))
+        out['p_toys'] = float(p_toys)
+        out['Z_toys'] = float(stats.norm.isf(p_toys))
+        out['q0_calibration'] = q0_toys
+    return out
+
+
+def asimov_discovery(study, target, truth, fixed=None, null=0.0):
+    """Median expected discovery significance from the Asimov dataset.
+
+    The Asimov dataset of a binned likelihood is the expected count in every
+    bin at the signal ``truth`` (non-integer counts are fine — the Poisson
+    term is gammaln-based). Its q0 gives the median significance of the
+    signal+background ensemble directly: ``Z_A = sqrt(q0_A)``
+    (arXiv:1007.1727 eq. 97), with no toy ensemble at all.
+
+    :param truth: parameter dict INCLUDING the signal (e.g.
+      ``{target: 1.0}``); a truth at the null gives Z_A = 0.
+    :return: dict with ``q0_asimov``, ``Z_asimov``, ``x_hat`` (the free fit
+      on the Asimov dataset — should reproduce ``truth[target]``).
+    """
+    if not hasattr(study, 'expected_counts'):
+        raise TypeError(
+            "asimov_discovery needs a binned study (an Asimov event set "
+            "does not exist for unbinned data); use the median of "
+            "discovery_ts under the signal truth instead")
+    _check_target_free(target, fixed)
+    counts = study.expected_counts(**dict(truth or {}))
+    res = observed_discovery(study, target, counts=counts, fixed=fixed,
+                             null=null)
+    return {'q0_asimov': res['q0'], 'Z_asimov': res['Z_asymptotic'],
+            'x_hat': res['x_hat']}

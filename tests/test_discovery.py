@@ -1,0 +1,163 @@
+"""Discovery significance (parallel/discovery.py): one-sided q0 statistics,
+observed/asymptotic/toy-calibrated significance, Asimov expected Z — checked
+against host double fits and the half-chi2 asymptotics."""
+
+import numpy as np
+import jax
+import pytest
+from scipy import stats
+
+from blueice_tpu.test_helpers import conf_for_test
+from blueice_tpu.likelihood import BinnedLogLikelihood, UnbinnedLogLikelihood
+from blueice_tpu.parallel import (BinnedToyStudy, UnbinnedToyStudy,
+                                  discovery_ts, observed_discovery,
+                                  asimov_discovery)
+
+TARGET = 's0_rate_multiplier'
+
+
+def _conf():
+    conf = conf_for_test(n_sources=2, mc=True,
+                         analysis_space=[['x', [-10, -1, 1, 10]]],
+                         n_events_for_pdf=int(2e5))
+    conf['sources'][0]['events_per_day'] = 20.0
+    conf['sources'][1]['mu'] = 3.0
+    return conf
+
+
+def _binned_lf():
+    lf = BinnedLogLikelihood(_conf())
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    return lf
+
+
+def _dataset_from_counts(c):
+    centers = [-5.5, 0.0, 5.5]
+    xs = np.concatenate([np.full(int(c[j]), centers[j]) for j in range(3)])
+    d = np.zeros(len(xs), dtype=[('x', float), ('source', int)])
+    d['x'] = xs
+    return d
+
+
+def test_observed_matches_host_double_fit():
+    """Observed q0 equals the host free/conditional double fit on the same
+    dataset (reference-style bestfit calls, blueice/inference.py:131-178)."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    counts = np.asarray(study.simulate(jax.random.PRNGKey(7), 1,
+                                       {TARGET: 2.0}))[0]
+    lf.set_data(_dataset_from_counts(counts))
+    res = observed_discovery(study, TARGET)
+
+    _, ll_free = lf.bestfit_jax()
+    _, ll_null = lf.bestfit_jax(**{TARGET: 0.0})
+    q0_host = max(2.0 * (ll_free - ll_null), 0.0)
+    assert res['q0'] == pytest.approx(q0_host, rel=1e-3, abs=1e-6)
+    assert res['Z_asymptotic'] == pytest.approx(np.sqrt(res['q0']))
+    assert res['p_asymptotic'] == pytest.approx(
+        stats.norm.sf(res['Z_asymptotic']))
+    # 2 days of a 20-events/day signal: decisively nonzero
+    assert res['x_hat'] > 0.5 and res['q0'] > 4.0
+
+
+def test_asimov_significance():
+    """Z_A grows with the injected signal, vanishes at the null, and the
+    Asimov free fit recovers the truth."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    z = {}
+    for s in (0.0, 0.5, 2.0):
+        res = asimov_discovery(study, TARGET, {TARGET: s})
+        z[s] = res['Z_asimov']
+        assert res['x_hat'] == pytest.approx(s, abs=0.02)
+    assert z[0.0] == pytest.approx(0.0, abs=1e-3)
+    assert z[2.0] > z[0.5] > 0.5
+
+
+def test_asimov_matches_host_on_asimov_counts():
+    """q0_A equals the host double fit run on the same (non-integer) Asimov
+    count tensor via the compiled likelihood."""
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    truth = {TARGET: 1.5}
+    res = asimov_discovery(study, TARGET, truth)
+    asimov = np.asarray(study.expected_counts(**truth), dtype=float)
+    obs = observed_discovery(study, TARGET, counts=asimov)
+    assert res['q0_asimov'] == pytest.approx(obs['q0'], rel=1e-9)
+    assert res['Z_asimov'] > 0.5
+
+
+def test_null_ensemble_is_half_chi2():
+    """Under the null, q0 is a 50:50 mixture of a point mass at 0 and
+    chi2(1): about half the toys pin at 0 (bounded best fit) and the
+    positive tail follows the half-chi2 survival function. Needs enough
+    background statistics for the Gaussian limit — with O(few) counts the
+    discreteness piles far more than half the best fits at 0."""
+    conf = _conf()
+    conf['sources'][1]['events_per_day'] = 300.0
+    lf = BinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    study = BinnedToyStudy(lf)
+    n = 512
+    q0, free, _ = discovery_ts(study, jax.random.PRNGKey(11), n, TARGET,
+                               truth={TARGET: 0.0})
+    assert q0.shape == (n,) and (q0 >= 0).all()
+    frac_zero = float((q0 < 1e-9).mean())
+    assert 0.35 < frac_zero < 0.75
+    # P(q0 > 2.706) should be ~0.05 under the mixture (= 0.5 * chi2(1) tail)
+    tail = float((q0 > stats.chi2.ppf(0.9, df=1)).mean())
+    assert abs(tail - 0.05) < 0.035, (tail, frac_zero)
+
+
+def test_toy_calibrated_p_agrees_with_asymptotics():
+    lf = _binned_lf()
+    study = BinnedToyStudy(lf)
+    counts = np.asarray(study.simulate(jax.random.PRNGKey(3), 1,
+                                       {TARGET: 0.8}))[0]
+    res = observed_discovery(study, TARGET, counts=counts,
+                             key=jax.random.PRNGKey(5), n_calibration=512)
+    assert 'p_toys' in res and len(res['q0_calibration']) == 512
+    assert 0 < res['p_toys'] <= 1
+    # The asymptotic and toy-calibrated p should agree within Monte-Carlo
+    # error in the moderate-significance regime this dataset produces
+    if 0.005 < res['p_asymptotic'] < 0.5:
+        se = np.sqrt(res['p_asymptotic'] * (1 - res['p_asymptotic']) / 512)
+        assert abs(res['p_toys'] - res['p_asymptotic']) < 5 * se + 2 / 512, \
+            (res['p_toys'], res['p_asymptotic'])
+
+
+def test_unbinned_observed_discovery():
+    conf = _conf()
+    conf['sources'][1]['events_per_day'] = 6.0
+    lf = UnbinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([rng.normal(0.0, 1.0, 30),   # signal-like at x=0
+                         rng.normal(3.0, 1.0, 6)])
+    d = np.zeros(len(xs), dtype=[('x', float), ('source', int)])
+    d['x'] = xs
+    lf.set_data(d)
+    study = UnbinnedToyStudy(lf)
+    res = observed_discovery(study, TARGET)
+    assert res['q0'] > 0 and np.isfinite(res['Z_asymptotic'])
+    # counts= is a binned-study concept
+    with pytest.raises(ValueError, match="binned"):
+        observed_discovery(study, TARGET, counts=np.ones(3))
+
+
+def test_asimov_rejects_unbinned_and_fixed_target():
+    lf = UnbinnedLogLikelihood(_conf())
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    study = UnbinnedToyStudy(lf)
+    with pytest.raises(TypeError, match="binned"):
+        asimov_discovery(study, TARGET, {TARGET: 1.0})
+
+    blf = _binned_lf()
+    bstudy = BinnedToyStudy(blf)
+    with pytest.raises(ValueError, match="fixed"):
+        discovery_ts(bstudy, jax.random.PRNGKey(0), 4, TARGET,
+                     fixed={TARGET: 1.0})

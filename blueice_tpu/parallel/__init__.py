@@ -14,6 +14,7 @@ from .cls import cls_curve, cls_upper_limit, cls_expected_band
 from .asymptotics import (asimov_sigma, asimov_expected_limits,
                           asimov_median_limit)
 from .coverage import coverage_check, clopper_pearson
+from .ranking import nuisance_ranking
 from .gof import saturated_logl, gof_ts, gof_pvalue
 from .distributed import (init_distributed, global_mesh,
                           profile_ts_distributed, run_distributed)

@@ -178,18 +178,22 @@ def cls_expected_band(study, key, target, hypotheses, n_toys, cl=0.9,
                       # the set_data dataset if bound, else expected counts
                       counts=_band_counts(study))
     hyps, q_sb, q_b = curve['hypotheses'], curve['q_sb'], curve['q_b']
-    n = q_b.shape[1]
-    lims = np.empty(n)
-    for i in range(n):
-        clsb_i = np.empty(len(hyps))
-        clb_i = np.empty(len(hyps))
-        for j in range(len(hyps)):
-            clsb_i[j] = _tail_fraction(np.sort(q_sb[j]), q_b[j, i])
-            # Exclude toy i from its own calibration: with it left in, the
-            # add-one estimator double-counts the toy and biases CLb high
-            others = np.sort(np.delete(q_b[j], i))
-            clb_i[j] = _tail_fraction(others, q_b[j, i])
-        lims[i] = _cls_crossing(hyps, clsb_i / clb_i, 1.0 - cl)
+    H, n = q_b.shape
+    clsb_all = np.empty((H, n))
+    clb_all = np.empty((H, n))
+    for j in range(H):
+        clsb_all[j] = _tail_fraction(np.sort(q_sb[j]), q_b[j])
+        # Leave-one-out CLb — each toy is excluded from its own calibration
+        # (left in, the add-one estimator double-counts it and biases CLb
+        # high). Counting >= entries in the FULL sorted sample and dropping
+        # the toy's own (always >=) entry equals the delete-and-recount,
+        # without n re-sorts of the n-element sample per hypothesis.
+        b_sorted = np.sort(q_b[j])
+        idx = np.searchsorted(b_sorted, q_b[j] * (1.0 - 1e-12), side='left')
+        clb_all[j] = (1.0 + (n - idx) - 1.0) / (1.0 + (n - 1))
+    cls_all = clsb_all / clb_all
+    lims = np.array([_cls_crossing(hyps, cls_all[:, i], 1.0 - cl)
+                     for i in range(n)])
     out = _band_from_limits(np.where(np.isnan(lims), np.inf, lims),
                             quantiles)
     out['curve'] = curve

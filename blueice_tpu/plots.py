@@ -1,0 +1,145 @@
+"""Plotting helpers for the statistics-toolkit deliverables.
+
+The reference's plotting surface is ``Model.show`` and
+``plot_likelihood_ratio`` (blueice/inference.py:392-443 — kept, in
+:mod:`blueice_tpu.inference`); this module adds the standard visualizations
+of the constructions that only exist in this package: the nuisance ranking
+plot, interval-coverage curves, expected-limit (Brazil) distributions and
+CLs curves. All take the corresponding function's result dict, import
+matplotlib lazily (soft dependency, as in the reference) and draw onto a
+provided axis or a fresh figure.
+"""
+
+import numpy as np
+
+__all__ = ['plot_ranking', 'plot_coverage', 'plot_limit_band', 'plot_cls']
+
+
+def _ax(ax):
+    if ax is not None:
+        import matplotlib.pyplot as plt
+        return ax, plt
+    import matplotlib.pyplot as plt
+    _, ax = plt.subplots()
+    return ax, plt
+
+
+def plot_ranking(ranking, max_rows=None, ax=None):
+    """The classic ranking plot from a
+    :func:`~blueice_tpu.parallel.ranking.nuisance_ranking` result: per
+    nuisance (top = largest post-fit impact), pulls with post-fit error bars
+    on the bottom axis and pre/post-fit impacts on the POI on the top axis.
+
+    :return: the matplotlib axis (pull scale; ``ax.twiny()`` carries the
+      impact scale as ``ax._impact_ax``).
+    """
+    ax, plt = _ax(ax)
+    rows = ranking['nuisances'][:max_rows]
+    if not rows:
+        raise ValueError("the ranking has no nuisance rows to plot")
+    y = np.arange(len(rows))[::-1]
+    ax2 = ax.twiny()
+    dmax = max([abs(v) for r in rows
+                for v in (r['impact_lo'], r['impact_hi'],
+                          r['prefit_impact_lo'], r['prefit_impact_hi'])
+                if v is not None and np.isfinite(v)] or [1.0])
+    for yi, r in zip(y, rows):
+        if r['prefit_impact_lo'] is not None:
+            ax2.barh(yi, r['prefit_impact_hi'] - r['prefit_impact_lo'],
+                     left=r['prefit_impact_lo'], height=0.8, color='none',
+                     edgecolor='C0', linestyle='--', linewidth=1.0)
+        ax2.barh(yi, r['impact_hi'] - r['impact_lo'], left=r['impact_lo'],
+                 height=0.6, color='C0', alpha=0.35)
+        if r['pull'] is not None:
+            err = [[0.0], [0.0]]
+            if r['prior_sigma']:
+                err = [[r['sigma_lo'] / r['prior_sigma']],
+                       [r['sigma_hi'] / r['prior_sigma']]]
+            ax.errorbar([r['pull']], [yi], xerr=err, fmt='ko', capsize=3)
+    ax.axvline(0.0, color='k', linewidth=0.8)
+    for v in (-1.0, 1.0):
+        ax.axvline(v, color='k', linewidth=0.6, linestyle=':')
+    ax.set_yticks(y)
+    ax.set_yticklabels([r['name'] for r in rows])
+    ax.set_xlim(-2.5, 2.5)
+    ax2.set_xlim(-1.2 * dmax, 1.2 * dmax)
+    ax.set_xlabel(r'pull $(\hat\theta - \theta_0)/\sigma_{prior}$')
+    ax2.set_xlabel(r'impact $\Delta$%s' % ranking['target'])
+    ax._impact_ax = ax2
+    return ax
+
+
+def plot_coverage(result, ax=None):
+    """Measured coverage vs truth from a
+    :func:`~blueice_tpu.parallel.coverage.coverage_check` result, with
+    Clopper-Pearson error bars and the nominal level as a reference line."""
+    ax, plt = _ax(ax)
+    v = result['true_values']
+    c = result['coverage']
+    lo = c - result['ci'][:, 0]
+    hi = result['ci'][:, 1] - c
+    ax.errorbar(v, c, yerr=[lo, hi], fmt='o-', capsize=3,
+                label='measured (%d toys)' % result['n_toys'])
+    ax.axhline(result['nominal'], color='k', linestyle='--',
+               label='nominal %.3g' % result['nominal'])
+    ax.set_xlabel('true value')
+    ax.set_ylabel('coverage of the %s %s interval'
+                  % ('%.0f%%' % (100 * result['nominal']), result['kind']))
+    ax.set_ylim(0.0, 1.02)
+    ax.legend()
+    return ax
+
+
+def plot_limit_band(result, observed=None, ax=None, label='expected limits'):
+    """Per-toy limit distribution with the quantile band from a
+    :func:`~blueice_tpu.parallel.limits.sensitivity_band` /
+    :func:`~blueice_tpu.parallel.cls.cls_expected_band` result (green/yellow
+    Brazil shading for the inner quantile pairs, median line), optionally
+    with the observed limit overlaid."""
+    ax, plt = _ax(ax)
+    lims = np.asarray(result['limits'], dtype=float)
+    finite = lims[np.isfinite(lims)]
+    if len(finite) == 0:
+        raise ValueError("every toy limit lies beyond the grid; nothing "
+                         "finite to plot")
+    ax.hist(finite, bins=min(60, max(10, len(finite) // 20)),
+            histtype='stepfilled', alpha=0.3, color='gray', label=label)
+    band = result['band']
+    qs = sorted(band)
+    colors = {0: 'gold', 1: 'yellowgreen'}
+    # Shade symmetric quantile pairs outside-in (2.5/97.5 then 16/84 ...)
+    for depth, (ql, qh) in enumerate(zip(qs, qs[::-1])):
+        if ql >= qh:
+            break
+        if np.isfinite(band[ql]) and np.isfinite(band[qh]):
+            ax.axvspan(band[ql], band[qh], alpha=0.35,
+                       color=colors.get(depth, 'green'), zorder=0)
+    med = result['band'].get(0.5)
+    if med is not None and np.isfinite(med):
+        ax.axvline(med, color='k', linestyle='--', label='median expected')
+    if observed is not None:
+        ax.axvline(observed, color='r', label='observed')
+    ax.set_xlabel('upper limit')
+    ax.set_ylabel('toys')
+    ax.legend()
+    return ax
+
+
+def plot_cls(curve, cl=0.9, limit=None, ax=None):
+    """CLs / CLsb / CLb vs hypothesis from a
+    :func:`~blueice_tpu.parallel.cls.cls_curve` result, with the exclusion
+    threshold alpha = 1 - cl and (optionally) the crossing limit marked."""
+    ax, plt = _ax(ax)
+    h = curve['hypotheses']
+    ax.plot(h, curve['cls'], 'o-', color='C3', label='CLs')
+    ax.plot(h, curve['clsb'], 's--', color='C0', alpha=0.6, label='CLsb')
+    ax.plot(h, curve['clb'], '^--', color='C2', alpha=0.6, label='CLb')
+    ax.axhline(1.0 - cl, color='k', linestyle=':',
+               label=r'$\alpha$ = %.3g' % (1.0 - cl))
+    if limit is not None and np.isfinite(limit):
+        ax.axvline(limit, color='C3', linewidth=0.8)
+    ax.set_xlabel('hypothesis')
+    ax.set_ylabel('p-value')
+    ax.set_ylim(0.0, 1.05)
+    ax.legend()
+    return ax

@@ -9,7 +9,7 @@ from .limits import (toy_unified_intervals, toy_upper_limits, toy_lower_limits,
                      toy_central_intervals, sensitivity_band,
                      observed_interval)
 from .discovery import (discovery_ts, observed_discovery,
-                        asimov_discovery)
+                        asimov_discovery, discovery_reach)
 from .cls import cls_curve, cls_upper_limit, cls_expected_band
 from .asymptotics import (asimov_sigma, asimov_expected_limits,
                           asimov_median_limit)

@@ -21,10 +21,13 @@ All functions take a ``BinnedToyStudy`` or ``UnbinnedToyStudy``
 :func:`discovery_ts` under the signal truth instead).
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 from scipy import stats
 
-__all__ = ['discovery_ts', 'observed_discovery', 'asimov_discovery']
+__all__ = ['discovery_ts', 'observed_discovery', 'asimov_discovery',
+           'discovery_reach']
 
 
 def _check_target_free(target, fixed):
@@ -146,3 +149,66 @@ def asimov_discovery(study, target, truth, fixed=None, null=0.0):
                              null=null)
     return {'q0_asimov': res['q0'], 'Z_asimov': res['Z_asymptotic'],
             'x_hat': res['x_hat']}
+
+
+def discovery_reach(study, target, signal_values, truth=None, fixed=None,
+                    null=0.0, z_thresholds=(3.0, 5.0)):
+    """Median expected significance vs signal strength, and the smallest
+    signal reaching each Z threshold — the discovery-reach curve of a
+    sensitivity study, from Asimov datasets with zero toy ensembles.
+
+    Fully batched: the Asimov datasets of ALL signal values are lanes of the
+    same two compiled fit programs (one free, one with the target fixed at
+    the null) that toy ensembles use — S grid points cost two program
+    executions, not S interval loops.
+
+    :param signal_values: grid of ``target`` truths (ascending recommended;
+      the reach interpolation sorts internally).
+    :param truth: background-model parameters of the Asimov datasets.
+    :param z_thresholds: significances whose crossings to report (default
+      the conventional evidence/discovery 3 and 5 sigma).
+    :return: dict with 'signal_values', 'q0', 'Z' (= sqrt(q0), the Asimov
+      median expected significance per grid point, arXiv:1007.1727 eq. 97),
+      'x_hat' (free fits — should reproduce the signal values), and 'reach'
+      ({threshold: smallest signal with Z >= threshold, linearly
+      interpolated; NaN if not reached inside the grid}).
+    """
+    if not hasattr(study, 'expected_counts'):
+        raise TypeError(
+            "discovery_reach needs a binned study (an Asimov event set does "
+            "not exist for unbinned data); use discovery_ts medians under "
+            "each signal truth instead")
+    _check_target_free(target, fixed)
+    null = float(null)
+    svals = np.sort(np.atleast_1d(np.asarray(signal_values, dtype=float)))
+    if len(svals) < 2:
+        raise ValueError("signal_values must be a grid of >= 2 values")
+    base = dict(truth or {})
+    counts = []
+    for s in svals:
+        t = dict(base)
+        t[target] = float(s)
+        counts.append(study.expected_counts(**t))
+    stacked = jax.tree_util.tree_map(lambda *cs: jnp.stack(cs), *counts)
+    free = study.fit_toys(stacked, fixed=fixed)
+    cond_fixed = dict(fixed or {})
+    cond_fixed[target] = null
+    cond = study.fit_toys(stacked, fixed=cond_fixed)
+    q0 = np.maximum(
+        2.0 * (np.asarray(free.max_ll) - np.asarray(cond.max_ll)), 0.0)
+    q0 = _one_sided(q0, free[target], null)
+    z = np.sqrt(q0)
+    reach = {}
+    for zt in z_thresholds:
+        zt = float(zt)
+        above = z >= zt
+        if above[0]:
+            reach[zt] = float(svals[0])
+        elif not above.any():
+            reach[zt] = float('nan')
+        else:
+            j = int(np.argmax(above))
+            w = (zt - z[j - 1]) / (z[j] - z[j - 1])
+            reach[zt] = float(svals[j - 1] + w * (svals[j] - svals[j - 1]))
+    return {'signal_values': svals, 'q0': q0, 'Z': z,
+            'x_hat': np.asarray(free[target]), 'reach': reach}

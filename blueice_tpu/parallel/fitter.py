@@ -382,7 +382,19 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         # floor that never satisfy the strict stop conditions — the polish
         # sweeps between loop rounds are the safety net against a premature
         # call.
-        stall_new = jnp.where(fdelta > ftol, 0, stall + 1)
+        #
+        # Damping-schedule TRANSIENTS must not count: where the Hessian is
+        # indefinite (e.g. the log-bound transform turns a steep Poisson
+        # slope concave far below the optimum), H + lam*d is an ascent
+        # direction until lam*d outgrows |H| — every candidate is rejected
+        # for a few iterations with a UNIT-SCALE proposed step and a large
+        # gradient. Counting those ended fits 10+ LL units short of the
+        # optimum (measured: a 1-bin, 1-rate model with the best fit 7x the
+        # guess). A real noise-floor stall has either a small proposed step
+        # (quadratic model near-stationary) or an already-inflated lam.
+        noise_floor = (jnp.max(jnp.abs(du)) < 0.5) | (lam > 1.0)
+        stall_new = jnp.where(fdelta > ftol,
+                              0, jnp.where(noise_floor, stall + 1, stall))
         # Only trust a small f-decrease as convergence when the step was an
         # undamped Newton step (full, or full on the smooth subspace with one
         # kink-pinned coordinate frozen) — a heavily damped crawl can stall

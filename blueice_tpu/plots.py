@@ -12,7 +12,8 @@ provided axis or a fresh figure.
 
 import numpy as np
 
-__all__ = ['plot_ranking', 'plot_coverage', 'plot_limit_band', 'plot_cls']
+__all__ = ['plot_ranking', 'plot_coverage', 'plot_limit_band', 'plot_cls',
+           'plot_profile_map']
 
 
 def _ax(ax):
@@ -122,6 +123,49 @@ def plot_limit_band(result, observed=None, ax=None, label='expected limits'):
     ax.set_xlabel('upper limit')
     ax.set_ylabel('toys')
     ax.legend()
+    return ax
+
+
+def plot_profile_map(t, space, cls=(0.683, 0.9), ax=None):
+    """Observed profile-LR map from
+    :meth:`~blueice_tpu.parallel.toys.BinnedToyStudy.profile_map` output,
+    with Wilks confidence contours: a 1D curve with chi2(1) critical lines,
+    or a 2D filled map with chi2(2) contour levels at each requested
+    confidence level.
+
+    :param t: the t array profile_map returned ((len(g1),) or
+      (len(g1), len(g2))).
+    :param space: the same (name, grid) pairs given to profile_map.
+    :param cls: confidence levels to mark.
+    """
+    from scipy import stats
+    ax, plt = _ax(ax)
+    t = np.asarray(t, dtype=float)
+    if len(space) == 1:
+        (name, g), = space
+        ax.plot(np.asarray(g), t, '-')
+        for cl in cls:
+            ax.axhline(stats.chi2(1).ppf(cl), linestyle=':', color='k')
+            ax.text(float(np.asarray(g)[0]), stats.chi2(1).ppf(cl),
+                    ' %.1f%%' % (100 * cl), va='bottom', fontsize=8)
+        ax.set_xlabel(name)
+        ax.set_ylabel(r'$t = 2\,(\ln L_{max} - \ln L)$')
+        return ax
+    if len(space) != 2 or t.ndim != 2:
+        raise ValueError("space must be 1 or 2 (name, grid) pairs matching "
+                         "t's shape")
+    (n1, g1), (n2, g2) = space
+    mesh = ax.pcolormesh(np.asarray(g2), np.asarray(g1), t, shading='auto',
+                         vmax=min(float(np.nanmax(t)),
+                                  2 * stats.chi2(2).ppf(max(cls))))
+    levels = sorted(stats.chi2(2).ppf(cl) for cl in cls)
+    cs = ax.contour(np.asarray(g2), np.asarray(g1), t, levels=levels,
+                    colors='w', linewidths=1.0)
+    ax.clabel(cs, fmt={lv: '%.0f%%' % (100 * cl)
+                       for lv, cl in zip(levels, sorted(cls))}, fontsize=8)
+    plt.colorbar(mesh, ax=ax, label='t')
+    ax.set_xlabel(n2)
+    ax.set_ylabel(n1)
     return ax
 
 

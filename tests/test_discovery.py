@@ -175,3 +175,61 @@ def test_asimov_rejects_unbinned_and_fixed_target():
     with pytest.raises(ValueError, match="fixed"):
         discovery_ts(bstudy, jax.random.PRNGKey(0), 4, TARGET,
                      fixed={TARGET: 1.0})
+
+
+# --- discovery_reach (Asimov reach curve) ---
+
+def _counting_study(B=400.0, S=20.0):
+    conf = conf_for_test(n_sources=2, mc=True,
+                         analysis_space=[['x', [-30.0, 30.0]]],
+                         n_events_for_pdf=int(1e5))
+    conf['sources'][0]['events_per_day'] = S
+    conf['sources'][1]['events_per_day'] = B
+    lf = BinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    return BinnedToyStudy(lf)
+
+
+def _z_counting(s, B=400.0, S=20.0):
+    """arXiv:1007.1727 eq. 97 for one counting bin: the closed-form Asimov
+    median significance of s*S signal events on B background."""
+    x = s * S
+    return np.sqrt(2.0 * ((B + x) * np.log1p(x / B) - x))
+
+
+def test_discovery_reach_counting_oracle():
+    from scipy import optimize
+    from blueice_tpu.parallel import discovery_reach
+    study = _counting_study()
+    svals = np.linspace(0.5, 7.0, 14)
+    out = discovery_reach(study, TARGET, svals)
+    assert np.allclose(out['x_hat'], svals, rtol=1e-3, atol=1e-3)
+    for s, z in zip(svals, out['Z']):
+        assert z == pytest.approx(_z_counting(s), rel=3e-3)
+    # Reach thresholds against the closed form
+    for zt in (3.0, 5.0):
+        ref = optimize.brentq(lambda s: _z_counting(s) - zt, 0.1, 10.0)
+        assert out['reach'][zt] == pytest.approx(ref, rel=2e-2)
+    # Monotone Z, and the curve agrees with asimov_discovery pointwise
+    assert np.all(np.diff(out['Z']) > 0)
+    one = asimov_discovery(study, TARGET, truth={TARGET: 2.0})
+    z2 = np.interp(2.0, svals, out['Z'])
+    assert one['Z_asimov'] == pytest.approx(z2, rel=5e-3)
+
+
+def test_discovery_reach_validation():
+    from blueice_tpu.parallel import discovery_reach
+    study = _counting_study()
+    with pytest.raises(ValueError, match=">= 2"):
+        discovery_reach(study, TARGET, [1.0])
+    with pytest.raises(ValueError, match="cannot also be in fixed"):
+        discovery_reach(study, TARGET, [1.0, 2.0], fixed={TARGET: 1.0})
+    # Unreached threshold comes back NaN
+    out = discovery_reach(study, TARGET, [0.1, 0.2], z_thresholds=(5.0,))
+    assert np.isnan(out['reach'][5.0])
+    lf = UnbinnedLogLikelihood(conf_for_test(n_sources=1, mc=False))
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    with pytest.raises(TypeError, match="binned"):
+        discovery_reach(UnbinnedToyStudy(lf), TARGET, [1.0, 2.0])

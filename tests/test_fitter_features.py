@@ -125,3 +125,31 @@ def test_toy_fitter_freeze_equals_runtime_fixed():
     other = [i for i, n in enumerate(names) if n != 's0_rate_multiplier']
     for io, nc in zip(other, range(len(names_cond))):
         assert float(xf[io]) == pytest.approx(float(xc[nc]), abs=1e-4)
+
+
+def test_far_guess_indefinite_region_converges():
+    """Regression: where the log-bound transform makes the objective concave
+    (a steep Poisson slope far below the optimum), the LM solve is an ascent
+    direction until the damping outgrows |H|; those rejected-transient
+    iterations must not trip the stall window. Measured failure: a 1-bin
+    model with best fit 7x the guess stopped at x=3.32 (gradient ~10), the
+    polish ladder's capped rounds the only progress."""
+    from blueice_tpu.test_helpers import conf_for_test
+    from blueice_tpu.likelihood import BinnedLogLikelihood
+    from blueice_tpu.parallel import BinnedToyStudy
+
+    conf = conf_for_test(n_sources=2, mc=True,
+                         analysis_space=[['x', [-30.0, 30.0]]],
+                         n_events_for_pdf=int(1e5))
+    conf['sources'][0]['events_per_day'] = 20.0
+    conf['sources'][1]['events_per_day'] = 400.0
+    lf = BinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.prepare()
+    study = BinnedToyStudy(lf)
+    counts = jnp.asarray([[540.0], [700.0], [1000.0], [2000.0]])
+    free = study.fit_toys(counts)
+    # One bin, one rate: x_hat = (n - B) / S exactly
+    expected = (np.asarray(counts).ravel() - 400.0) / 20.0
+    assert np.allclose(np.asarray(free['s0_rate_multiplier']), expected,
+                       rtol=1e-5)

@@ -98,3 +98,18 @@ def test_plot_cls():
              'clb': np.full(8, 0.8), 'q_obs': h, 'x_hat': 0.0}
     plot_cls(curve, cl=0.9, limit=2.3)
     plt.close('all')
+
+
+def test_plot_profile_map():
+    from blueice_tpu.plots import plot_profile_map
+    g1 = np.linspace(0, 2, 21)
+    plot_profile_map((g1 - 1.0) ** 2 * 8, [('mu', g1)])
+    plt.close('all')
+    g2 = np.linspace(-1, 1, 11)
+    t2 = (g1[:, None] - 1.0) ** 2 * 8 + (g2[None, :]) ** 2 * 5
+    ax = plot_profile_map(t2, [('mu', g1), ('slope', g2)])
+    assert ax.get_xlabel() == 'slope' and ax.get_ylabel() == 'mu'
+    plt.close('all')
+    import pytest
+    with pytest.raises(ValueError, match="1 or 2"):
+        plot_profile_map(t2, [('a', g1), ('b', g2), ('c', g2)])

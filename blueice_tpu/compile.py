@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.beeston_barlow import bb_single_adjust
+from .ops.bb_lite import bb_lite_logl
 from .ops.poisson import (binned_poisson_logl, binned_poisson_logl_constant,
                           extended_logl)
 
@@ -87,6 +88,7 @@ def build_logl_reparam(rp, dtype=None, include_livetime=False,
     compiled.is_binned = child.is_binned
     compiled.dtype = dtype
     compiled.has_bb = child.has_bb
+    compiled.has_bb_lite = getattr(child, 'has_bb_lite', False)
     compiled.shape_names = [p for p in param_names
                             if not p.endswith('_rate_multiplier')]
     compiled.rate_names = [p for p in param_names
@@ -130,6 +132,7 @@ def build_logl_ancillary(anc, dtype=None, include_livetime=False,
     compiled.has_data = False
     compiled.dtype = dtype
     compiled.has_bb = False
+    compiled.has_bb_lite = False
     compiled.shape_names = param_names
     compiled.rate_names = []
     compiled.prior_terms = []
@@ -226,6 +229,8 @@ def build_logl_sum(sum_lf, dtype=None, include_livetime=False,
                              if getattr(c, 'has_data', True))
     compiled.dtype = dtype
     compiled.has_bb = any(c.has_bb for c in children)
+    compiled.has_bb_lite = any(getattr(c, 'has_bb_lite', False)
+                               for c in children)
     compiled.shape_names = [p for p in param_names
                             if not p.endswith('_rate_multiplier')]
     compiled.rate_names = [p for p in param_names
@@ -509,9 +514,15 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
     outlier_likelihood = lf.config.get('outlier_likelihood', 1e-12)
 
     bb_source_i = None
-    if is_binned and getattr(lf, 'model_statistical_uncertainty_handling',
-                             None) == 'bb_single':
-        bb_source_i = lf.base_model.get_source_i(lf.config['bb_single_source'])
+    bb_lite = False
+    if is_binned:
+        _handling = getattr(lf, 'model_statistical_uncertainty_handling',
+                            None)
+        if _handling == 'bb_single':
+            bb_source_i = lf.base_model.get_source_i(
+                lf.config['bb_single_source'])
+        elif _handling == 'bb_lite':
+            bb_lite = True
 
     if is_binned:
         observed_data = (_as_dev(lf.data_events_per_bin.values)
@@ -589,11 +600,15 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
 
         if is_binned:
             pmfs = ps
-            if bb_source_i is not None:
-                mus_safe, pmfs = bb_single_adjust(
-                    mus_safe, pmfs, n_model_events, data, bb_source_i)
-            ll = binned_poisson_logl(mus_safe, pmfs, data,
-                                     include_constant=include_constant)
+            if bb_lite:
+                ll = bb_lite_logl(mus_safe, pmfs, n_model_events, data,
+                                  include_constant=include_constant)
+            else:
+                if bb_source_i is not None:
+                    mus_safe, pmfs = bb_single_adjust(
+                        mus_safe, pmfs, n_model_events, data, bb_source_i)
+                ll = binned_poisson_logl(mus_safe, pmfs, data,
+                                         include_constant=include_constant)
         else:
             ll = extended_logl(mus_safe, ps,
                                outlier_likelihood=outlier_likelihood,
@@ -652,6 +667,7 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
     compiled.shape_names = shape_names
     compiled.rate_names = rate_names
     compiled.has_bb = bb_source_i is not None
+    compiled.has_bb_lite = bb_lite
     compiled.prior_terms = prior_terms
     compiled.outlier_likelihood = outlier_likelihood
     # _host twins keep the numpy payloads around so engine setup (e.g. the

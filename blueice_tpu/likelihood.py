@@ -654,6 +654,15 @@ class BinnedLogLikelihood(LogLikelihoodBase):
                                    **kwargs)
         self.model_statistical_uncertainty_handling = \
             self.config.get('model_statistical_uncertainty_handling')
+        if self.model_statistical_uncertainty_handling not in (
+                None, 'bb_single', 'bb_lite'):
+            # Fail at construction: an unknown mode silently evaluating the
+            # PLAIN Poisson likelihood would be a wrong-results bug
+            raise ValueError(
+                "model_statistical_uncertainty_handling must be None, "
+                "'bb_single' (the reference's one-source Beeston-Barlow) or "
+                "'bb_lite' (HistFactory-style per-bin total-template scale); "
+                "got %r" % (self.model_statistical_uncertainty_handling,))
 
     @inherit_docstring_from(LogLikelihoodBase)
     def prepare(self, n_cores=1, ipp_client=None):
@@ -701,6 +710,14 @@ class BinnedLogLikelihood(LogLikelihoodBase):
     def adjust_expectations(self, mus, pmfs, n_model_events):
         mus = np.array(mus, dtype=float)
         pmfs = np.array(pmfs, dtype=float)
+
+        if self.model_statistical_uncertainty_handling == 'bb_lite':
+            # The lite construction modifies the per-bin LIKELIHOOD (one
+            # profiled scale on the total expectation plus its constraint),
+            # not the (mus, pmfs) themselves — stash the morphed MC counts
+            # for _compute_likelihood, which is always called right after
+            self._bb_lite_nme = np.asarray(n_model_events, dtype=float)
+            return mus, pmfs
 
         if self.model_statistical_uncertainty_handling == 'bb_single':
             source_i = self.config.get('bb_single_source')
@@ -758,10 +775,17 @@ class BinnedLogLikelihood(LogLikelihoodBase):
         Negative per-bin expectations (allow_negative sources) take a steep
         linear penalty, matching the compiled path
         (ops.poisson.binned_poisson_logl) — without it, empty observed bins
-        would REWARD negative expectations through the -lambda term."""
+        would REWARD negative expectations through the -lambda term.
+
+        With 'bb_lite' MC-statistics handling, each bin's total expectation
+        carries the profiled Barlow-Beeston-lite scale and its constraint
+        (ops/bb_lite.py; closed-form root gamma = (k + M)/(lam + M))."""
+        observed = self.data_events_per_bin.values
+        if self.model_statistical_uncertainty_handling == 'bb_lite':
+            from .ops.bb_lite import bb_lite_logl_host
+            return bb_lite_logl_host(mus, pmfs, self._bb_lite_nme, observed)
         expected = np.tensordot(np.asarray(mus, dtype=float),
                                 np.asarray(pmfs, dtype=float), axes=(0, 0))
-        observed = self.data_events_per_bin.values
         penalty = 1e6 * float(np.sum(np.minimum(expected, 0.0)))
         return float(np.sum(xlogy(observed, expected) - expected
                             - gammaln(observed + 1.0))) + penalty

@@ -277,6 +277,16 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         # Fall back to (scaled) steepest descent if the solve went bad
         du = jnp.where(jnp.all(jnp.isfinite(du)), du,
                        -g / (jnp.maximum(lam, 1.0) * d))
+        # An INDEFINITE damped Hessian (e.g. the log-bound transform turns a
+        # steep Poisson slope concave far below the optimum) can flip the
+        # solve into an ASCENT direction: every candidate along it is
+        # rejected, the stall window ends the lane ~10 LL units short
+        # (measured: a 1-bin model with the best fit 7x the guess stopped at
+        # 3.32x). Replace ascent proposals with a curvature-scaled steepest-
+        # descent step — the alpha ladder below then finds an accepting
+        # length. For a PD solve g.du < 0 always, so this never perturbs a
+        # healthy Newton iteration.
+        du = jnp.where(g @ du > 0, -g / (d * (1.0 + lam)), du)
 
         # Line search over ONE vmapped candidate batch: backtracking steps
         # along du (rescue overshoots across the C0 kinks of the
@@ -386,15 +396,16 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         # Damping-schedule TRANSIENTS must not count: where the Hessian is
         # indefinite (e.g. the log-bound transform turns a steep Poisson
         # slope concave far below the optimum), H + lam*d is an ascent
-        # direction until lam*d outgrows |H| — every candidate is rejected
-        # for a few iterations with a UNIT-SCALE proposed step and a large
+        # direction until lam*d outgrows |H| — every candidate is REJECTED
+        # for a few iterations with a unit-scale proposed step and a large
         # gradient. Counting those ended fits 10+ LL units short of the
         # optimum (measured: a 1-bin, 1-rate model with the best fit 7x the
-        # guess). A real noise-floor stall has either a small proposed step
-        # (quadratic model near-stationary) or an already-inflated lam.
-        noise_floor = (jnp.max(jnp.abs(du)) < 0.5) | (lam > 1.0)
-        stall_new = jnp.where(fdelta > ftol,
-                              0, jnp.where(noise_floor, stall + 1, stall))
+        # guess). Only that exact signature is exempt — a rejected
+        # large-proposal iteration before the damping has inflated;
+        # ACCEPTED below-ftol iterations still count (they are the normal
+        # f32 noise-floor grind on ridge-shaped profiles, and exempting
+        # them cost ~25% XENON-ensemble throughput, measured on hardware).
+        stall_new = jnp.where(fdelta > ftol, 0, stall + 1)
         # Only trust a small f-decrease as convergence when the step was an
         # undamped Newton step (full, or full on the smooth subspace with one
         # kink-pinned coordinate frozen) — a heavily damped crawl can stall
@@ -581,7 +592,7 @@ def _analytic_supported(compiled):
     if not (compiled.is_binned and compiled.ps_tensor is not None
             and compiled.anchor_arrays is not None):
         return False
-    if compiled.has_bb:
+    if compiled.has_bb or getattr(compiled, 'has_bb_lite', False):
         return getattr(compiled, 'nme_tensor', None) is not None
     return True
 
@@ -817,6 +828,7 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     """
     from ..ops.binned_vgh import binned_vgh, binned_ll, gather_corners
     from ..ops.bb_vgh import binned_bb_vgh, binned_bb_ll
+    from ..ops.bb_lite import binned_bblite_vgh, binned_bblite_ll
     from ..ops import fused
 
     shape_names = compiled.shape_names
@@ -828,12 +840,14 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     ps_flat = ps_tensor.reshape(grid_shape + (S, -1))
     anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
     has_bb = compiled.has_bb
+    has_bb_lite = getattr(compiled, 'has_bb_lite', False)
     if has_bb:
         bb_i = compiled.bb_source_i
+    if has_bb or has_bb_lite:
         nme_flat = compiled.nme_tensor.reshape(grid_shape + (S, -1))
 
     if use_pallas:
-        from ..ops import fused_bb
+        from ..ops import fused_bb, fused_bb_lite
         n_bins = int(np.prod(ps_tensor.shape[K + 1:]))
         G = int(np.prod(grid_shape)) if K else 1
         # Use the host twin of the anchor tensor when available: padding on a
@@ -855,6 +869,15 @@ def _make_analytic_parts(compiled, names, fixed, transform,
                 ..., bb_i, :].reshape(G, n_bins)
             nme_bb_flat = jnp.asarray(
                 np.pad(nme_bb, ((0, 0), (0, n_pad))) if n_pad else nme_bb)
+        elif has_bb_lite:
+            # The lite root only sees the TOTAL per-bin MC counts: pre-sum
+            # over sources so the resident scratch is one (G, N) row set
+            nme_host = getattr(compiled, 'nme_tensor_host', None)
+            nme_np = (np.asarray(nme_host) if nme_host is not None
+                      else np.asarray(nme_flat))
+            nme_tot = nme_np.reshape(G, S, n_bins).sum(axis=1)
+            nme_tot_flat = jnp.asarray(
+                np.pad(nme_tot, ((0, 0), (0, n_pad))) if n_pad else nme_tot)
 
     runtime_fixed = list(runtime_fixed)
     params_of_u, mt_of_u, idx_of_u, prior_of_u = _make_param_graph(
@@ -870,7 +893,11 @@ def _make_analytic_parts(compiled, names, fixed, transform,
 
     def value_fn(u, data_flat, fixed_values=()):
         mt = mt_of_u(u, fixed_values)
-        if has_bb:
+        if has_bb_lite:
+            ll = binned_bblite_ll(_corners(u, fixed_values),
+                                  _corners_of(nme_flat, u, fixed_values),
+                                  mt[:S], mt[S:], data_flat)
+        elif has_bb:
             ll = binned_bb_ll(_corners(u, fixed_values),
                               _corners_of(nme_flat, u, fixed_values),
                               mt[:S], mt[S:], data_flat, bb_i)
@@ -881,6 +908,17 @@ def _make_analytic_parts(compiled, names, fixed, transform,
 
     def _raw_vgh(u, data_flat, fixed_values):
         mt = mt_of_u(u, fixed_values)
+        if has_bb_lite and use_pallas:
+            data_padded = (jnp.pad(data_flat, (0, n_pad)) if n_pad
+                           else data_flat)
+            return fused_bb_lite.binned_bblite_vgh_fused(
+                anchor_flat, nme_tot_flat, strides,
+                idx_of_u(u, fixed_values), mt[S:], mt[:S], data_padded,
+                interpret=interpret)
+        if has_bb_lite:
+            return binned_bblite_vgh(_corners(u, fixed_values),
+                                     _corners_of(nme_flat, u, fixed_values),
+                                     mt[:S], mt[S:], data_flat)
         if has_bb and use_pallas:
             data_padded = (jnp.pad(data_flat, (0, n_pad)) if n_pad
                            else data_flat)
@@ -918,7 +956,11 @@ def _make_analytic_parts(compiled, names, fixed, transform,
                 idxs = jnp.zeros((u_cands.shape[0], 0), jnp.int32)
             data_padded = (jnp.pad(data_flat, (0, n_pad)) if n_pad
                            else data_flat)
-            if has_bb:
+            if has_bb_lite:
+                lls = fused_bb_lite.binned_bblite_ll_fused_multi(
+                    anchor_flat, nme_tot_flat, strides, idxs, mts[:, S:],
+                    mts[:, :S], data_padded, interpret=interpret)
+            elif has_bb:
                 lls = fused_bb.binned_bb_ll_fused_multi(
                     anchor_flat, nme_bb_flat, strides, idxs, mts[:, S:],
                     mts[:, :S], data_padded, bb_i, interpret=interpret)
@@ -1024,6 +1066,26 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                 and not has_negative
                 and fused_bb.fused_bb_supported((G_, S_, n_bins_),
                                                 ps.dtype)):
+            engine = 'pallas'
+        else:
+            engine = 'analytic'
+    if engine == 'auto' and getattr(compiled, 'has_bb_lite', False) \
+            and _analytic_supported(compiled):
+        # Closed-form Barlow-Beeston-lite derivative engine (ops/bb_lite.py);
+        # on real TPUs take the fused Pallas kernel (pmf anchors + the
+        # total-MC-count rows VMEM-resident) when both fit the budget. The
+        # lite kernel shares the jnp engine's per-bin closed forms including
+        # the negative-expectation penalty, so allow_negative models stay
+        # eligible.
+        from ..ops import fused_bb_lite
+        K_ = len(compiled.shape_names)
+        S_ = len(compiled.rate_names)
+        ps = compiled.ps_tensor
+        G_ = int(np.prod(ps.shape[:K_])) if K_ else 1
+        n_bins_ = int(np.prod(ps.shape[K_ + 1:]))
+        if (jax.default_backend() == 'tpu'
+                and fused_bb_lite.fused_bblite_supported((G_, S_, n_bins_),
+                                                         ps.dtype)):
             engine = 'pallas'
         else:
             engine = 'analytic'

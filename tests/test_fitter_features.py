@@ -129,11 +129,13 @@ def test_toy_fitter_freeze_equals_runtime_fixed():
 
 def test_far_guess_indefinite_region_converges():
     """Regression: where the log-bound transform makes the objective concave
-    (a steep Poisson slope far below the optimum), the LM solve is an ascent
-    direction until the damping outgrows |H|; those rejected-transient
-    iterations must not trip the stall window. Measured failure: a 1-bin
-    model with best fit 7x the guess stopped at x=3.32 (gradient ~10), the
-    polish ladder's capped rounds the only progress."""
+    (a steep Poisson slope far below the optimum), the damped-Hessian solve
+    is INDEFINITE and proposes an ascent direction; with every candidate
+    rejected, the stall window ended the lane far from the optimum.
+    Measured failure: a 1-bin model with best fit 7x the guess stopped at
+    x=3.32 (gradient ~10), the polish ladder's capped rounds the only
+    progress. Fixed by replacing ascent proposals (g.du > 0) with a
+    curvature-scaled steepest-descent step."""
     from blueice_tpu.test_helpers import conf_for_test
     from blueice_tpu.likelihood import BinnedLogLikelihood
     from blueice_tpu.parallel import BinnedToyStudy

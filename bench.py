@@ -18,6 +18,10 @@ beeston-barlow, each with its own host baseline):
   bb       — xenon with bb_single Beeston-Barlow MC-statistics handling on
              the dominant ER background (the reference's signature feature,
              blueice/likelihood.py:618-660), full 50x62 binning, 256 toys
+  bblite   — xenon with Barlow-Beeston-lite (beyond the reference: one
+             profiled per-bin scale covering finite MC of ALL sources,
+             ops/bb_lite.py + the fused kernel ops/fused_bb_lite.py),
+             full 50x62 binning, 256 toys
   band     — 90% expected-limit (Brazil) band on the xenon scenario: per-toy
              upper limits over a background-only ensemble
              (parallel/limits.py), vs host one_parameter_interval loops
@@ -192,6 +196,8 @@ SCENARIOS = {
     'xenon': (lambda: build_lf_xenon(bb=False), 'wimp_rate_multiplier',
               512, 48),
     'bb': (lambda: build_lf_xenon(bb=True), 'wimp_rate_multiplier', 256, 48),
+    'bblite': (lambda: build_lf_xenon(bb='bb_lite'), 'wimp_rate_multiplier',
+               256, 48),
 }
 
 METRICS = {
@@ -204,6 +210,9 @@ METRICS = {
               "sources, 81-anchor morphing grid, 8 nuisances, 50x62 bins)"),
     'bb': ("batched profile-likelihood toy fits (XENON1T-style 2D with "
            "Beeston-Barlow bb_single MC-statistics profiling, 50x62 bins)"),
+    'bblite': ("batched profile-likelihood toy fits (XENON1T-style 2D with "
+               "Barlow-Beeston-lite all-source per-bin MC-statistics "
+               "profiling, 50x62 bins)"),
 }
 
 
@@ -232,13 +241,14 @@ def bench_mfu():
     kernel vs the chip's compute and bandwidth roofs."""
     import jax
     from blueice_tpu.utils.roofline import (
-        measure_binned_kernel, measure_bb_kernel, measure_unbinned_kernel,
-        format_report)
+        measure_binned_kernel, measure_bb_kernel, measure_bblite_kernel,
+        measure_unbinned_kernel, format_report)
     _enable_compile_cache()
     chip = 'tpu-v5e' if jax.default_backend() == 'tpu' else 'cpu-1core'
     verdicts = [
         measure_binned_kernel(chip=chip),       # XENON-scale shapes
         measure_bb_kernel(chip=chip),
+        measure_bblite_kernel(chip=chip),
         measure_unbinned_kernel(chip=chip),     # Gaussian-unbinned shapes
     ]
     log(format_report(verdicts))
@@ -570,7 +580,7 @@ def main():
     # Default: full story. Headline = Gaussian binned; every other scenario
     # rides along in the same JSON record.
     results = {}
-    for name in ('gauss', 'unbinned', 'xenon', 'bb'):
+    for name in ('gauss', 'unbinned', 'xenon', 'bb', 'bblite'):
         try:
             results[name] = run_scenario(name, n_toys if name == 'gauss'
                                          else None)

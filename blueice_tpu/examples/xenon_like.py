@@ -167,21 +167,28 @@ def build_likelihood(kind='binned', n_anchors=3, prepare=True, bb=False,
     band_shift, band_width_scale, cs1_tilt (morphing) + efficiency (rate-like,
     applied to the wimp source). Background rates carry Gaussian constraints.
 
-    :param bb: enable ``bb_single`` Beeston-Barlow finite-MC-statistics
-      handling on the dominant 'er' background (reference:
-      blueice/likelihood.py:618-660). Requires the blob templates (the
-      default), which carry synthetic per-bin MC counts; binned only.
+    :param bb: finite-MC-statistics handling. True or 'bb_single' enables
+      the reference's one-source Beeston-Barlow on the dominant 'er'
+      background (blueice/likelihood.py:618-660); 'bb_lite' enables the
+      HistFactory-style all-source per-bin scale (ops/bb_lite.py). Either
+      requires the blob templates (the default), which carry synthetic
+      per-bin MC counts; binned only.
     """
     config = build_config(**kwargs)
     cls = BinnedLogLikelihood if kind == 'binned' else UnbinnedLogLikelihood
     likelihood_config = None
     if bb:
+        mode = 'bb_single' if bb is True else bb
+        if mode not in ('bb_single', 'bb_lite'):
+            raise ValueError("bb must be True/'bb_single' or 'bb_lite'; "
+                             "got %r" % (bb,))
         if kind != 'binned' or kwargs.get('jax_templates'):
             raise ValueError("Beeston-Barlow needs the binned likelihood "
                              "over blob templates (which carry MC counts)")
         likelihood_config = {
-            'model_statistical_uncertainty_handling': 'bb_single',
-            'bb_single_source': 'er'}
+            'model_statistical_uncertainty_handling': mode}
+        if mode == 'bb_single':
+            likelihood_config['bb_single_source'] = 'er'
     lf = cls(config, likelihood_config=likelihood_config)
 
     lf.add_rate_parameter('wimp')

@@ -652,6 +652,7 @@ class BinnedLogLikelihood(LogLikelihoodBase):
     def __init__(self, pdf_base_config, likelihood_config=None, **kwargs):
         LogLikelihoodBase.__init__(self, pdf_base_config, likelihood_config,
                                    **kwargs)
+        self._bb_lite_nme = None
         self.model_statistical_uncertainty_handling = \
             self.config.get('model_statistical_uncertainty_handling')
         if self.model_statistical_uncertainty_handling not in (
@@ -783,7 +784,17 @@ class BinnedLogLikelihood(LogLikelihoodBase):
         observed = self.data_events_per_bin.values
         if self.model_statistical_uncertainty_handling == 'bb_lite':
             from .ops.bb_lite import bb_lite_logl_host
-            return bb_lite_logl_host(mus, pmfs, self._bb_lite_nme, observed)
+            # Consume the stash (set by the adjust_expectations call that
+            # always precedes us in __call__): a direct _compute_likelihood
+            # call without it must fail loudly, never silently evaluate
+            # with MC counts morphed at a PREVIOUS parameter point
+            nme, self._bb_lite_nme = self._bb_lite_nme, None
+            if nme is None:
+                raise RuntimeError(
+                    "bb_lite _compute_likelihood needs the morphed MC "
+                    "counts from the immediately preceding "
+                    "adjust_expectations call")
+            return bb_lite_logl_host(mus, pmfs, nme, observed)
         expected = np.tensordot(np.asarray(mus, dtype=float),
                                 np.asarray(pmfs, dtype=float), axes=(0, 0))
         penalty = 1e6 * float(np.sum(np.minimum(expected, 0.0)))

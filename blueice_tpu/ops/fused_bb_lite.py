@@ -110,7 +110,11 @@ def _bblite_toy_terms(scr_ps, scr_nme, id_of, w_of, m, obs, *, S, K, C,
     GM = jnp.stack([zeros] * S + DM) if K else jnp.zeros(
         (P_dim, lam.shape[0]), dtype)                         # (P, N)
 
-    g = Glam @ f_lam + GM @ f_M                               # (P,)
+    # ONE reduction with a constant (zero) accumulator: Mosaic rejects the
+    # matvec-sum form `Glam @ f_lam + GM @ f_M` (it canonicalizes into a
+    # multi_reduction accumulating onto the second matvec — "only constant
+    # accumulators supported"); combining elementwise first avoids it
+    g = jnp.sum(Glam * f_lam[None, :] + GM * f_M[None, :], axis=1)  # (P,)
 
     # H = sum_n [ H_ll dlam dlam^T + H_lM (dlam dM^T + dM dlam^T)
     #             + H_MM dM dM^T ] + second-derivative terms

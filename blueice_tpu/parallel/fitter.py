@@ -393,18 +393,17 @@ def minimize_newton(f, u0, max_iter=60, tol=1e-8, ftol=None,
         # sweeps between loop rounds are the safety net against a premature
         # call.
         #
-        # Damping-schedule TRANSIENTS must not count: where the Hessian is
-        # indefinite (e.g. the log-bound transform turns a steep Poisson
-        # slope concave far below the optimum), H + lam*d is an ascent
-        # direction until lam*d outgrows |H| — every candidate is REJECTED
-        # for a few iterations with a unit-scale proposed step and a large
-        # gradient. Counting those ended fits 10+ LL units short of the
-        # optimum (measured: a 1-bin, 1-rate model with the best fit 7x the
-        # guess). Only that exact signature is exempt — a rejected
-        # large-proposal iteration before the damping has inflated;
-        # ACCEPTED below-ftol iterations still count (they are the normal
-        # f32 noise-floor grind on ridge-shaped profiles, and exempting
-        # them cost ~25% XENON-ensemble throughput, measured on hardware).
+        # Every below-ftol iteration counts toward the stall window — there
+        # is deliberately NO transient exemption here. Indefinite-Hessian
+        # transients (the log-bound transform turning a steep Poisson slope
+        # concave far below the optimum) used to burn the window with
+        # all-rejected ascent proposals and end fits 10+ LL units short;
+        # that is repaired at the SOLVE (the g.du > 0 replacement above),
+        # which makes those iterations accept and reset the counter.
+        # Exempting them here instead was measured on hardware to cost ~25%
+        # XENON-ensemble throughput: lockstep wall time tracks the worst
+        # lane, and any stall exemption lets tail lanes spin on the f32
+        # noise-floor grind of ridge-shaped profiles.
         stall_new = jnp.where(fdelta > ftol, 0, stall + 1)
         # Only trust a small f-decrease as convergence when the step was an
         # undamped Newton step (full, or full on the smooth subspace with one
@@ -582,6 +581,22 @@ def fit_single(compiled, fixed=None, guess=None, return_errors=True,
         for i, name in enumerate(names):
             results[name + '_error'] = float(errs[i])
     return results, float(ll)
+
+
+def _grid_dims(compiled):
+    """(K shape params, S sources, G flattened anchor-grid size, n_bins) of
+    a compiled binned likelihood's anchor tensor — the shape vocabulary of
+    every engine-eligibility check."""
+    K = len(compiled.shape_names)
+    S = len(compiled.rate_names)
+    ps = compiled.ps_tensor
+    G = int(np.prod(ps.shape[:K])) if K else 1
+    n_bins = int(np.prod(ps.shape[K + 1:]))
+    return K, S, G, n_bins
+
+
+def _has_negative(compiled):
+    return any(getattr(compiled.lf, 'source_allowed_negative', ()))
 
 
 def _analytic_supported(compiled):
@@ -1055,17 +1070,11 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         # Pallas kernel (pmf anchors + the finite-MC source's count rows
         # VMEM-resident) when both fit the budget
         from ..ops import fused_bb
-        K_ = len(compiled.shape_names)
-        S_ = len(compiled.rate_names)
-        ps = compiled.ps_tensor
-        G_ = int(np.prod(ps.shape[:K_])) if K_ else 1
-        n_bins_ = int(np.prod(ps.shape[K_ + 1:]))
-        has_negative = any(getattr(compiled.lf, 'source_allowed_negative',
-                                   ()))
+        K_, S_, G_, n_bins_ = _grid_dims(compiled)
         if (jax.default_backend() == 'tpu'
-                and not has_negative
-                and fused_bb.fused_bb_supported((G_, S_, n_bins_),
-                                                ps.dtype)):
+                and not _has_negative(compiled)
+                and fused_bb.fused_bb_supported(
+                    (G_, S_, n_bins_), compiled.ps_tensor.dtype)):
             engine = 'pallas'
         else:
             engine = 'analytic'
@@ -1078,14 +1087,10 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         # the negative-expectation penalty, so allow_negative models stay
         # eligible.
         from ..ops import fused_bb_lite
-        K_ = len(compiled.shape_names)
-        S_ = len(compiled.rate_names)
-        ps = compiled.ps_tensor
-        G_ = int(np.prod(ps.shape[:K_])) if K_ else 1
-        n_bins_ = int(np.prod(ps.shape[K_ + 1:]))
+        K_, S_, G_, n_bins_ = _grid_dims(compiled)
         if (jax.default_backend() == 'tpu'
-                and fused_bb_lite.fused_bblite_supported((G_, S_, n_bins_),
-                                                         ps.dtype)):
+                and fused_bb_lite.fused_bblite_supported(
+                    (G_, S_, n_bins_), compiled.ps_tensor.dtype)):
             engine = 'pallas'
         else:
             engine = 'analytic'
@@ -1102,20 +1107,15 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         # across toys in plain XLA); interpret-mode pallas on CPU would always
         # be slower than XLA.
         from ..ops import fused
-        K = len(compiled.shape_names)
-        S = len(compiled.rate_names)
-        ps = compiled.ps_tensor
-        G = int(np.prod(ps.shape[:K])) if K else 1
-        n_bins = int(np.prod(ps.shape[K + 1:]))
+        K, S, G, n_bins = _grid_dims(compiled)
         per_toy_payload = S * fused._round_up(n_bins, fused.LANE)
         # allow_negative models need the negative-expectation penalty that
         # only the jnp value paths carry — keep them off the Pallas kernels
-        has_negative = any(getattr(compiled.lf, 'source_allowed_negative',
-                                   ()))
         if (jax.default_backend() == 'tpu'
                 and per_toy_payload >= 4096
-                and not has_negative
-                and fused.fused_vgh_supported((G, S, n_bins), ps.dtype)):
+                and not _has_negative(compiled)
+                and fused.fused_vgh_supported((G, S, n_bins),
+                                              compiled.ps_tensor.dtype)):
             engine = 'pallas'
         else:
             engine = 'analytic'

@@ -27,8 +27,9 @@ import time
 
 import numpy as np
 
-__all__ = ['PEAKS', 'binned_vgh_cost', 'bb_vgh_cost', 'unbinned_vgh_cost',
-           'xla_cost', 'measure_binned_kernel', 'measure_bb_kernel',
+__all__ = ['PEAKS', 'binned_vgh_cost', 'bb_vgh_cost', 'bblite_vgh_cost',
+           'unbinned_vgh_cost', 'xla_cost', 'measure_binned_kernel',
+           'measure_bb_kernel', 'measure_bblite_kernel',
            'measure_unbinned_kernel', 'roofline_verdict', 'format_report']
 
 PEAKS = {
@@ -94,6 +95,29 @@ def bb_vgh_cost(G, S, N, K, dtype_bytes=4):
         + 2 * K * S + NP * 8)        # T2 extras
     hbm = dtype_bytes * (N + C * (2 + K + NP) + S + 1 + P + P * P)
     vmem = dtype_bytes * N * (S + 1) * (C * acc + 6 * acc + 3 * S)
+    return dict(flops=flops, hbm_bytes=hbm, vmem_bytes=vmem)
+
+
+def bblite_vgh_cost(G, S, N, K, dtype_bytes=4):
+    """Per-toy FLOPs / bytes of one fused Barlow-Beeston-lite (ll, g, H)
+    call (ops/fused_bb_lite.py). Adds to the plain binned cost: the
+    total-count-row corner combine (one extra pseudo-source), ~40 flops/bin
+    of per-bin lite closed forms (ops/bb_lite.py:_per_bin_parts), and the
+    (lam, M) two-input Hessian outer products."""
+    C = 2 ** K
+    NP = _pairs(K)
+    acc = 1 + K + NP
+    P = S + K
+    flops = N * (
+        2 * C * acc * (S + 1)        # pmf + total-count corner combine
+        + 2 * S                      # lam reduction
+        + 40                         # per-bin lite closed forms
+        + 2 * K * S                  # Dbar
+        + 2 * P + 2 * K              # g assembly
+        + 2 * P * P + 4 * P * K + 2 * K * K + 3 * P  # H outer products
+        + 2 * K * S + NP * (2 * S + 4))              # second-order extras
+    hbm = dtype_bytes * (N + C * (2 + K + NP) + S + 1 + P + P * P)
+    vmem = dtype_bytes * N * (S + 1) * (C * acc + 4 * acc + 2 * S + 2 * K)
     return dict(flops=flops, hbm_bytes=hbm, vmem_bytes=vmem)
 
 
@@ -255,6 +279,34 @@ def measure_bb_kernel(G=81, S=6, N=3200, K=3, B=256, bb_i=0, chip='tpu-v5e',
     v = roofline_verdict(bb_vgh_cost(G, S, N, K), elapsed, B, chip)
     v.update(dispatch_s=dispatch_s, n_inner=n_inner)
     v['kernel'] = 'binned_bb_vgh_fused(G=%d,S=%d,N=%d,K=%d)' % (G, S, N, K)
+    return v
+
+
+def measure_bblite_kernel(G=81, S=6, N=3200, K=3, B=256, chip='tpu-v5e',
+                          n_inner=None):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.fused_bb_lite import binned_bblite_vgh_fused
+    interpret = jax.default_backend() != 'tpu'
+    anchor, strides, idx_b, t_b, m_b, obs_b = _common_setup(G, S, N, K, B)
+    rng = np.random.default_rng(1)
+    nme_tot = jnp.asarray(rng.uniform(1, 240, (G, N)), jnp.float32)
+
+    fn = jax.jit(jax.vmap(lambda i, t, m, o: binned_bblite_vgh_fused(
+        anchor, nme_tot, strides, [i[d] for d in range(K)], t, m, o,
+        interpret=interpret)))
+
+    def run():
+        out = fn(idx_b, t_b, m_b, obs_b)
+        jax.block_until_ready(out)
+    dispatch_s = _time_op(run)
+    n_inner = n_inner or _default_n_inner()
+    elapsed = _amortized_elapsed(
+        lambda m: fn(idx_b, t_b, m, obs_b), m_b, n_inner)
+    v = roofline_verdict(bblite_vgh_cost(G, S, N, K), elapsed, B, chip)
+    v.update(dispatch_s=dispatch_s, n_inner=n_inner)
+    v['kernel'] = 'binned_bblite_vgh_fused(G=%d,S=%d,N=%d,K=%d)' % (G, S, N,
+                                                                    K)
     return v
 
 

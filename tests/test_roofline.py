@@ -4,8 +4,9 @@ kernel microbenchmarks."""
 import numpy as np
 
 from blueice_tpu.utils.roofline import (
-    PEAKS, binned_vgh_cost, bb_vgh_cost, unbinned_vgh_cost, xla_cost,
-    roofline_verdict, measure_binned_kernel, format_report)
+    PEAKS, binned_vgh_cost, bb_vgh_cost, bblite_vgh_cost, unbinned_vgh_cost,
+    xla_cost, roofline_verdict, measure_binned_kernel,
+    measure_bblite_kernel, format_report)
 
 
 def test_cost_models_scale_sanely():
@@ -16,8 +17,12 @@ def test_cost_models_scale_sanely():
     assert abs(c2['flops'] / c1['flops'] - 2.0) < 0.05
     assert c1['hbm_bytes'] < 81 * 6 * 3200 * 4 / 100
 
-    # BB adds the count-row combine + per-bin closed forms: strictly more
+    # BB adds the count-row combine + per-bin closed forms: strictly more.
+    # The lite variant sits between plain and full BB (two-input chain
+    # instead of five)
     assert bb_vgh_cost(81, 6, 3200, 3)['flops'] > c1['flops']
+    assert c1['flops'] < bblite_vgh_cost(81, 6, 3200, 3)['flops'] \
+        < bb_vgh_cost(81, 6, 3200, 3)['flops']
 
     # The unbinned kernel streams its per-toy density tensor from HBM
     cu = unbinned_vgh_cost(3, 2, 2304, 1)
@@ -51,3 +56,9 @@ def test_measure_binned_kernel_interpret():
     # Dispatch-amortized timing: the single-dispatch measurement rides along
     assert v['dispatch_s'] > 0 and v['n_inner'] >= 2
     assert format_report([v]).count('\n') == 1
+
+
+def test_measure_bblite_kernel_interpret():
+    v = measure_bblite_kernel(G=4, S=2, N=128, K=2, B=8, chip='cpu-1core')
+    assert v['gflops_achieved'] > 0
+    assert 'binned_bblite_vgh_fused' in v['kernel']

@@ -35,6 +35,8 @@ from collections import OrderedDict
 import numpy as np
 from scipy import stats
 
+from ._stats import simulation_truth
+
 __all__ = ['asimov_sigma', 'asimov_expected_limits', 'asimov_median_limit']
 
 _GRID_POINTS = 25
@@ -49,9 +51,10 @@ def _require_binned(study):
             "sensitivity_band instead")
 
 
-def _asimov_counts(study, target, truth, null):
-    b_truth = dict(truth or {})
-    b_truth[target] = float(null)
+def _asimov_counts(study, target, truth, null, fixed=None):
+    # Parameters held fixed in the fits must shape the Asimov dataset too
+    # (explicit truth entries win)
+    b_truth = simulation_truth(truth, fixed, **{target: float(null)})
     return study.expected_counts(**b_truth)
 
 
@@ -76,8 +79,8 @@ def _sigma_on_grid(study, target, hyps, counts, fixed, null):
             "[%g, %g] — the likelihood does not constrain %r there "
             "(is the signal template empty?)" % (hyps[0], hyps[-1], target))
     if bad.any():
-        good = np.flatnonzero(~bad)
-        sigma[:good[0]] = sigma[good[0]]
+        # np.interp clamps to the first/last finite knot, which IS the
+        # intended fill for grid points too close to the null for float noise
         sigma = np.interp(hyps, hyps[~bad], sigma[~bad])
     return sigma, float(np.asarray(free[target])[0])
 
@@ -96,7 +99,7 @@ def asimov_sigma(study, target, hypothesis, truth=None, fixed=None, null=0.0):
     h = float(hypothesis)
     if not h > null:
         raise ValueError("hypothesis (%g) must exceed null (%g)" % (h, null))
-    counts = _asimov_counts(study, target, truth, null)
+    counts = _asimov_counts(study, target, truth, null, fixed)
     sigma, _ = _sigma_on_grid(study, target, np.asarray([h]), counts,
                               fixed, null)
     return float(sigma[0])
@@ -153,7 +156,7 @@ def asimov_expected_limits(study, target, cl=0.9, truth=None, fixed=None,
         raise ValueError(
             "every requested quantile maps to a nonpositive critical "
             "offset — raise cl or the quantiles")
-    counts = _asimov_counts(study, target, truth, null)
+    counts = _asimov_counts(study, target, truth, null, fixed)
     bounds = study.compiled.bounds.get(target, (None, None))
     hi_b = None if bounds[1] is None else float(bounds[1])
 
@@ -195,6 +198,11 @@ def asimov_expected_limits(study, target, cl=0.9, truth=None, fixed=None,
                     mu = new
                     break
                 mu = 0.5 * (mu + new)   # damped: robust to curve kinks
+            # A weakly-constraining model can put the asymptotic edge past
+            # the parameter's upper bound, where no exact limit (which pins
+            # at the bound) can lie — clamp, like the null clamp above
+            if hi_b is not None:
+                mu = min(mu, hi_b)
             return mu
 
         edges = [solve(c) for c in offsets]

@@ -23,6 +23,8 @@ ensembles: each background-only toy's q_mu row plays the observed curve.
 import jax
 import numpy as np
 
+from ._stats import simulation_truth, tail_fraction
+
 __all__ = ['cls_curve', 'cls_upper_limit', 'cls_expected_band']
 
 
@@ -41,16 +43,6 @@ def _one_sided_qmu(ts, x_hat, hyps):
     return np.where(x_hat[None, :] <= hyps[:, None], ts, 0.0)
 
 
-def _tail_fraction(calib_sorted, q_obs):
-    """Add-one-smoothed P(q >= q_obs) from a SORTED calibration sample;
-    vectorized over q_obs of any shape."""
-    n = calib_sorted.shape[-1]
-    # searchsorted('left') counts strictly-less entries; the rest are >=
-    idx = np.searchsorted(calib_sorted, np.asarray(q_obs) * (1.0 - 1e-12),
-                          side='left')
-    return (1.0 + (n - idx)) / (1.0 + n)
-
-
 def cls_curve(study, key, target, hypotheses, n_toys, counts=None,
               truth=None, fixed=None, mesh=None, null=0.0):
     """Observed CLs, CLsb and CLb at each hypothesis.
@@ -59,6 +51,9 @@ def cls_curve(study, key, target, hypotheses, n_toys, counts=None,
       likelihood's ``set_data`` dataset, either study type).
     :param truth: background model parameters for the calibration ensembles
       (the target is overridden per-ensemble); default config values.
+      ``fixed`` values are folded in (explicit ``truth`` entries win):
+      parameters held fixed in the fits must be simulated at those values
+      or the calibration belongs to a different model.
     :param null: the background-only value of the target (0 for a rate).
     :return: dict with 'hypotheses' (sorted ascending), 'q_obs', 'cls',
       'clsb', 'clb', 'x_hat' (observed best fit), and the calibration
@@ -67,6 +62,7 @@ def cls_curve(study, key, target, hypotheses, n_toys, counts=None,
     hyps = np.sort(np.asarray(hypotheses, dtype=float))
     if hyps.ndim != 1 or len(hyps) < 2:
         raise ValueError("hypotheses must be a 1-d grid of >= 2 values")
+    truth = simulation_truth(truth, fixed)
 
     # Observed one-sided q_mu curve: one free fit + one vmapped
     # conditional-fit program over the grid
@@ -92,7 +88,7 @@ def cls_curve(study, key, target, hypotheses, n_toys, counts=None,
 
     # Background-only calibration: ONE ensemble, one free fit per toy,
     # conditional fits reused across the grid
-    b_truth = dict(truth or {})
+    b_truth = dict(truth)
     b_truth[target] = float(null)
     ts_b, _, free_b, _ = study.profile_ts_grid(
         jax.random.fold_in(key, _B_ONLY_SALT), target, hyps, n_toys,
@@ -102,8 +98,8 @@ def cls_curve(study, key, target, hypotheses, n_toys, counts=None,
     clsb = np.empty(len(hyps))
     clb = np.empty(len(hyps))
     for j in range(len(hyps)):
-        clsb[j] = _tail_fraction(np.sort(q_sb[j]), q_obs[j])
-        clb[j] = _tail_fraction(np.sort(q_b[j]), q_obs[j])
+        clsb[j] = tail_fraction(np.sort(q_sb[j]), q_obs[j])
+        clb[j] = tail_fraction(np.sort(q_b[j]), q_obs[j])
     cls = clsb / clb
     return {'hypotheses': hyps, 'q_obs': q_obs, 'cls': cls, 'clsb': clsb,
             'clb': clb, 'x_hat': x_hat, 'q_sb': q_sb, 'q_b': q_b}
@@ -182,14 +178,15 @@ def cls_expected_band(study, key, target, hypotheses, n_toys, cl=0.9,
     clsb_all = np.empty((H, n))
     clb_all = np.empty((H, n))
     for j in range(H):
-        clsb_all[j] = _tail_fraction(np.sort(q_sb[j]), q_b[j])
+        clsb_all[j] = tail_fraction(np.sort(q_sb[j]), q_b[j])
         # Leave-one-out CLb — each toy is excluded from its own calibration
         # (left in, the add-one estimator double-counts it and biases CLb
         # high). Counting >= entries in the FULL sorted sample and dropping
         # the toy's own (always >=) entry equals the delete-and-recount,
         # without n re-sorts of the n-element sample per hypothesis.
         b_sorted = np.sort(q_b[j])
-        idx = np.searchsorted(b_sorted, q_b[j] * (1.0 - 1e-12), side='left')
+        idx = np.searchsorted(b_sorted, q_b[j] * (1.0 - 1e-12) - 1e-12,
+                              side='left')
         clb_all[j] = (1.0 + (n - idx) - 1.0) / (1.0 + (n - 1))
     cls_all = clsb_all / clb_all
     lims = np.array([_cls_crossing(hyps, cls_all[:, i], 1.0 - cl)

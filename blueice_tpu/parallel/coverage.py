@@ -20,6 +20,7 @@ adaptive rescaling, critical curve, fitter) out of sample — complementary to
 which only re-reads the calibration ensemble's own quantiles.
 """
 
+import warnings
 from collections import OrderedDict
 
 import numpy as np
@@ -54,15 +55,24 @@ def clopper_pearson(k, n, conf=0.68):
 
 
 def _side_covered(side, edge, v, hyps):
-    """Per-toy truth-coverage verdict for one interval edge.
+    """Per-toy (covered, undecided) verdicts for one interval edge.
 
-    An unresolved edge (NaN) lies BEYOND the final grid on its own side,
-    so its verdict is still decidable from the grid end: an upper edge
-    beyond the grid exceeds the grid top, a lower edge beyond the grid
-    undercuts the grid bottom."""
+    An unresolved edge (NaN) lies BEYOND the final grid on its own side, so
+    its verdict is decidable from the grid end whenever the truth lies
+    inside the grid: an upper edge beyond the grid exceeds the grid top
+    (>= any truth under it), a lower edge beyond the grid undercuts the
+    grid bottom. A truth beyond the grid end on the SAME side is genuinely
+    undecidable (the edge is somewhere past the grid, the truth too) —
+    those toys are flagged and scored NOT covered, the conservative
+    direction for a coverage validation."""
+    nan = np.isnan(np.asarray(edge, dtype=float))
     if side == 'upper':
-        return np.where(np.isnan(edge), float(hyps[-1]) >= v, edge >= v)
-    return np.where(np.isnan(edge), float(hyps[0]) <= v, edge <= v)
+        covered = np.where(nan, float(hyps[-1]) >= v, edge >= v)
+        undecided = nan & (v > float(hyps[-1]))
+    else:
+        covered = np.where(nan, float(hyps[0]) <= v, edge <= v)
+        undecided = nan & (v < float(hyps[0]))
+    return covered, undecided
 
 
 def coverage_check(study, key, target, true_values, n_toys, kind='upper',
@@ -91,7 +101,10 @@ def coverage_check(study, key, target, true_values, n_toys, kind='upper',
       overwritten per probed value).
     :param ci: confidence level of the per-point Clopper-Pearson error bars.
     :return: dict with 'true_values', 'coverage' (per-truth fraction),
-      'ci' ((n, 2) Clopper-Pearson bounds), 'n_covered', 'n_toys',
+      'ci' ((n, 2) Clopper-Pearson bounds), 'n_covered', 'n_undecided'
+      (toys whose edge was unresolved on the truth's own side of the grid —
+      scored not covered, with a warning), 'n_toys' (the ACTUAL ensemble
+      size — a mesh rounds the request up to a device multiple),
       'nominal' (= cl), 'kind', and 'edges' (per-truth list of per-spec edge
       arrays, for diagnostics).
     """
@@ -101,27 +114,40 @@ def coverage_check(study, key, target, true_values, n_toys, kind='upper',
     true_values = [float(v) for v in np.atleast_1d(
         np.asarray(true_values, dtype=float))]
     keys = jax.random.split(key, len(true_values))
-    coverage, cis, n_cov, all_edges = [], [], [], []
+    coverage, cis, n_cov, n_und, all_edges = [], [], [], [], []
+    n_actual = int(n_toys)
     for k_i, v in zip(keys, true_values):
         tv = dict(truth or {})
         tv[target] = v
         edges, _, hyps, _ = _adaptive_edges(
             study, k_i, target, hypotheses, n_toys, tv, fixed, mesh, t_ppf,
             specs)
-        covered = np.ones(len(edges[0]), dtype=bool)
+        n_actual = len(edges[0])    # simulate() rounds up under a mesh
+        covered = np.ones(n_actual, dtype=bool)
+        undecided = np.zeros(n_actual, dtype=bool)
         for (side, _), e in zip(specs, edges):
-            covered &= _side_covered(side, np.asarray(e, dtype=float), v,
-                                     hyps)
+            c, u = _side_covered(side, np.asarray(e, dtype=float), v, hyps)
+            covered &= c
+            undecided |= u
+        if undecided.any():
+            warnings.warn(
+                "%d/%d toys at truth %g have an interval edge unresolved on "
+                "the truth's own side of the grid [%g, %g]; they are scored "
+                "NOT covered (conservative) — widen the grid or use "
+                "hypotheses='auto'" % (int(undecided.sum()), n_actual, v,
+                                       hyps[0], hyps[-1]))
         k = int(covered.sum())
         n_cov.append(k)
-        coverage.append(k / float(len(covered)))
-        cis.append(clopper_pearson(k, len(covered), conf=ci))
+        n_und.append(int(undecided.sum()))
+        coverage.append(k / float(n_actual))
+        cis.append(clopper_pearson(k, n_actual, conf=ci))
         all_edges.append(edges)
     return {'true_values': np.asarray(true_values),
             'coverage': np.asarray(coverage),
             'ci': np.asarray(cis),
             'n_covered': np.asarray(n_cov),
-            'n_toys': int(n_toys),
+            'n_undecided': np.asarray(n_und),
+            'n_toys': n_actual,
             'nominal': float(cl),
             'kind': kind,
             'edges': all_edges}

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import stats
 
+from ._stats import simulation_truth, tail_fraction
+
 __all__ = ['discovery_ts', 'observed_discovery', 'asimov_discovery',
            'discovery_reach']
 
@@ -59,9 +61,14 @@ def discovery_ts(study, key, n_toys, target, truth=None, fixed=None,
     with a point mass at 0); with the signal truth it is the expected
     discovery-significance distribution.
 
+    ``fixed`` values are folded into the simulation truth (explicit
+    ``truth`` entries win): fixing a parameter in the fits asserts its
+    value, so the calibration ensemble must be simulated there too.
+
     :return: (q0 array (n_toys,), free ToyResults, conditional ToyResults).
     """
     _check_target_free(target, fixed)
+    truth = simulation_truth(truth, fixed)
     t, free, cond = study.profile_ts(key, n_toys, target, float(null),
                                      truth=truth, fixed=fixed, mesh=mesh)
     return _one_sided(t, free[target], float(null)), free, cond
@@ -108,16 +115,11 @@ def observed_discovery(study, target, counts=None, fixed=None, null=0.0,
     if n_calibration:
         if key is None:
             raise ValueError("toy calibration needs key= for the ensemble")
-        null_truth = dict(truth or {})
-        null_truth[target] = null
+        null_truth = simulation_truth(truth, fixed, **{target: null})
         q0_toys, _, _ = discovery_ts(study, key, int(n_calibration), target,
                                      truth=null_truth, fixed=fixed,
                                      mesh=mesh, null=null)
-        # Add-one smoothing keeps p strictly positive (an observed q0 above
-        # every calibration toy is evidence, not p = 0) and is the standard
-        # unbiased permutation-test estimator
-        n_ge = int((q0_toys >= q0 * (1.0 - 1e-12)).sum())
-        p_toys = (1.0 + n_ge) / (1.0 + len(q0_toys))
+        p_toys = float(tail_fraction(np.sort(q0_toys), q0))
         out['p_toys'] = float(p_toys)
         out['Z_toys'] = float(stats.norm.isf(p_toys))
         out['q0_calibration'] = q0_toys
@@ -144,7 +146,7 @@ def asimov_discovery(study, target, truth, fixed=None, null=0.0):
             "does not exist for unbinned data); use the median of "
             "discovery_ts under the signal truth instead")
     _check_target_free(target, fixed)
-    counts = study.expected_counts(**dict(truth or {}))
+    counts = study.expected_counts(**simulation_truth(truth, fixed))
     res = observed_discovery(study, target, counts=counts, fixed=fixed,
                              null=null)
     return {'q0_asimov': res['q0'], 'Z_asimov': res['Z_asymptotic'],
@@ -183,7 +185,7 @@ def discovery_reach(study, target, signal_values, truth=None, fixed=None,
     svals = np.sort(np.atleast_1d(np.asarray(signal_values, dtype=float)))
     if len(svals) < 2:
         raise ValueError("signal_values must be a grid of >= 2 values")
-    base = dict(truth or {})
+    base = simulation_truth(truth, fixed)
     counts = []
     for s in svals:
         t = dict(base)

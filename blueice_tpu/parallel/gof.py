@@ -19,6 +19,8 @@ import jax
 import numpy as np
 from scipy import special
 
+from ._stats import simulation_truth, tail_fraction
+
 __all__ = ['saturated_logl', 'gof_ts', 'gof_pvalue']
 
 
@@ -101,11 +103,12 @@ def gof_pvalue(study, key, n_toys, counts=None, truth=None, fixed=None,
     if truth is None:
         truth = {n: float(np.asarray(fit[n])[0]) for n in fit.names}
         truth.update(fixed or {})
+    else:
+        truth = simulation_truth(truth, fixed)
     toys = study.simulate(key, n_toys, truth, mesh)
     toy_res = study.fit_toys(toys, fixed=fixed)
     sat = saturated_logl(study, toys, batched=True)
     t_toys = 2.0 * (np.asarray(sat) - np.asarray(toy_res.max_ll))
-    n_ge = int((t_toys >= t_obs * (1.0 - 1e-12) - 1e-12).sum())
-    p = (1.0 + n_ge) / (1.0 + len(t_toys))
+    p = float(tail_fraction(np.sort(t_toys), t_obs))
     return {'t_obs': t_obs, 'p': float(p), 't_toys': t_toys,
             'truth': dict(truth), 'fit': fit}

@@ -23,6 +23,8 @@ from collections import OrderedDict
 
 import numpy as np
 
+from ._stats import simulation_truth
+
 __all__ = ['toy_upper_limits', 'toy_lower_limits', 'toy_central_intervals',
            'toy_unified_intervals', 'sensitivity_band', 'observed_interval']
 
@@ -179,6 +181,10 @@ def _adaptive_edges(study, key, target, hypotheses, n_toys, truth, fixed,
     """Toy-ensemble front end of :func:`_adaptive_edges_impl`: run the
     profile-LR grid over a simulated ensemble (toys regenerate bit-identically
     from the key, so auto-grid retries cost only program executions)."""
+    # Parameters held fixed in the fits must be simulated at those values
+    # (explicit truth entries win) — otherwise the toy statistics belong to
+    # a different model than the fits that evaluate them
+    truth = simulation_truth(truth, fixed)
     auto = _auto_requested(hypotheses)
     if auto:
         hypotheses = _auto_grid(study, key, target, n_toys, truth, fixed,

@@ -45,10 +45,14 @@ class NeymanConstruction:
         if statistic not in ('two-sided', 'upper', 'lower'):
             raise ValueError("statistic must be 'two-sided', 'upper' or "
                              "'lower'")
+        from ._stats import simulation_truth
         self.study = study
         self.target = target
         self.fixed = dict(fixed or {})
-        self.truth = dict(truth or {})
+        # Parameters held fixed in the fits are simulated at those values
+        # too (explicit truth entries win) — the calibration ensembles must
+        # belong to the same model as the fits that evaluate them
+        self.truth = simulation_truth(truth, fixed)
         self.mesh = mesh
         self.statistic = statistic
         self.hypotheses = None

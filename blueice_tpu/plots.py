@@ -62,7 +62,20 @@ def plot_ranking(ranking, max_rows=None, ax=None):
         ax.axvline(v, color='k', linewidth=0.6, linestyle=':')
     ax.set_yticks(y)
     ax.set_yticklabels([r['name'] for r in rows])
-    ax.set_xlim(-2.5, 2.5)
+    # Pull axis wide enough for every marker + error bar (a |pull| > 2.5
+    # nuisance is exactly what this plot exists to surface), never narrower
+    # than the conventional +-2.5
+    pmax = 2.5
+    for r in rows:
+        if r['pull'] is None:
+            continue
+        w = 0.0
+        if r['prior_sigma']:
+            w = max([s / r['prior_sigma']
+                     for s in (r['sigma_lo'], r['sigma_hi'])
+                     if np.isfinite(s)] or [0.0])
+        pmax = max(pmax, abs(r['pull']) + w)
+    ax.set_xlim(-1.05 * pmax, 1.05 * pmax)
     ax2.set_xlim(-1.2 * dmax, 1.2 * dmax)
     ax.set_xlabel(r'pull $(\hat\theta - \theta_0)/\sigma_{prior}$')
     ax2.set_xlabel(r'impact $\Delta$%s' % ranking['target'])
@@ -108,13 +121,17 @@ def plot_limit_band(result, observed=None, ax=None, label='expected limits'):
     band = result['band']
     qs = sorted(band)
     colors = {0: 'gold', 1: 'yellowgreen'}
-    # Shade symmetric quantile pairs outside-in (2.5/97.5 then 16/84 ...)
+    # Shade symmetric quantile pairs outside-in (2.5/97.5 then 16/84 ...):
+    # SOLID spans with inner pairs drawn on top, so the inner +-1 sigma
+    # region reads as pure green inside pure yellow (the Brazil convention)
+    # instead of an alpha blend of both
     for depth, (ql, qh) in enumerate(zip(qs, qs[::-1])):
         if ql >= qh:
             break
         if np.isfinite(band[ql]) and np.isfinite(band[qh]):
-            ax.axvspan(band[ql], band[qh], alpha=0.35,
-                       color=colors.get(depth, 'green'), zorder=0)
+            ax.axvspan(band[ql], band[qh], linewidth=0,
+                       color=colors.get(depth, 'green'),
+                       zorder=-10 + depth)
     med = result['band'].get(0.5)
     if med is not None and np.isfinite(med):
         ax.axvline(med, color='k', linestyle='--', label='median expected')

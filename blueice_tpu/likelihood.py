@@ -66,6 +66,21 @@ def _needs_data(f):
     return wrapper
 
 
+def _no_n_model_events(zs):
+    """Default n_model_events interpolator (no MC-statistics handling).
+    A module-level function, not a lambda, so likelihoods pickle."""
+    return None
+
+
+def _global_host_interpolator(morpher, tensor):
+    """Host interpolator over a stacked anchor tensor — the one closure shape
+    behind every 'global' build, reconstructible from its (morpher, tensor)
+    payload after unpickling."""
+    def interpolator(zs):
+        return np.asarray(morpher.host_eval(tensor, np.asarray(zs)))
+    return interpolator
+
+
 class LogLikelihoodBase:
     """Log likelihood function with rate and/or shape nuisance parameters.
 
@@ -125,7 +140,7 @@ class LogLikelihoodBase:
         self.anchor_sources = OrderedDict()   # source name -> zs tuple -> Source
         self.mus_interpolator = None
         self.ps_interpolator = None
-        self.n_model_events_interpolator = lambda zs: None
+        self.n_model_events_interpolator = _no_n_model_events
 
         # Stacked anchor tensors for the fused jax path (set by prepare/set_data):
         #   dict payload_name -> ('global', morpher, tensor)
@@ -298,7 +313,39 @@ class LogLikelihoodBase:
             else:
                 sw_builds[sn] = (None, np.float64(base_source.expected_events))
         self._builds['mus'] = ('source_wise', sw_builds)
+        self.mus_interpolator = self._source_wise_mus_interpolator(sw_builds)
 
+    @staticmethod
+    def _interp_and_tensor(morpher, f, extra_dims, anchor_models):
+        """Build the stacked anchor tensor once; return (host interpolator, tensor)."""
+        tensor = np.asarray(morpher.build_tensor(f, extra_dims, anchor_models))
+        return _global_host_interpolator(morpher, tensor), tensor
+
+    # -- pickling ----------------------------------------------------------------------
+    # The reference ships prepared likelihoods between processes by (dill-)
+    # pickling them (its parallel.py:85-92 dill-ships Model configs; user
+    # analyses pickle whole likelihoods). Here the interpolators are plain
+    # closures over (morpher, tensor) payloads that ARE picklable and already
+    # stored in self._builds, so drop the closures on dump and rebuild them on
+    # load — plain stdlib pickle works whenever the user's config does.
+
+    _CLOSURE_ATTRS = ('mus_interpolator', 'ps_interpolator',
+                      'n_model_events_interpolator')
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        for k in self._CLOSURE_ATTRS:
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.mus_interpolator = None
+        self.ps_interpolator = None
+        self.n_model_events_interpolator = _no_n_model_events
+        self._rebuild_host_interpolators()
+
+    def _source_wise_mus_interpolator(self, sw_builds):
         def mus_interpolator(zs):
             zs = np.asarray(zs)
             mus = []
@@ -310,16 +357,42 @@ class LogLikelihoodBase:
                     these = zs[self._get_shape_indices(sn)]
                     mus.append(float(morpher.host_eval(tensor, these)))
             return np.array(mus)
-        self.mus_interpolator = mus_interpolator
+        return mus_interpolator
 
-    @staticmethod
-    def _interp_and_tensor(morpher, f, extra_dims, anchor_models):
-        """Build the stacked anchor tensor once; return (host interpolator, tensor)."""
-        tensor = np.asarray(morpher.build_tensor(f, extra_dims, anchor_models))
+    def _source_wise_ps_interpolator(self, sw_builds):
+        def ps_interpolator(zs):
+            zs = np.asarray(zs)
+            rows = []
+            for sn in self.source_name_list:
+                morpher, tensor = sw_builds[sn]
+                if morpher is None:
+                    rows.append(np.asarray(tensor, dtype=float))
+                else:
+                    rows.append(np.asarray(morpher.host_eval(
+                        tensor, zs[self._get_shape_indices(sn)]),
+                        dtype=float))
+            return np.stack(rows)
+        return ps_interpolator
 
-        def interpolator(zs):
-            return np.asarray(morpher.host_eval(tensor, np.asarray(zs)))
-        return interpolator, tensor
+    def _rebuild_host_interpolators(self):
+        """Reconstruct the interpolator closures from the stored builds —
+        the exact same constructions prepare()/set_data() made originally."""
+        for name, build in self._builds.items():
+            kind = build[0]
+            if kind == 'constant':
+                continue      # self.ps / self.n_model_events carry the payload
+            if kind == 'global':
+                interp = _global_host_interpolator(build[1], build[2])
+            elif name == 'mus':
+                interp = self._source_wise_mus_interpolator(build[1])
+            else:
+                interp = self._source_wise_ps_interpolator(build[1])
+            if name == 'mus':
+                self.mus_interpolator = interp
+            elif name == 'ps':
+                self.ps_interpolator = interp
+            elif name == 'n_model_events':
+                self.n_model_events_interpolator = interp
 
     # -- data ------------------------------------------------------------------------
 
@@ -615,19 +688,7 @@ class UnbinnedLogLikelihood(LogLikelihoodBase):
             else:
                 sw_builds[sn] = (None, np.asarray(base_source.pdf(*dims)))
         self._builds['ps'] = ('source_wise', sw_builds)
-
-        def ps_interpolator(zs):
-            zs = np.asarray(zs)
-            ps = np.zeros((len(self.source_name_list), _n_events(d)))
-            for i, sn in enumerate(self.source_name_list):
-                morpher, tensor = sw_builds[sn]
-                if morpher is None:
-                    ps[i] = tensor
-                else:
-                    ps[i] = morpher.host_eval(
-                        tensor, zs[self._get_shape_indices(sn)])
-            return ps
-        self.ps_interpolator = ps_interpolator
+        self.ps_interpolator = self._source_wise_ps_interpolator(sw_builds)
 
     @inherit_docstring_from(LogLikelihoodBase)
     def _compute_single_pdf(self, **kwargs):

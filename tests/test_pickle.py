@@ -101,3 +101,66 @@ def test_unprepared_likelihood_pickles():
     lf2 = pickle.loads(pickle.dumps(lf))
     assert not lf2.is_prepared
     assert lf2.n_model_events_interpolator(np.array([0.0])) is None
+
+
+# Composition classes: picklable whenever the user's functions are (the
+# reference needs dill for its lambda-valued conv_configs; module-level
+# functions round-trip with plain pickle).
+
+def _sq0(np0):
+    return np0 ** 2
+
+
+def _sq1(np1):
+    return np1 ** 2
+
+
+def _bil(np0, np1):
+    return np0 * np1
+
+
+def _anc(pars):
+    return -0.5 * (pars['theta'] - 1.0) ** 2
+
+
+def _unbinned_lf():
+    lf = UnbinnedLogLikelihood(conf_for_test(n_sources=2, mc=False))
+    lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('some_multiplier', (0.5, 1.0, 2.0))
+    lf.prepare()
+    lf.set_data(make_data([dict(n_events=10, x=0.0)])[0])
+    return lf
+
+
+def test_sum_pickle_roundtrip():
+    from blueice_tpu.composition import LogLikelihoodSum
+    s = LogLikelihoodSum([_unbinned_lf(), _unbinned_lf()],
+                         likelihood_weights=[1.0, 0.5])
+    v1 = float(s(**KW))
+    s2 = pickle.loads(pickle.dumps(s))
+    assert float(s2(**KW)) == v1
+
+
+def test_reparam_and_ancillary_pickle_roundtrip():
+    from blueice_tpu.composition import (LogLikelihoodReParam,
+                                         LogAncillaryLikelihood)
+    from blueice_tpu.test_helpers import conf_for_reparam_test
+    conv = dict(
+        np0=(np.linspace(1e-12, 10, 2), None, None),
+        np1=(np.linspace(1e-12, 10, 2), None, None),
+        op0_rate_multiplier=dict(params=['np0'], func=_sq0),
+        op1_rate_multiplier=dict(params=['np1'], func=_sq1),
+        op2_rate_multiplier=dict(params=['np0', 'np1'], func=_bil),
+    )
+    lf = UnbinnedLogLikelihood(conf_for_reparam_test())
+    lf.prepare()
+    lf.set_data(make_data([dict(n_events=10, x=0.0)])[0])
+    rp = LogLikelihoodReParam(lf, conv)
+    v1 = float(rp(np0=1.3))
+    rp2 = pickle.loads(pickle.dumps(rp))
+    assert float(rp2(np0=1.3)) == v1
+
+    al = LogAncillaryLikelihood(_anc, ['theta'], config={'theta': 1.0})
+    a1 = float(al(theta=1.5))
+    al2 = pickle.loads(pickle.dumps(al))
+    assert float(al2(theta=1.5)) == a1

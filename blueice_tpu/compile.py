@@ -26,8 +26,8 @@ from .ops.bb_lite import bb_lite_logl
 from .ops.poisson import (binned_poisson_logl, binned_poisson_logl_constant,
                           extended_logl)
 
-__all__ = ['CompiledLogLikelihood', 'build_logl', 'build_logl_sum',
-           'build_logl_reparam', 'build_logl_ancillary']
+__all__ = ['CompiledLogLikelihood', 'build_logl', 'cached_logl',
+           'build_logl_sum', 'build_logl_reparam', 'build_logl_ancillary']
 
 
 def build_logl_reparam(rp, dtype=None, include_livetime=False,
@@ -310,6 +310,23 @@ def _check_prior_traceable(name, prior):
             "UniformPrior or any jnp-built callable instead of e.g. "
             "scipy.stats frozen logpdfs (the host __call__ path still accepts "
             "those)." % (name, prior)) from e
+
+
+def cached_logl(lf):
+    """:func:`build_logl` with a per-likelihood cache, invalidated whenever
+    ``prepare()`` or ``set_data()`` bumps the payload version — so interval
+    scans and repeated samplers compile exactly once per dataset, and a new
+    dataset always gets a fresh program. (id()-based tokens are unsafe:
+    CPython reuses addresses.) One implementation, shared by
+    ``bestfit_jax`` and ``bestfit_emcee_device``."""
+    token = getattr(lf, '_build_version', None)
+    if token is None and hasattr(lf, 'likelihood_list'):
+        token = tuple(getattr(ll, '_build_version', None)
+                      for ll in lf.likelihood_list)
+    cached = getattr(lf, '_compiled_for_fit', None)
+    if cached is None or cached[0] != token:
+        lf._compiled_for_fit = cached = (token, build_logl(lf))
+    return cached[1]
 
 
 def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):

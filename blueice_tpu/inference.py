@@ -200,23 +200,11 @@ def bestfit_jax(lf, return_errors=True, fit_options=None, **kwargs):
     :param kwargs: fixed values for certain parameters (not fitted).
     :param fit_options: dict passed to parallel.fitter.fit (max_iter, tol, ...).
     """
-    from .compile import build_logl
+    from .compile import cached_logl
     from .parallel.fitter import fit_single
 
-    # Cache the compiled likelihood on lf, invalidated whenever prepare() or
-    # set_data() bumps the payload version — so interval scans (many
-    # conditional fits) compile exactly once, and a new dataset always gets a
-    # fresh program. (id()-based tokens are unsafe: addresses get reused.)
-    token = getattr(lf, '_build_version', None)
-    if token is None and hasattr(lf, 'likelihood_list'):
-        token = tuple(getattr(ll, '_build_version', None)
-                      for ll in lf.likelihood_list)
-    cached = getattr(lf, '_compiled_for_fit', None)
-    if cached is None or cached[0] != token:
-        lf._compiled_for_fit = cached = (token, build_logl(lf))
-    compiled = cached[1]
-    return fit_single(compiled, fixed=kwargs, return_errors=return_errors,
-                      **(fit_options or {}))
+    return fit_single(cached_logl(lf), fixed=kwargs,
+                      return_errors=return_errors, **(fit_options or {}))
 
 
 def _stretch_move_sampler(log_prob, p0, n_steps, rng, a=2.0):

@@ -92,7 +92,7 @@ def cls_curve(study, key, target, hypotheses, n_toys, counts=None,
     b_truth[target] = float(null)
     ts_b, _, free_b, _ = study.profile_ts_grid(
         jax.random.fold_in(key, _B_ONLY_SALT), target, hyps, n_toys,
-        truth=b_truth, fixed=fixed, mesh=mesh)
+        truth=b_truth, fixed=fixed, mesh=mesh, return_cond=False)
     q_b = _one_sided_qmu(ts_b, np.asarray(free_b[target]), hyps)
 
     clsb = np.empty(len(hyps))

@@ -76,8 +76,20 @@ def to_global_toys(mesh, tree, axis_name='toys'):
     """
     n_local = len(mesh.local_devices)
     n_total = int(mesh.devices.size)
-    # This process's contiguous block of the (device-blocked) toy axis
-    first = [d for d in mesh.devices.flat].index(mesh.local_devices[0])
+    # This process's block of the (device-blocked) toy axis. The slice below
+    # is only correct when the process's devices are one CONTIGUOUS run of
+    # the mesh order — global_mesh() guarantees that by sorting on
+    # (process_index, id); verify rather than silently mis-assign rows on a
+    # user-built interleaved mesh.
+    flat = [d for d in mesh.devices.flat]
+    pos = sorted(flat.index(d) for d in mesh.local_devices)
+    first = pos[0]
+    if pos != list(range(first, first + n_local)):
+        raise ValueError(
+            "to_global_toys needs this process's devices to form one "
+            "contiguous block of the mesh device order (positions %s of %d) "
+            "— build the mesh with global_mesh(), which sorts devices by "
+            "(process_index, id)" % (pos, n_total))
 
     def put(x):
         x = np.asarray(x)

@@ -191,8 +191,11 @@ def _adaptive_edges(study, key, target, hypotheses, n_toys, truth, fixed,
                                 mesh)
 
     def run_grid(hyps):
+        # return_cond=False: the edges only need t — skip transferring the
+        # per-hypothesis conditional parameter matrices on every retry
         ts, hyps, free, _ = study.profile_ts_grid(
-            key, target, hyps, n_toys, truth=truth, fixed=fixed, mesh=mesh)
+            key, target, hyps, n_toys, truth=truth, fixed=fixed, mesh=mesh,
+            return_cond=False)
         return np.asarray(ts), np.asarray(hyps), free
 
     return _adaptive_edges_impl(
@@ -354,30 +357,38 @@ def toy_unified_intervals(study, key, target, hypotheses, n_toys, truth=None,
     empty, never flip-flopping between conventions.
 
     :param truth: simulation truth; default the model defaults.
-    :return: ((n_toys,) lower edges, (n_toys,) upper edges). Lower edges
-      unresolved at the target's lower parameter bound ARE the bound;
-      elsewhere NaN marks an edge beyond the (adaptively grown) grid.
+    :return: ((n_toys,) lower edges, (n_toys,) upper edges). Edges
+      unresolved at the target's own (finite) parameter bound ARE the bound
+      — the boundary transition, on both sides; elsewhere NaN marks an edge
+      beyond the (adaptively grown) grid.
     """
     truth = dict(truth or {})
     q = (1.0 + cl) / 2.0
     edges, _, hyps, _ = _adaptive_edges(
         study, key, target, hypotheses, n_toys, truth, fixed, mesh, t_ppf,
         specs=[('lower', q), ('upper', q)])
-    lo = _lower_edge_to_bound(
-        edges[0], hyps, study.compiled.bounds.get(target, (None, None)))
-    return lo, edges[1]
+    return _unified_edges_to_bounds(
+        edges[0], edges[1], hyps,
+        study.compiled.bounds.get(target, (None, None)))
 
 
-def _lower_edge_to_bound(lo, hyps, bounds):
-    """Unified-interval boundary transition: a lower edge whose crossing
-    never happens down to the target's lower parameter bound means the
-    acceptance region reaches the bound — the edge IS the bound."""
+def _unified_edges_to_bounds(lo, hi, hyps, bounds):
+    """Unified-interval boundary transitions: an edge whose crossing never
+    happens out to the target's own (finite) parameter bound means the
+    acceptance region reaches that bound — the edge IS the bound. Applies
+    on BOTH sides (a shape parameter's anchor range bounds it above too);
+    only when the grid actually reached the bound — an edge beyond a grid
+    that stopped short stays NaN (widen the grid)."""
     lo = np.array(lo, dtype=float, copy=True)
-    lo_b = bounds[0]
+    hi = np.array(hi, dtype=float, copy=True)
+    lo_b, hi_b = bounds
     if lo_b is not None and np.isclose(float(hyps[0]), float(lo_b),
                                        rtol=1e-12, atol=0.0):
         lo[np.isnan(lo)] = float(lo_b)
-    return lo
+    if hi_b is not None and np.isclose(float(hyps[-1]), float(hi_b),
+                                       rtol=1e-12, atol=0.0):
+        hi[np.isnan(hi)] = float(hi_b)
+    return lo, hi
 
 
 def _checked_crit(hyps, quantile, t_ppf):
@@ -470,8 +481,9 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
     :param kind: 'upper', 'lower' or 'central' — conventions (including the
       quantile handed to t_ppf per side) exactly as in
       ``one_parameter_interval`` — or 'unified' for the Feldman-Cousins-style
-      two-sided acceptance (see :func:`toy_unified_intervals`; a lower edge
-      unresolved at the target's lower bound IS the bound).
+      two-sided acceptance (see :func:`toy_unified_intervals`; an edge
+      unresolved at the target's own finite parameter bound IS the bound,
+      on either side).
     :return: float for 'upper'/'lower', (lower, upper) floats for
       'central'/'unified'. With return_grid, (result, ts (H,), hypotheses,
       free ToyResults).
@@ -486,7 +498,7 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
     elif kind == 'unified':
         # Feldman-Cousins-style two-sided acceptance at level cl; see
         # toy_unified_intervals for the quantile mapping and the
-        # lower-edge-to-bound transition
+        # edge-to-bound boundary transitions
         q = (1.0 + cl) / 2.0
         specs = [('lower', q), ('upper', q)]
     else:
@@ -531,7 +543,8 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
     edges, ts, hyps, free = _adaptive_edges_impl(
         run_grid, bounds, hypotheses, target, t_ppf, specs, adapt=auto)
     if kind == 'unified':
-        edges[0] = _lower_edge_to_bound(edges[0], hyps, bounds)
+        edges[0], edges[1] = _unified_edges_to_bounds(edges[0], edges[1],
+                                                      hyps, bounds)
 
     if auto and all(np.isfinite(e).all() for e in edges):
         # One zoom pass for interpolation resolution: the auto grid is sized
@@ -553,8 +566,8 @@ def observed_interval(study, target, hypotheses='auto', counts=None,
                 run_grid, bounds, np.linspace(g_lo, g_hi, len(hyps)),
                 target, t_ppf, specs, adapt=False)
             if kind == 'unified':
-                zoomed[0][0] = _lower_edge_to_bound(zoomed[0][0], zoomed[2],
-                                                    bounds)
+                zoomed[0][0], zoomed[0][1] = _unified_edges_to_bounds(
+                    zoomed[0][0], zoomed[0][1], zoomed[2], bounds)
             # Keep the zoom only if every edge is still resolved (a crossing
             # could in principle slip past the one-step margin)
             if all(np.isfinite(e).all() for e in zoomed[0]):

@@ -116,13 +116,32 @@ def bestfit_emcee_device(lf, n_walkers=40, n_steps=200, n_burn_in=100,
       errors/samples like the host routine when requested.
     """
     from scipy import stats
-    from ..compile import build_logl
+    from ..compile import cached_logl
 
     if compiled is None:
-        compiled = build_logl(lf)
-    log_prob, names, guess = make_device_log_prob(compiled, fixed)
+        # Version-token cache on lf (shared with bestfit_jax): repeated
+        # calls on the same dataset must not rebuild the likelihood
+        compiled = cached_logl(lf)
+
+    # The jitted chain program is cached on the compiled likelihood: a fresh
+    # jit(lambda ...) closure per call would retrace + recompile the whole
+    # n_steps scan every invocation (e.g. every conditional fit of a scan)
+    cache = getattr(compiled, '_mcmc_runners', None)
+    if cache is None:
+        cache = compiled._mcmc_runners = {}
+    ck = (int(n_walkers), int(n_steps), tuple(sorted(fixed.items())))
+    if ck not in cache:
+        log_prob, names, guess = make_device_log_prob(compiled, fixed)
+        runner = jax.jit(
+            lambda k, p: sample_stretch(log_prob, k, p, n_steps))
+        cache[ck] = (runner, names, guess)
+    runner, names, guess = cache[ck]
     n_dim = len(names)
 
+    if seed is None:
+        # Host-twin parity: seed=None means fresh entropy per call (the
+        # device default stays 0 = reproducible chains)
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
     key = jax.random.PRNGKey(seed)
     k0, k1, k2 = jax.random.split(key, 3)
     spread = jax.random.uniform(k0, (n_walkers, n_dim), minval=0.95,
@@ -138,7 +157,6 @@ def bestfit_emcee_device(lf, n_walkers=40, n_steps=200, n_burn_in=100,
                                    maxval=0.05)
         p0 = jnp.where(jnp.asarray(degenerate)[None, :], p0 + jit_k, p0)
 
-    runner = jax.jit(lambda k, p: sample_stretch(log_prob, k, p, n_steps))
     chain, _ = runner(k1, p0)
     samples = np.asarray(chain[:, n_burn_in:, :]).reshape((-1, n_dim))
 

@@ -85,7 +85,33 @@ def _wrap_cond_long(cond_long):
                             in_axes=(0, 0, None)))
 
 
-def _cond_scan(hypotheses, call_cond, refine_cond, llf, names_cond, cap):
+def _freeze_opts(d):
+    """Hashable cache key of an options dict."""
+    return tuple(sorted((d or {}).items()))
+
+
+def _warm_cols(names_free, names_cond):
+    """Free-fit columns that warm-start the conditional fit, or None when
+    the conditional names are not a subset of the free ones. ONE
+    implementation — the binned/unbinned twins must not drift."""
+    if set(names_cond) <= set(names_free):
+        return [names_free.index(n) for n in names_cond]
+    return None
+
+
+def _check_target_not_fixed(target, fixed):
+    """A fixed profile target would constrain the 'free' fit too, so t
+    would not be a profile-likelihood-ratio statistic — reject loudly
+    (same contract as profile_map's _check_map_space)."""
+    if target in (fixed or {}):
+        raise ValueError(
+            "the profile target %r cannot also be in fixed= — a fixed "
+            "target would constrain the free fit, so t would not be a "
+            "profile-likelihood-ratio statistic" % (target,))
+
+
+def _cond_scan(hypotheses, call_cond, refine_cond, llf, names_cond, cap,
+               need_cond=True):
     """Per-hypothesis conditional-fit loop shared by the ``profile_ts_grid``
     twins: run the compiled conditional program at each hypothesis, refine
     its stragglers, recompute the statistic from the refined optima.
@@ -94,17 +120,32 @@ def _cond_scan(hypotheses, call_cond, refine_cond, llf, names_cond, cap):
     :param refine_cond: (xc, llc, itc, hj) -> refined (xc, llc, itc), or
       None when no refiner exists (then the free fit was not refined either —
     one-sided refinement would bias t).
-    :return: (ts (n_hypotheses, n_toys), list of conditional ToyResults).
+    :param need_cond: when False, the per-hypothesis conditional parameter
+      matrices are NOT transferred to host (limit/coverage callers only use
+      t) — on a remote device link the (n_toys, k) pull per hypothesis per
+      adaptive retry is the dominant wire cost. Stragglers still fetch what
+      the refit needs; unrefined hypotheses report None in the conds list.
+    :return: (ts (n_hypotheses, n_toys), list of conditional ToyResults —
+      entries None where need_cond=False skipped the transfer).
     """
     ts, conds = [], []
     for h in hypotheses:
         hj = jnp.asarray(float(h))
-        t, (xc, llc, itc) = jax.device_get(call_cond(hj))
+        t_dev, (xc_dev, llc_dev, itc_dev) = call_cond(hj)
+        if need_cond:
+            t, xc, llc, itc = jax.device_get((t_dev, xc_dev, llc_dev,
+                                              itc_dev))
+        else:
+            t, itc = jax.device_get((t_dev, itc_dev))
+            xc = llc = None
         if refine_cond is not None and (np.asarray(itc) >= cap).any():
+            if xc is None:
+                xc, llc = jax.device_get((xc_dev, llc_dev))
             xc, llc, itc = refine_cond(xc, llc, itc, hj)
             t = np.maximum(2.0 * (llf - llc), 0.0)
         ts.append(np.asarray(t))
-        conds.append(ToyResults(names_cond, xc, llc, itc))
+        conds.append(ToyResults(names_cond, xc, llc, itc)
+                     if xc is not None else None)
     return np.stack(ts), conds
 
 
@@ -222,9 +263,7 @@ class BinnedToyStudy:
                 engine=self.engine, **opts)
         return fit_one, fit_long, names
 
-    @staticmethod
-    def _freeze(d):
-        return tuple(sorted((d or {}).items()))
+    _freeze = staticmethod(_freeze_opts)
 
     def expected_counts(self, **truth):
         """Expected counts per analysis-space bin at the truth parameters.
@@ -319,6 +358,7 @@ class BinnedToyStudy:
     def _run_profile(self, counts, target, hypothesis, fixed):
         # The compiled engines only evaluate inside the anchor/bounds range;
         # reject out-of-range hypotheses here instead of silently clamping
+        _check_target_not_fixed(target, fixed)
         check_fixed_in_bounds(self.compiled, {target: hypothesis})
         entry = self._profile_fn(target, fixed)
         both, free_long, cond_long, names_free, names_cond = entry
@@ -353,8 +393,7 @@ class BinnedToyStudy:
             fit_cond, cond_long, names_cond = self._make_fitter(
                 fixed=fixed, runtime_fixed=[target])
 
-            warm_cols = ([names_free.index(n) for n in names_cond]
-                         if set(names_cond) <= set(names_free) else None)
+            warm_cols = _warm_cols(names_free, names_cond)
 
             @jax.jit
             def both(counts, hypothesis):
@@ -409,8 +448,7 @@ class BinnedToyStudy:
             fit_cond, cond_long, names_cond = self._make_fitter(
                 fixed=fixed, runtime_fixed=[target])
 
-            warm_cols = ([names_free.index(n) for n in names_cond]
-                         if set(names_cond) <= set(names_free) else None)
+            warm_cols = _warm_cols(names_free, names_cond)
             if warm_cols is not None and len(warm_cols):
                 wc = np.asarray(warm_cols)
 
@@ -462,7 +500,7 @@ class BinnedToyStudy:
         return self._profile_cache[cache_key]
 
     def profile_ts_grid(self, key, target, hypotheses, n_toys, truth=None,
-                        fixed=None, mesh=None):
+                        fixed=None, mesh=None, return_cond=True):
         """Profile-LR statistics of ONE toy ensemble across a hypothesis
         grid: the free fit runs once, then each hypothesis adds only a
         warm-started conditional fit (one compiled program reused for every
@@ -471,16 +509,22 @@ class BinnedToyStudy:
         :meth:`profile_ts_scan`, which draws a FRESH ensemble per hypothesis
         (the Neyman calibration shape).
 
+        :param return_cond: pass False to skip transferring the
+          per-hypothesis conditional parameter matrices to host (the limit
+          callers only use t; the conds list then holds None entries).
         :return: (ts (n_hypotheses, n_toys), sorted hypotheses (ascending),
           free ToyResults, list of per-hypothesis conditional ToyResults).
         """
+        _check_target_not_fixed(target, fixed)
         hypotheses = np.sort(np.asarray(hypotheses, dtype=float))
         for h in hypotheses:
             check_fixed_in_bounds(self.compiled, {target: float(h)})
         counts = self.simulate(key, n_toys, truth, mesh)
-        return self._run_profile_grid(counts, target, hypotheses, fixed)
+        return self._run_profile_grid(counts, target, hypotheses, fixed,
+                                      return_cond)
 
-    def _run_profile_grid(self, counts, target, hypotheses, fixed):
+    def _run_profile_grid(self, counts, target, hypotheses, fixed,
+                          return_cond=True):
         fit_free_j, free_long_j, names_free = self._fit_entry(fixed)
         cond_fn, cond_long_j, names_cond = self._cond_entry(
             target, fixed, names_free)
@@ -496,7 +540,7 @@ class BinnedToyStudy:
                 extra_args=(hj,))[:3]
         ts, conds = _cond_scan(
             hypotheses, lambda hj: cond_fn(counts, xf_dev, llf_dev, hj),
-            refine, llf, names_cond, self.max_iter)
+            refine, llf, names_cond, self.max_iter, need_cond=return_cond)
         return ts, hypotheses, ToyResults(names_free, xf, llf, itf), conds
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
@@ -596,9 +640,9 @@ class BinnedToyStudy:
                 max_iter=(4 * self.max_iter if self.two_stage
                           else self.max_iter),
                 tol=self.tol, engine=self.engine)
-            warm = (np.asarray([names_free.index(n) for n in names_cond])
-                    if names_cond and set(names_cond) <= set(names_free)
-                    else None)
+            warm = (np.asarray(_warm_cols(names_free, names_cond))
+                    if names_cond and _warm_cols(names_free, names_cond)
+                    is not None else None)
             k = len(targets)
 
             @jax.jit
@@ -667,8 +711,15 @@ class UnbinnedToyStudy:
         else:
             self._pdf_tensor = jnp.asarray(self._build_pdf_tensor(),
                                            dtype=dtype)
-        self._method = lf.base_model.sources[0].config.get(
-            'pdf_interpolation_method', 'linear')
+        # Per-source interpolation method, matching how set_data scores the
+        # observed events (each source's own pdf(), likelihood.py) — a model
+        # can mix 'linear' and 'piecewise' sources. self._method holds the
+        # shared method when uniform (the fast vmap-over-all-templates path),
+        # None when mixed (score per source with its own method).
+        self._methods = [s.config.get('pdf_interpolation_method', 'linear')
+                         for s in lf.base_model.sources]
+        self._method = (self._methods[0]
+                        if len(set(self._methods)) == 1 else None)
 
         if n_max is None:
             # Default: mean + 6 sqrt(mean) of the base-model total
@@ -678,9 +729,7 @@ class UnbinnedToyStudy:
         self._fit_cache = {}
         self._profile_cache = {}
 
-    @staticmethod
-    def _freeze(d):
-        return tuple(sorted((d or {}).items()))
+    _freeze = staticmethod(_freeze_opts)
 
     # -- host-side template construction ------------------------------------------
 
@@ -776,57 +825,80 @@ class UnbinnedToyStudy:
             cols.append(lo + u[:, d] * (hi - lo))
         return jnp.stack(cols, axis=-1), mask, multi
 
+    def _per_source_scores(self, score_tensor):
+        """Score the global (*grid, n_sources, *bins) tensor when sources MIX
+        interpolation methods: each source's sub-tensor is scored with its
+        own method, then the source axis is restacked in place."""
+        axis = self._pdf_tensor.ndim - self.ndim - 1
+        cols = [score_tensor(jnp.take(self._pdf_tensor, si, axis=axis), m)
+                for si, m in enumerate(self._methods)]
+        return jnp.stack(cols, axis=axis)
+
     def _score_sampled(self, coords, bins):
         """Anchor ps payload for freshly SAMPLED events: the sampler already
         knows each event's bin, so the per-template searchsorted of the
         generic path collapses to shared index arithmetic + one gather+lerp
         per template.
         """
-        gather_idx, fracs = [], []
-        for d in range(self.ndim):
-            c = jnp.asarray(self.centers[d])
-            x = coords[:, d]
-            if self._method == 'piecewise':
-                gather_idx.append(bins[d])
-                continue
-            # The interpolation cell over bin CENTERS is the sampled bin or
-            # its left neighbour, depending on which side of the center the
-            # event landed (clip-to-center-range at the ends)
-            cell = jnp.clip(bins[d] - (x < c[bins[d]]), 0, c.shape[0] - 2)
-            t = (jnp.clip(x, c[0], c[-1]) - c[cell]) / (c[cell + 1] - c[cell])
-            gather_idx.append(cell)
-            fracs.append(jnp.clip(t, 0.0, 1.0))
+        scorers = {}
 
-        def score_template(v):
-            if self._method == 'piecewise':
-                return v[tuple(gather_idx)]
-            out = None
-            for offs in itertools.product((0, 1), repeat=self.ndim):
-                w = None
-                for d, o in enumerate(offs):
-                    wd = fracs[d] if o else (1.0 - fracs[d])
-                    w = wd if w is None else w * wd
-                term = w * v[tuple(g + o for g, o in zip(gather_idx, offs))]
-                out = term if out is None else out + term
-            return out
+        def get_scorer(method):
+            if method in scorers:
+                return scorers[method]
+            if method == 'piecewise':
+                gather_idx = [bins[d] for d in range(self.ndim)]
+
+                def score_template(v):
+                    return v[tuple(gather_idx)]
+            else:
+                gather_idx, fracs = [], []
+                for d in range(self.ndim):
+                    c = jnp.asarray(self.centers[d])
+                    x = coords[:, d]
+                    # The interpolation cell over bin CENTERS is the sampled
+                    # bin or its left neighbour, depending on which side of
+                    # the center the event landed (clip-to-center-range at
+                    # the ends)
+                    cell = jnp.clip(bins[d] - (x < c[bins[d]]), 0,
+                                    c.shape[0] - 2)
+                    t = ((jnp.clip(x, c[0], c[-1]) - c[cell])
+                         / (c[cell + 1] - c[cell]))
+                    gather_idx.append(cell)
+                    fracs.append(jnp.clip(t, 0.0, 1.0))
+
+                def score_template(v):
+                    out = None
+                    for offs in itertools.product((0, 1), repeat=self.ndim):
+                        w = None
+                        for d, o in enumerate(offs):
+                            wd = fracs[d] if o else (1.0 - fracs[d])
+                            w = wd if w is None else w * wd
+                        term = w * v[tuple(g + o
+                                           for g, o in zip(gather_idx, offs))]
+                        out = term if out is None else out + term
+                    return out
+            scorers[method] = score_template
+            return score_template
+
+        def score_tensor(tensor, method):
+            lead = tensor.shape[:tensor.ndim - self.ndim]
+            flat = tensor.reshape((-1,)
+                                  + tensor.shape[tensor.ndim - self.ndim:])
+            return jax.vmap(get_scorer(method))(flat).reshape(
+                lead + (coords.shape[0],))
 
         if self._source_wise:
-            return tuple(
-                jax.vmap(score_template)(
-                    t.reshape((-1,) + t.shape[t.ndim - self.ndim:])
-                ).reshape(t.shape[:t.ndim - self.ndim] + (coords.shape[0],))
-                for t in self._pdf_tensors)
-        tensor = self._pdf_tensor
-        lead = tensor.shape[:tensor.ndim - self.ndim]
-        flat = tensor.reshape((-1,) + tensor.shape[tensor.ndim - self.ndim:])
-        return jax.vmap(score_template)(flat).reshape(
-            lead + (coords.shape[0],))
+            return tuple(score_tensor(t, self._methods[i])
+                         for i, t in enumerate(self._pdf_tensors))
+        if self._method is not None:
+            return score_tensor(self._pdf_tensor, self._method)
+        return self._per_source_scores(score_tensor)
 
-    def _score_one_tensor(self, tensor, coords):
+    def _score_one_tensor(self, tensor, coords, method):
         """Evaluate a (*lead, *bins) pdf tensor at the events: (*lead, n)."""
         lead = tensor.shape[:tensor.ndim - self.ndim]
         flat = tensor.reshape((-1,) + tensor.shape[tensor.ndim - self.ndim:])
-        if self._method == 'piecewise':
+        if method == 'piecewise':
             score = jax.vmap(lambda v: piecewise_lookup(v, self.edges, coords))
         else:
             score = jax.vmap(
@@ -837,9 +909,13 @@ class UnbinnedToyStudy:
         """Anchor ps payload for given events: (*grid, n_sources, n_max), or a
         tuple of per-source (*sub_grid, n_max) for source-wise morphing."""
         if self._source_wise:
-            return tuple(self._score_one_tensor(t, coords)
-                         for t in self._pdf_tensors)
-        return self._score_one_tensor(self._pdf_tensor, coords)
+            return tuple(self._score_one_tensor(t, coords, self._methods[i])
+                         for i, t in enumerate(self._pdf_tensors))
+        if self._method is not None:
+            return self._score_one_tensor(self._pdf_tensor, coords,
+                                          self._method)
+        return self._per_source_scores(
+            lambda t, m: self._score_one_tensor(t, coords, m))
 
     def expected_weights(self, **truth):
         """(n_sources, *bins) expected counts per source and bin at truth.
@@ -954,6 +1030,7 @@ class UnbinnedToyStudy:
         return self._run_profile(keys, weights, target, hypothesis, fixed)
 
     def _run_profile(self, keys, weights, target, hypothesis, fixed):
+        _check_target_not_fixed(target, fixed)
         check_fixed_in_bounds(self.compiled, {target: hypothesis})
         entry = self._profile_fn(target, fixed)
         run_fn, free_long, cond_long, names_free, names_cond = entry
@@ -985,8 +1062,7 @@ class UnbinnedToyStudy:
                 self.compiled, fixed=fixed, runtime_fixed=[target],
                 max_iter=self.max_iter, tol=self.tol, engine=self.engine)
 
-            warm_cols = ([names_free.index(n) for n in names_cond]
-                         if set(names_cond) <= set(names_free) else None)
+            warm_cols = _warm_cols(names_free, names_cond)
 
             def one(key, weights, hypothesis):
                 coords, mask, bins = self._sample_one(key, weights)
@@ -1030,8 +1106,7 @@ class UnbinnedToyStudy:
             fit_cond, names_cond = make_toy_fitter(
                 self.compiled, fixed=fixed, runtime_fixed=[target],
                 max_iter=self.max_iter, tol=self.tol, engine=self.engine)
-            warm_cols = ([names_free.index(n) for n in names_cond]
-                         if set(names_cond) <= set(names_free) else None)
+            warm_cols = _warm_cols(names_free, names_cond)
             wc = (np.asarray(warm_cols)
                   if warm_cols is not None and len(warm_cols) else None)
 
@@ -1064,14 +1139,17 @@ class UnbinnedToyStudy:
         return self._profile_cache[cache_key]
 
     def profile_ts_grid(self, key, target, hypotheses, n_toys, truth=None,
-                        fixed=None, mesh=None):
+                        fixed=None, mesh=None, return_cond=True):
         """Profile-LR statistics of ONE unbinned toy ensemble across a
         hypothesis grid (see :meth:`BinnedToyStudy.profile_ts_grid`): the
         free fit runs once, each hypothesis re-runs sample->score (same keys
         => identical events) plus a warm-started conditional fit.
 
+        :param return_cond: as in the binned twin — False skips the
+          per-hypothesis conditional-parameter transfers.
         :return: (ts (n_hypotheses, n_toys), sorted hypotheses, free
           ToyResults, list of conditional ToyResults)."""
+        _check_target_not_fixed(target, fixed)
         hypotheses = np.sort(np.asarray(hypotheses, dtype=float))
         for h in hypotheses:
             check_fixed_in_bounds(self.compiled, {target: float(h)})
@@ -1098,7 +1176,7 @@ class UnbinnedToyStudy:
         ts, conds = _cond_scan(
             hypotheses,
             lambda hj: cond_fn(keys, weights, xf_dev, llf_dev, hj),
-            refine, llf, names_cond, self.max_iter)
+            refine, llf, names_cond, self.max_iter, need_cond=return_cond)
         return ts, hypotheses, ToyResults(names_free, xf, llf, itf), conds
 
     def profile_ts_scan(self, key, target, hypotheses, n_toys, fixed=None,
@@ -1168,9 +1246,9 @@ class UnbinnedToyStudy:
                 self.compiled, fixed=dict(fixed or {}),
                 runtime_fixed=list(targets), max_iter=cap, tol=self.tol,
                 engine=self.engine)
-            warm = (np.asarray([names_free.index(n) for n in names_cond])
-                    if names_cond and set(names_cond) <= set(names_free)
-                    else None)
+            warm = (np.asarray(_warm_cols(names_free, names_cond))
+                    if names_cond and _warm_cols(names_free, names_cond)
+                    is not None else None)
             k = len(targets)
 
             @jax.jit

@@ -60,7 +60,13 @@ def expand_source_configs(config):
 def _call_simulate(source, n, rng):
     """source.simulate(n), threading the generator through for sources whose
     signature opts into an ``rng`` argument (full toy reproducibility; the
-    Poisson count draw is seeded either way)."""
+    Poisson count draw is seeded either way).
+
+    Sources whose simulate() returns *weighted* events (weight_field set on a
+    DensityEstimatingSource) are not a toy sample; those route through
+    simulate_toy, which draws unweighted events from the built template."""
+    if getattr(source, 'simulates_weighted_events', False):
+        return source.simulate_toy(n, rng=rng)
     try:
         params = inspect.signature(source.simulate).parameters
     except (TypeError, ValueError):

@@ -301,12 +301,53 @@ class DensityEstimatingSource(HistogramPdfSource):
 
     Child classes implement get_events_for_density_estimate (returning, or
     yielding in batches, (events, n_simulated)).
+
+    **Weighted events** (beyond the reference, whose density estimation is
+    unweighted-only — blueice/source.py:272-310): set ``weight_field`` to the
+    name of a per-event weight field. Then:
+
+    * the template is the per-bin weight sum, normalized to a density;
+    * ``n_simulated`` must be the total *generated weight* of each batch
+      (events the generator would cut must still be returned, with weight 0,
+      or accounted for in this total), so ``fraction_in_range`` becomes
+      (in-range weight)/(generated weight);
+    * the MC-statistics histogram consumed by the Beeston-Barlow modes holds
+      the per-bin *effective* counts n_eff = (sum w)^2 / (sum w^2) — the
+      standard scaled-Poisson-distribution equivalent sample size, which
+      reduces exactly to the raw count for unit weights;
+    * toy datasets are drawn from the built template, not from the weighted
+      generator (weighted events are not a toy sample) — see
+      :attr:`simulates_weighted_events`.
+
+    Negative weights (e.g. NLO MC) are accepted for template building; bins
+    whose net weight is negative make the template unusable for toy sampling
+    and are rejected there with a clear error.
     """
 
-    defaults = dict(n_events_for_pdf=1e6)
+    defaults = dict(n_events_for_pdf=1e6,
+                    weight_field=None)
+
+    @property
+    def simulates_weighted_events(self):
+        """True when simulate() returns weighted events — Model.simulate then
+        draws toys from the built template instead."""
+        return self.config.get('weight_field') is not None
+
+    def simulate_toy(self, n_events, rng=None):
+        """Unweighted toy draw: the template sample for weighted sources,
+        the plain simulate() otherwise."""
+        if not self.simulates_weighted_events:
+            return self.simulate(n_events)
+        if np.any(self._pdf_histogram.values < 0):
+            raise ValueError(
+                "%s: the weighted template has net-negative bins; it cannot "
+                "be sampled as a toy distribution" % self)
+        return HistogramPdfSource.simulate(self, n_events, rng=rng)
 
     def build_histogram(self):
         mh = Hist.from_analysis_space(self.config['analysis_space'])
+        weight_field = self.config.get('weight_field')
+        mh2 = mh.similar_blank() if weight_field is not None else None
 
         get = self.get_events_for_density_estimate
         import inspect
@@ -317,17 +358,35 @@ class DensityEstimatingSource(HistogramPdfSource):
         n_events = 0
         for events, n_simulated in get():
             n_events += n_simulated
-            mh.add(*utils.events_to_analysis_dimensions(
-                events, self.config['analysis_space']))
+            coords = utils.events_to_analysis_dimensions(
+                events, self.config['analysis_space'])
+            if weight_field is None:
+                mh.add(*coords)
+            else:
+                w = np.asarray(events[weight_field], dtype=float)
+                mh.add(*coords, weights=w)
+                mh2.add(*coords, weights=w * w)
 
         self.fraction_in_range = mh.n / n_events
 
-        # counts -> density: divide by in-range count and bin volumes
+        # weight sums -> density: divide by in-range weight and bin volumes
         self._bin_volumes = mh.bin_volumes()
         self._pdf_histogram = mh.similar_blank()
         self._pdf_histogram.values = (mh.values.astype(float) / mh.n
                                       / self._bin_volumes)
-        self._n_events_histogram = mh
+        if weight_field is None:
+            self._n_events_histogram = mh
+        else:
+            # Effective sample size per bin: what the Beeston-Barlow modes
+            # treat as the Poisson-distributed MC count behind each bin
+            neff = mh.similar_blank()
+            sumw2 = mh2.values
+            with np.errstate(divide='ignore', invalid='ignore'):
+                neff.values = np.where(sumw2 > 0,
+                                       mh.values ** 2 / np.where(sumw2 > 0,
+                                                                 sumw2, 1.0),
+                                       0.0)
+            self._n_events_histogram = neff
         return mh
 
     def get_events_for_density_estimate(self):
@@ -348,10 +407,19 @@ class MonteCarloSource(DensityEstimatingSource):
         # Simulate in batches to bound memory (reference: blueice/source.py:338-348).
         # The last batch covers the remainder, so non-integer multiples of the
         # batch size still produce the full configured MC statistics.
+        weight_field = self.config.get('weight_field')
         n_todo = int(round(self.config['n_events_for_pdf']
                            * self.config['pdf_sampling_multiplier']))
         batch_size = int(self.config['pdf_sampling_batch_size'])
         while n_todo > 0:
             n = min(batch_size, n_todo)
-            yield self.simulate(n_events=n), n
+            events = self.simulate(n_events=n)
+            if weight_field is None:
+                yield events, n
+            else:
+                # Weighted generator contract (see DensityEstimatingSource):
+                # every generated event comes back (weight 0 if cut), so the
+                # generated weight IS the sum of the returned weights
+                yield events, float(np.sum(np.asarray(events[weight_field],
+                                                      dtype=float)))
             n_todo -= n

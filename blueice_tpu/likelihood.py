@@ -25,7 +25,7 @@ from scipy.special import gammaln, xlogy
 from .exceptions import (NotPreparedException, InvalidParameterSpecification,
                          InvalidParameter)
 from .models import Model
-from .morphers import MORPHERS
+from .morphers import MORPHERS, LogMorpher
 from .ops.hist import Hist
 from .priors import NormalPrior
 from .utils import combine_dicts, inherit_docstring_from
@@ -86,10 +86,16 @@ class LogLikelihoodBase:
 
     likelihood_config options:
         morpher (default 'GridInterpolator'), morpher_config,
+        template_interpolation ('linear' default; 'log' for positive-definite
+          geometric template morphing, binned only — see morphers.LogMorpher),
         unphysical_behaviour ('error' to raise instead of returning -inf),
         outlier_likelihood (unbinned density floor, default 1e-12),
         model_statistical_uncertainty_handling / bb_single_source (binned).
     """
+
+    #: Whether this class can morph its density payload geometrically
+    #: (BinnedLogLikelihood overrides; pmf grids have bin axes to rescale over)
+    _supports_log_morphing = False
 
     def __init__(self, pdf_base_config, likelihood_config=None, **kwargs):
         """
@@ -101,6 +107,20 @@ class LogLikelihoodBase:
                                              deep_copy=True)
         self.config = likelihood_config if likelihood_config is not None else {}
         self.config.setdefault('morpher', 'GridInterpolator')
+        self.template_interpolation = self.config.get(
+            'template_interpolation', 'linear')
+        if self.template_interpolation not in ('linear', 'log'):
+            raise ValueError(
+                "template_interpolation must be 'linear' (morph templates "
+                "per-bin linearly between anchors) or 'log' (geometric / "
+                "positive-definite morphing); got %r"
+                % (self.template_interpolation,))
+        if self.template_interpolation == 'log' \
+                and not self._supports_log_morphing:
+            raise NotImplementedError(
+                "template_interpolation='log' is implemented for binned "
+                "likelihoods (per-event density tensors have no bin axis to "
+                "renormalize the geometric mean over)")
         self.source_wise_interpolation = self.pdf_base_config.get(
             'source_wise_interpolation', False)
 
@@ -710,6 +730,8 @@ class BinnedLogLikelihood(LogLikelihoodBase):
     base model and only leaked 'piecewise' into later, unrelated likelihoods.
     """
 
+    _supports_log_morphing = True
+
     def __init__(self, pdf_base_config, likelihood_config=None, **kwargs):
         LogLikelihoodBase.__init__(self, pdf_base_config, likelihood_config,
                                    **kwargs)
@@ -736,11 +758,19 @@ class BinnedLogLikelihood(LogLikelihoodBase):
                 raise NotImplementedError(
                     "Source-wise interpolation is not implemented for binned "
                     "likelihoods")
+            # 'log' wraps the pmf morphing only: rates and MC counts keep
+            # linear anchor interpolation. The closed-form fit engines bake in
+            # linear corner-lerp, so compile.py publishes no anchor_arrays for
+            # a wrapped morpher and the engines auto-fall back to autodiff.
+            ps_morpher = self.morpher
+            if self.template_interpolation == 'log':
+                ps_morpher = LogMorpher(self.morpher,
+                                        n_template_axes=self.ps.ndim - 1)
             self.ps_interpolator, pmf_tensor = self._interp_and_tensor(
-                self.morpher, f=lambda m: m.pmf_grids()[0],
+                ps_morpher, f=lambda m: m.pmf_grids()[0],
                 extra_dims=list(self.ps.shape),
                 anchor_models=self.anchor_models)
-            self._builds['ps'] = ('global', self.morpher, pmf_tensor)
+            self._builds['ps'] = ('global', ps_morpher, pmf_tensor)
 
             if self.model_statistical_uncertainty_handling is not None:
                 self.n_model_events_interpolator, nme_tensor = \

@@ -20,7 +20,8 @@ from .exceptions import NoShapeParameters
 from .ops.interp import morph_templates, morph_templates_np
 from .utils import arrays_to_grid, combine_dicts, inherit_docstring_from
 
-__all__ = ['Morpher', 'GridInterpolator', 'RadialInterpolator', 'latin', 'MORPHERS']
+__all__ = ['Morpher', 'GridInterpolator', 'RadialInterpolator', 'LogMorpher',
+           'latin', 'MORPHERS']
 
 
 class Morpher:
@@ -189,6 +190,84 @@ class RadialInterpolator(Morpher):
         weights = np.exp(-rs / r_influence) / r_influence
         weights = weights / weights.sum()
         return np.tensordot(weights, tensor, axes=(0, 0))
+
+
+class LogMorpher:
+    """Positive-definite (geometric) template morphing: wraps any Morpher so
+    that anchor templates are combined multiplicatively instead of linearly
+    (HistFactory's polynomial-interpolation/exponential-extrapolation family;
+    no reference counterpart — blueice morphs templates linearly only,
+    blueice/pdf_morphers.py:57-70).
+
+    The anchor tensor is log-transformed at build time; evaluation is
+    ``exp(inner_morph(log t))``, rescaled so each template's total mass
+    interpolates *linearly* between the anchor masses. The rescale keeps rate
+    semantics identical to linear morphing (a pmf that sums to s at both
+    surrounding anchors still sums to s in between — the raw geometric mean
+    is smaller, by AM-GM) and both factors reduce to the anchor template
+    exactly at an anchor. In between, every bin stays strictly positive —
+    the point of log morphing: linear morphing of steep templates can cross
+    zero, and its per-bin slope discontinuities distort profile likelihoods.
+
+    Zero bins are floored at ``floor`` before the log, so they morph to
+    (effectively) zero everywhere. Negative template values are rejected —
+    geometric interpolation has no meaning for them.
+
+    :param inner: the Morpher whose (linear) weights drive the log-space
+      combination.
+    :param n_template_axes: number of TRAILING tensor axes that form one
+      template (the analysis-space bin axes); the mass rescale sums over
+      these. Leading non-anchor axes (e.g. n_sources) are broadcast.
+    """
+
+    def __init__(self, inner, n_template_axes, floor=1e-30):
+        self.inner = inner
+        self.n_template_axes = int(n_template_axes)
+        self.floor = float(floor)
+
+    def get_anchor_points(self, bounds=None, n_models=None):
+        return self.inner.get_anchor_points(bounds=bounds, n_models=n_models)
+
+    def build_tensor(self, f, extra_dims, anchor_models):
+        t = np.asarray(self.inner.build_tensor(f, extra_dims, anchor_models))
+        if np.any(t < 0):
+            raise ValueError(
+                "log template morphing needs nonnegative templates; the "
+                "anchor tensor has negative entries")
+        return np.log(np.maximum(t, self.floor))
+
+    def _bin_axes(self, eval_ndim):
+        return tuple(range(eval_ndim - self.n_template_axes, eval_ndim))
+
+    def jax_eval(self, tensor, zs):
+        tensor = jnp.asarray(tensor)
+        raw = jnp.exp(self.inner.jax_eval(tensor, zs))
+        axes = self._bin_axes(raw.ndim)
+        if not axes:
+            return raw
+        # Anchor masses morph linearly; constant-folded under jit (the sum
+        # over exp(tensor) is an op on the compile-time anchor payload)
+        anchor_mass = jnp.sum(jnp.exp(tensor),
+                              axis=tuple(a + (tensor.ndim - raw.ndim)
+                                         for a in axes))
+        mass = self.inner.jax_eval(anchor_mass, zs)
+        raw_mass = jnp.sum(raw, axis=axes)
+        scale = mass / jnp.maximum(raw_mass, jnp.finfo(raw.dtype).tiny)
+        return raw * scale[(...,) + (None,) * len(axes)]
+
+    def host_eval(self, tensor, zs):
+        tensor = np.asarray(tensor)
+        raw = np.exp(np.asarray(self.inner.host_eval(tensor, zs)))
+        axes = self._bin_axes(raw.ndim)
+        if not axes:
+            return raw
+        anchor_mass = np.sum(np.exp(tensor),
+                             axis=tuple(a + (tensor.ndim - raw.ndim)
+                                        for a in axes))
+        mass = np.asarray(self.inner.host_eval(anchor_mass, zs))
+        raw_mass = np.sum(raw, axis=axes)
+        scale = mass / np.maximum(raw_mass, np.finfo(float).tiny)
+        return raw * scale[(...,) + (None,) * len(axes)]
 
 
 def latin(n, d, box=None, shuffle_steps=500, rng=None):

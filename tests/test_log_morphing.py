@@ -1,0 +1,144 @@
+"""Positive-definite (log/geometric) template morphing:
+likelihood_config={'template_interpolation': 'log'}.
+
+Oracle: closed-form geometric means with the linear-mass rescale, plus
+anchor-exactness against the linear morpher. Beyond the reference (blueice
+morphs templates linearly only, blueice/pdf_morphers.py:57-70).
+"""
+
+import pickle
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+from scipy.special import gammaln, xlogy
+
+from blueice_tpu.test_helpers import (conf_for_test, almost_equal, make_data,
+                                      FixedSampleSource)
+from blueice_tpu.likelihood import BinnedLogLikelihood, UnbinnedLogLikelihood
+from blueice_tpu.morphers import GridInterpolator, LogMorpher
+from blueice_tpu.compile import build_logl
+
+
+def _two_anchor_lf(interpolation):
+    """Binned lf whose single source's template flips from [0.9, 0.1] to
+    [0.4, 0.6] along a non-numeric 'data' shape parameter."""
+    d0, _ = make_data([dict(n_events=9, x=0.5), dict(n_events=1, x=1.5)])
+    d1, _ = make_data([dict(n_events=4, x=0.5), dict(n_events=6, x=1.5)])
+    conf = conf_for_test(default_source_class=FixedSampleSource,
+                         analysis_space=[['x', [0, 1, 2]]],
+                         events_per_day=20. / 5., data=d0)
+    lf = BinnedLogLikelihood(conf, likelihood_config={
+        'template_interpolation': interpolation})
+    lf.add_shape_parameter('data', anchors={0: d0, 1: d1}, base_value=0)
+    lf.prepare()
+    obs, _ = make_data([dict(n_events=3, x=0.5), dict(n_events=2, x=1.5)])
+    lf.set_data(obs)
+    return lf
+
+
+def _log_morphed_pmf(p0, p1, w):
+    """The LogMorpher closed form: geometric per-bin mean, total mass
+    interpolated linearly."""
+    raw = np.exp((1 - w) * np.log(p0) + w * np.log(p1))
+    mass = (1 - w) * np.sum(p0) + w * np.sum(p1)
+    return raw * mass / raw.sum()
+
+
+def test_logmorpher_closed_form():
+    m = GridInterpolator({}, {'z': ({0.: 0., 1.: 1.}, None, None)})
+    tensor = np.array([[[0.9, 0.1]], [[0.4, 0.6]]])   # (anchors, 1 source, 2 bins)
+    lm = LogMorpher(m, n_template_axes=1)
+    log_t = np.log(tensor)
+    for w in (0.0, 0.25, 0.5, 1.0):
+        expected = _log_morphed_pmf(tensor[0, 0], tensor[1, 0], w)
+        npt.assert_allclose(lm.host_eval(log_t, np.array([w]))[0], expected,
+                            rtol=1e-12)
+        npt.assert_allclose(np.asarray(lm.jax_eval(log_t, np.array([w]))[0]),
+                            expected, rtol=1e-6)
+
+
+def test_anchor_exactness_and_positivity():
+    lf_log = _two_anchor_lf('log')
+    lf_lin = _two_anchor_lf('linear')
+
+    # At the anchors the two strategies are identical
+    for z in (0.0, 1.0):
+        assert almost_equal(lf_log(data=z), lf_lin(data=z), 1e-12)
+
+    # Between anchors: morphed pmf is the geometric closed form
+    pmf = lf_log.ps_interpolator(np.array([0.5]))[0]
+    npt.assert_allclose(pmf, _log_morphed_pmf(np.array([0.9, 0.1]),
+                                              np.array([0.4, 0.6]), 0.5),
+                        rtol=1e-12)
+    assert np.all(pmf > 0)
+    # and the full likelihood value matches the Poisson closed form
+    mu = lf_log.base_model.expected_events()[0]
+    k = np.array([3.0, 2.0])
+    expected = float(np.sum(xlogy(k, mu * pmf) - mu * pmf - gammaln(k + 1)))
+    assert almost_equal(lf_log(data=0.5), expected, 1e-12)
+
+    # log morphing differs from linear between anchors (that's the point)
+    assert abs(lf_log(data=0.5) - lf_lin(data=0.5)) > 1e-6
+
+
+def test_zero_bins_stay_zero():
+    """A bin empty at one anchor morphs to (effectively) zero everywhere,
+    instead of linear's half-height ramp."""
+    d0, _ = make_data([dict(n_events=10, x=0.5)])                    # [1, 0]
+    d1, _ = make_data([dict(n_events=5, x=0.5), dict(n_events=5, x=1.5)])
+    conf = conf_for_test(default_source_class=FixedSampleSource,
+                         analysis_space=[['x', [0, 1, 2]]],
+                         events_per_day=4., data=d0)
+    lf = BinnedLogLikelihood(conf, likelihood_config={
+        'template_interpolation': 'log'})
+    lf.add_shape_parameter('data', anchors={0: d0, 1: d1}, base_value=0)
+    lf.prepare()
+    pmf = lf.ps_interpolator(np.array([0.5]))[0]
+    assert pmf[1] < 1e-10          # geometric: sqrt(0.5 * floor) ~ 0
+    assert abs(pmf.sum() - 1.0) < 1e-9   # mass rescale keeps the total
+
+
+def test_compiled_matches_host_log_morphing():
+    lf = _two_anchor_lf('log')
+    c = build_logl(lf)
+    # log morphing has no linear corner structure: engines must not claim it
+    assert c.anchor_arrays is None
+    for kwargs in [dict(), dict(data=0.3), dict(data=0.75),
+                   dict(data=0.5, s0_rate_multiplier=1.7)]:
+        assert almost_equal(float(c(**kwargs)), lf(**kwargs), 1e-9), kwargs
+
+
+def test_toy_study_falls_back_to_ad_engine():
+    from blueice_tpu.parallel.toys import BinnedToyStudy
+    lf = _two_anchor_lf('log')
+    study = BinnedToyStudy(lf, max_iter=40)
+    import jax
+    res = study.run(jax.random.PRNGKey(11), n_toys=8)
+    assert np.all(np.isfinite(res.max_ll))
+
+    with pytest.raises(ValueError, match="analytic derivative engine"):
+        BinnedToyStudy(lf, engine='analytic').run(
+            jax.random.PRNGKey(1), n_toys=4)
+
+
+def test_log_morphing_pickles():
+    lf = _two_anchor_lf('log')
+    before = lf(data=0.4)
+    lf2 = pickle.loads(pickle.dumps(lf))
+    assert almost_equal(lf2(data=0.4), before, 1e-12)
+
+
+def test_log_morphing_rejections():
+    with pytest.raises(ValueError, match='template_interpolation'):
+        BinnedLogLikelihood(conf_for_test(), likelihood_config={
+            'template_interpolation': 'exp'})
+    with pytest.raises(NotImplementedError, match='binned'):
+        UnbinnedLogLikelihood(conf_for_test(), likelihood_config={
+            'template_interpolation': 'log'})
+    # Negative templates cannot morph geometrically
+    m = GridInterpolator({}, {'z': ({0.: 0., 1.: 1.}, None, None)})
+    lm = LogMorpher(m, n_template_axes=1)
+    with pytest.raises(ValueError, match='nonnegative'):
+        lm.build_tensor(lambda model: np.array([-1.0, 1.0]) * model,
+                        [2], {(0.,): 1.0, (1.,): 1.0})

@@ -337,6 +337,13 @@ class DensityEstimatingSource(HistogramPdfSource):
         """Unweighted toy draw: the template sample for weighted sources,
         the plain simulate() otherwise."""
         if not self.simulates_weighted_events:
+            import inspect
+            try:
+                params = inspect.signature(self.simulate).parameters
+            except (TypeError, ValueError):
+                params = {}
+            if rng is not None and 'rng' in params:
+                return self.simulate(n_events, rng=rng)
             return self.simulate(n_events)
         if np.any(self._pdf_histogram.values < 0):
             raise ValueError(

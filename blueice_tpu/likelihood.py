@@ -889,7 +889,11 @@ class BinnedLogLikelihood(LogLikelihoodBase):
         expected = np.tensordot(np.asarray(mus, dtype=float),
                                 np.asarray(pmfs, dtype=float), axes=(0, 0))
         penalty = 1e6 * float(np.sum(np.minimum(expected, 0.0)))
-        return float(np.sum(xlogy(observed, expected) - expected
+        # Floor the log's argument exactly like the compiled path
+        # (ops.poisson.binned_poisson_logl): a negative-expectation bin with
+        # observed counts must contribute a finite (penalized) value, not nan
+        expected_pos = np.maximum(expected, np.finfo(float).tiny)
+        return float(np.sum(xlogy(observed, expected_pos) - expected
                             - gammaln(observed + 1.0))) + penalty
 
 

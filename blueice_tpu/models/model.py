@@ -17,11 +17,10 @@ optional seeded generator, concatenates the source samples and applies the
 analysis-space range cut.
 """
 
-import inspect
-
 import numpy as np
 
 from .. import utils
+from .source import simulate_with_rng
 
 __all__ = ['Model', 'expand_source_configs']
 
@@ -67,11 +66,26 @@ def _call_simulate(source, n, rng):
     simulate_toy, which draws unweighted events from the built template."""
     if getattr(source, 'simulates_weighted_events', False):
         return source.simulate_toy(n, rng=rng)
-    try:
-        params = inspect.signature(source.simulate).parameters
-    except (TypeError, ValueError):
-        params = {}
-    return source.simulate(n, rng=rng) if 'rng' in params else source.simulate(n)
+    return simulate_with_rng(source.simulate, n, rng)
+
+
+def _concat_events(parts):
+    """Concatenate per-source event arrays, tolerating differing dtypes by
+    projecting onto the shared fields (first part's order and field dtypes).
+    Needed when e.g. one source's generator events carry a weight column that
+    another source's template-drawn toys do not."""
+    if len({p.dtype for p in parts}) == 1:
+        return np.concatenate(parts)
+    common = [f for f in parts[0].dtype.names
+              if all(f in (q.dtype.names or ()) for q in parts)]
+    dtype = [(f, parts[0].dtype[f]) for f in common]
+    out = np.zeros(sum(len(p) for p in parts), dtype=dtype)
+    i = 0
+    for p in parts:
+        for f in common:
+            out[f][i:i + len(p)] = p[f]
+        i += len(p)
+    return out
 
 
 class Model:
@@ -166,7 +180,7 @@ class Model:
             events = _call_simulate(source, n, rng)
             events['source'] = i
             parts.append(events)
-        return self.range_cut(np.concatenate(parts))
+        return self.range_cut(_concat_events(parts))
 
     def to_analysis_dimensions(self, d):
         """List of per-dimension coordinate arrays for the events of d."""

@@ -37,6 +37,21 @@ _ALWAYS_DONT_HASH = ['hash', 'rate_multiplier', 'force_recalculation',
                      'source_wise_interpolation']
 
 
+def simulate_with_rng(simulate, n_events, rng):
+    """Call a source's ``simulate``, forwarding ``rng`` only when the
+    signature opts into it (toy reproducibility without forcing every custom
+    generator to accept the argument). Shared by Model.simulate and
+    Source.simulate_toy."""
+    import inspect
+    try:
+        params = inspect.signature(simulate).parameters
+    except (TypeError, ValueError):
+        params = {}
+    if rng is not None and 'rng' in params:
+        return simulate(n_events, rng=rng)
+    return simulate(n_events)
+
+
 def _merge_unique(*lists):
     """Concatenate lists, keeping first occurrence of each item, in order."""
     out = []
@@ -337,18 +352,24 @@ class DensityEstimatingSource(HistogramPdfSource):
         """Unweighted toy draw: the template sample for weighted sources,
         the plain simulate() otherwise."""
         if not self.simulates_weighted_events:
-            import inspect
-            try:
-                params = inspect.signature(self.simulate).parameters
-            except (TypeError, ValueError):
-                params = {}
-            if rng is not None and 'rng' in params:
-                return self.simulate(n_events, rng=rng)
-            return self.simulate(n_events)
+            return simulate_with_rng(self.simulate, n_events, rng)
+        if not self.pdf_has_been_computed:
+            raise PDFNotComputedException(
+                "%s: attempt to simulate toys from a PDF that has not been "
+                "computed" % self)
         if np.any(self._pdf_histogram.values < 0):
             raise ValueError(
                 "%s: the weighted template has net-negative bins; it cannot "
                 "be sampled as a toy distribution" % self)
+        if self.fraction_in_range > 1.0:
+            # Net-negative OUT-of-range weight: expected_events stays
+            # consistent, but the caller's 1/fraction_in_range scale-up
+            # cannot be undone by binomial thinning (it would need to ADD
+            # events) — refusing beats silently under-populating every toy
+            raise ValueError(
+                "%s: fraction_in_range = %.3f > 1 (net-negative out-of-range "
+                "weight); host toy simulation cannot represent this source"
+                % (self, self.fraction_in_range))
         return HistogramPdfSource.simulate(self, n_events, rng=rng)
 
     def build_histogram(self):
@@ -374,6 +395,10 @@ class DensityEstimatingSource(HistogramPdfSource):
                 mh.add(*coords, weights=w)
                 mh2.add(*coords, weights=w * w)
 
+        if weight_field is not None and mh.n <= 0:
+            raise ValueError(
+                "%s: the total in-range weight is %s; a weighted template "
+                "needs positive net weight to define a density" % (self, mh.n))
         self.fraction_in_range = mh.n / n_events
 
         # weight sums -> density: divide by in-range weight and bin volumes
@@ -385,11 +410,15 @@ class DensityEstimatingSource(HistogramPdfSource):
             self._n_events_histogram = mh
         else:
             # Effective sample size per bin: what the Beeston-Barlow modes
-            # treat as the Poisson-distributed MC count behind each bin
+            # treat as the Poisson-distributed MC count behind each bin.
+            # Bins whose NET weight is negative carry no usable MC-count
+            # information (the scaled-Poisson equivalence assumes a positive
+            # mean), so they get 0 — the BB modes then treat them like
+            # empty-MC bins instead of healthy ones.
             neff = mh.similar_blank()
             sumw2 = mh2.values
             with np.errstate(divide='ignore', invalid='ignore'):
-                neff.values = np.where(sumw2 > 0,
+                neff.values = np.where((sumw2 > 0) & (mh.values > 0),
                                        mh.values ** 2 / np.where(sumw2 > 0,
                                                                  sumw2, 1.0),
                                        0.0)

@@ -224,6 +224,16 @@ class LogMorpher:
         self.inner = inner
         self.n_template_axes = int(n_template_axes)
         self.floor = float(floor)
+        # identity-keyed memo: anchor masses are fixed per log-tensor, so
+        # exp+sum over the full anchor payload runs once per tensor object,
+        # not per evaluation (safe: eval sites close over concrete tensors).
+        # Capped small — callers that re-wrap the tensor per call just miss.
+        self._mass_memo = {}
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state['_mass_memo'] = {}     # don't pickle duplicate payloads
+        return state
 
     def get_anchor_points(self, bounds=None, n_models=None):
         return self.inner.get_anchor_points(bounds=bounds, n_models=n_models)
@@ -239,18 +249,39 @@ class LogMorpher:
     def _bin_axes(self, eval_ndim):
         return tuple(range(eval_ndim - self.n_template_axes, eval_ndim))
 
+    def _anchor_mass(self, tensor, xp):
+        """Per-anchor template masses, memoized on the tensor's identity
+        (the tensor is a concrete compile-time constant at every eval site,
+        so exp+sum never traces and the memo never captures a tracer)."""
+        key = id(tensor)
+        hit = self._mass_memo.get(key)
+        if hit is not None and hit[0] is tensor:
+            return hit[1]
+        axes = tuple(range(tensor.ndim - self.n_template_axes, tensor.ndim))
+        if xp is jnp:
+            # Force a CONCRETE result even when entered inside a jit trace:
+            # ops on constants still return tracers there, and memoizing a
+            # tracer leaks it into the next trace
+            import jax
+            with jax.ensure_compile_time_eval():
+                mass = jnp.sum(jnp.exp(tensor), axis=axes)
+        else:
+            mass = np.sum(np.exp(tensor), axis=axes)
+        if len(self._mass_memo) >= 4:
+            self._mass_memo.clear()
+        self._mass_memo[key] = (tensor, mass)
+        return mass
+
     def jax_eval(self, tensor, zs):
         tensor = jnp.asarray(tensor)
         raw = jnp.exp(self.inner.jax_eval(tensor, zs))
         axes = self._bin_axes(raw.ndim)
         if not axes:
             return raw
-        # Anchor masses morph linearly; constant-folded under jit (the sum
-        # over exp(tensor) is an op on the compile-time anchor payload)
-        anchor_mass = jnp.sum(jnp.exp(tensor),
-                              axis=tuple(a + (tensor.ndim - raw.ndim)
-                                         for a in axes))
-        mass = self.inner.jax_eval(anchor_mass, zs)
+        # Anchor masses morph linearly (memoized per tensor; also a
+        # compile-time constant under jit)
+        mass = self.inner.jax_eval(
+            self._anchor_mass(tensor, jnp), zs)
         raw_mass = jnp.sum(raw, axis=axes)
         scale = mass / jnp.maximum(raw_mass, jnp.finfo(raw.dtype).tiny)
         return raw * scale[(...,) + (None,) * len(axes)]
@@ -261,10 +292,8 @@ class LogMorpher:
         axes = self._bin_axes(raw.ndim)
         if not axes:
             return raw
-        anchor_mass = np.sum(np.exp(tensor),
-                             axis=tuple(a + (tensor.ndim - raw.ndim)
-                                        for a in axes))
-        mass = np.asarray(self.inner.host_eval(anchor_mass, zs))
+        mass = np.asarray(self.inner.host_eval(
+            self._anchor_mass(tensor, np), zs))
         raw_mass = np.sum(raw, axis=axes)
         scale = mass / np.maximum(raw_mass, np.finfo(float).tiny)
         return raw * scale[(...,) + (None,) * len(axes)]

@@ -159,6 +159,69 @@ def test_negative_net_bin_rejects_toy_sampling():
         s.simulate_toy(100, rng=np.random.default_rng(0))
 
 
+def test_fraction_above_one_rejects_toy_sampling():
+    """Net-negative OUT-of-range weight gives fraction_in_range > 1; the
+    1/fraction scale-up cannot be undone by thinning, so host toy simulation
+    must refuse instead of silently under-populating every toy."""
+    data = _weighted_events([0.5, 5.0], [3.0, -1.0])
+    conf = conf_for_test(default_source_class=WeightedSampleSource,
+                         analysis_space=[['x', [0, 1]]],
+                         weight_field='w', data=data)
+    s = Model(conf).sources[0]
+    assert s.fraction_in_range == 1.5
+    with pytest.raises(ValueError, match='fraction_in_range'):
+        s.simulate_toy(100, rng=np.random.default_rng(0))
+
+
+def test_nonpositive_total_weight_rejected_at_build():
+    data = _weighted_events([0.5, 0.5], [1.0, -1.0])
+    conf = conf_for_test(default_source_class=WeightedSampleSource,
+                         analysis_space=[['x', [0, 1]]],
+                         weight_field='w', data=data)
+    with pytest.raises(ValueError, match='positive net weight'):
+        Model(conf)
+
+
+def test_negative_net_bins_carry_no_mc_information():
+    """A net-negative bin has no scaled-Poisson meaning: its effective count
+    is 0, so the BB modes treat it like an empty-MC bin, not a healthy one."""
+    data = _weighted_events([0.5, 1.5, 1.5], [2.0, 0.5, -1.0])
+    conf = conf_for_test(default_source_class=WeightedSampleSource,
+                         analysis_space=[['x', [0, 1, 2]]],
+                         weight_field='w', data=data)
+    s = Model(conf).sources[0]
+    assert s._n_events_histogram.values[1] == 0.0
+    # ... and the host likelihood over the negative-pmf bin is finite
+    # (penalized like the compiled path), never silently nan
+    lf = BinnedLogLikelihood(conf)
+    lf.prepare()
+    obs, _ = make_data([dict(n_events=2, x=0.5), dict(n_events=1, x=1.5)])
+    lf.set_data(obs)
+    assert np.isfinite(lf())
+
+
+def test_mixed_weighted_unweighted_sources_simulate():
+    """Template-drawn toys (source+dims dtype) concatenate with generator
+    events that carry extra fields (e.g. the weight column)."""
+    class UnweightedWithW(WeightedGaussianMCSource):
+        # generator emits a 'w' column but the source is NOT weighted
+        pass
+
+    data = _weighted_events([0.5] * 10, np.ones(10))
+    conf = conf_for_test(
+        n_sources=2,
+        analysis_space=[['x', [0, 1, 2]]],
+        events_per_day=500.,
+        sources=[dict(name='sig', **{'class': WeightedSampleSource},
+                      weight_field='w', data=data),
+                 dict(name='bg', **{'class': UnweightedWithW})],
+        mu=0.5, sigma=0.2, n_events_for_pdf=int(2e4))
+    m = Model(conf)
+    toys = m.simulate(rng=np.random.default_rng(1))
+    assert len(toys) > 500
+    assert set(toys.dtype.names) >= {'source', 'x'}
+
+
 def test_bb_lite_consumes_effective_counts():
     """End-to-end: the bb_lite likelihood on a weighted source profiles
     against the per-bin EFFECTIVE counts."""

@@ -30,7 +30,8 @@ import numpy as np
 from .exceptions import InvalidParameter, InvalidParameterSpecification
 
 __all__ = ['LogLikelihoodSum', 'LogLikelihoodReParam',
-           'LogAncillaryLikelihood', 'ParameterTransform']
+           'LogAncillaryLikelihood', 'ParameterTransform',
+           'correlated_gaussian_constraint']
 
 RATE_SUFFIX = '_rate_multiplier'
 
@@ -332,3 +333,32 @@ class LogAncillaryLikelihood:
                                                self.pdf_base_config[name]))
                              for name in self.shape_parameters)
         return self.func(values, **self.func_kwargs)
+
+
+def correlated_gaussian_constraint(parameter_names, mean, cov):
+    """A joint (correlated) Gaussian constraint over several parameters, as a
+    :class:`LogAncillaryLikelihood` ready for :class:`LogLikelihoodSum`
+    composition — the correlated generalization of per-parameter
+    ``log_prior=NormalPrior(...)`` constraints, which the reference cannot
+    express (its priors are strictly one callable per parameter,
+    blueice/likelihood.py:488-504).
+
+    Each named parameter defaults to its constraint mean; the term is
+    jax-traceable (one triangular solve), so summed likelihoods containing it
+    compile end-to-end.
+
+    :param parameter_names: parameters of the OTHER likelihoods in the sum
+      this constraint correlates (rate multipliers or shape parameters).
+    :param mean: constraint center per parameter.
+    :param cov: covariance matrix (positive definite).
+    """
+    from .priors import MultivariateNormalPrior
+    parameter_names = list(parameter_names)
+    prior = MultivariateNormalPrior(mean, cov)
+    if len(prior.mean) != len(parameter_names):
+        raise ValueError("Got %d parameter names for a %d-dimensional "
+                         "constraint" % (len(parameter_names),
+                                         len(prior.mean)))
+    return LogAncillaryLikelihood(
+        func=prior, parameter_list=parameter_names,
+        config=dict(zip(parameter_names, prior.mean)))

@@ -11,7 +11,7 @@ import math
 
 import numpy as np
 
-__all__ = ['NormalPrior', 'UniformPrior']
+__all__ = ['NormalPrior', 'UniformPrior', 'MultivariateNormalPrior']
 
 _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 
@@ -80,3 +80,74 @@ class UniformPrior:
 
     def __repr__(self):
         return "UniformPrior(lo=%r, hi=%r)" % (self.lo, self.hi)
+
+
+class MultivariateNormalPrior:
+    """Joint Gaussian log-density over a VECTOR of parameters — the correlated
+    generalization of per-parameter :class:`NormalPrior` constraints (the
+    reference has no correlated-constraint machinery; compose this with
+    :func:`blueice_tpu.composition.correlated_gaussian_constraint`).
+
+    Callable on a plain vector (host numpy or jax tracers) or on the
+    OrderedDict a :class:`~blueice_tpu.composition.LogAncillaryLikelihood`
+    passes its func. The Cholesky factor is precomputed once; evaluation is
+    one triangular solve. Picklable and hashable by value.
+    """
+
+    def __init__(self, mean, cov):
+        mean = np.asarray(mean, dtype=float).ravel()
+        cov = np.asarray(cov, dtype=float)
+        if cov.shape != (len(mean), len(mean)):
+            raise ValueError("cov must be (%d, %d); got %s"
+                             % (len(mean), len(mean), cov.shape))
+        if not np.allclose(cov, cov.T, rtol=1e-10, atol=0):
+            raise ValueError("cov must be symmetric")
+        try:
+            chol = np.linalg.cholesky(cov)
+        except np.linalg.LinAlgError:
+            raise ValueError("cov must be positive definite (Cholesky failed)")
+        self.mean = mean
+        self.cov = cov
+        self._chol = chol
+        self._log_norm = (-0.5 * len(mean) * math.log(2.0 * math.pi)
+                          - float(np.sum(np.log(np.diag(chol)))))
+
+    def __call__(self, x, **_ancillary_kwargs):
+        # OrderedDict from LogAncillaryLikelihood: stack in parameter order
+        if isinstance(x, dict):
+            x = list(x.values())
+        if isinstance(x, (list, tuple)) and all(_is_host_value(v)
+                                                for v in x):
+            x = np.asarray(x, dtype=float)
+        if _is_host_value(x):
+            from scipy.linalg import solve_triangular
+            z = solve_triangular(self._chol,
+                                 np.asarray(x, dtype=float) - self.mean,
+                                 lower=True)
+            return float(-0.5 * np.dot(z, z) + self._log_norm)
+        import jax.numpy as jnp
+        from jax.scipy.linalg import solve_triangular
+        diff = jnp.stack([jnp.asarray(v) for v in x]) \
+            if isinstance(x, (list, tuple)) else jnp.asarray(x)
+        z = solve_triangular(jnp.asarray(self._chol), diff - self.mean,
+                             lower=True)
+        return -0.5 * jnp.dot(z, z) + self._log_norm
+
+    def __getstate__(self):
+        return {'mean': self.mean, 'cov': self.cov}
+
+    def __setstate__(self, state):
+        self.__init__(state['mean'], state['cov'])
+
+    def __repr__(self):
+        return "MultivariateNormalPrior(mean=%s, cov=%s)" % (
+            self.mean.tolist(), self.cov.tolist())
+
+    def __eq__(self, other):
+        return (isinstance(other, MultivariateNormalPrior)
+                and np.array_equal(self.mean, other.mean)
+                and np.array_equal(self.cov, other.cov))
+
+    def __hash__(self):
+        return hash(('MultivariateNormalPrior',
+                     self.mean.tobytes(), self.cov.tobytes()))

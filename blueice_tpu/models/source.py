@@ -337,10 +337,20 @@ class DensityEstimatingSource(HistogramPdfSource):
     Negative weights (e.g. NLO MC) are accepted for template building; bins
     whose net weight is negative make the template unusable for toy sampling
     and are rejected there with a clear error.
+
+    **Template smoothing** (beyond the reference): set
+    ``template_smoothing_sigma`` to a Gaussian kernel width in BIN units
+    (scalar, or one value per analysis axis) to smooth the estimated density.
+    The smoothed template is renormalized to the unsmoothed in-range mass, so
+    rates and ``fraction_in_range`` are untouched. The MC-statistics
+    histogram keeps the RAW per-bin (effective) counts: smoothing correlates
+    neighboring bins, so the raw sample size is the honest input to the
+    Beeston-Barlow modes.
     """
 
     defaults = dict(n_events_for_pdf=1e6,
-                    weight_field=None)
+                    weight_field=None,
+                    template_smoothing_sigma=None)
 
     @property
     def simulates_weighted_events(self):
@@ -404,8 +414,9 @@ class DensityEstimatingSource(HistogramPdfSource):
         # weight sums -> density: divide by in-range weight and bin volumes
         self._bin_volumes = mh.bin_volumes()
         self._pdf_histogram = mh.similar_blank()
-        self._pdf_histogram.values = (mh.values.astype(float) / mh.n
-                                      / self._bin_volumes)
+        self._pdf_histogram.values = (
+            self._smoothed_values(mh.values.astype(float)) / mh.n
+            / self._bin_volumes)
         if weight_field is None:
             self._n_events_histogram = mh
         else:
@@ -424,6 +435,34 @@ class DensityEstimatingSource(HistogramPdfSource):
                                        0.0)
             self._n_events_histogram = neff
         return mh
+
+    def _smoothed_values(self, values):
+        """Gaussian-smooth the accumulated per-bin weights (see class
+        docstring); identity when template_smoothing_sigma is unset."""
+        sigma = self.config.get('template_smoothing_sigma')
+        if sigma is None:
+            return values
+        sigmas = np.atleast_1d(np.asarray(sigma, dtype=float))
+        if np.any(sigmas < 0):
+            raise ValueError("template_smoothing_sigma must be >= 0; got %r"
+                             % (sigma,))
+        if sigmas.size not in (1, values.ndim):
+            raise ValueError(
+                "template_smoothing_sigma needs 1 value or one per analysis "
+                "axis (%d); got %d" % (values.ndim, sigmas.size))
+        if not np.any(sigmas > 0):
+            return values
+        from scipy.ndimage import gaussian_filter
+        # mode='constant' keeps mass from wrapping/reflecting; the rescale
+        # below puts the kernel tail lost over the edges back
+        smoothed = gaussian_filter(
+            values, sigma=(float(sigmas[0]) if sigmas.size == 1
+                           else tuple(float(s) for s in sigmas)),
+            mode='constant', cval=0.0)
+        total, smoothed_total = values.sum(), smoothed.sum()
+        if total > 0 and smoothed_total > 0:
+            smoothed *= total / smoothed_total
+        return smoothed
 
     def get_events_for_density_estimate(self):
         """Return (or yield in batches) (events, n_simulated). The count is needed

@@ -115,6 +115,37 @@ def test_composed_compiled_and_fit():
     assert abs(res_con['s1_rate_multiplier'] - 1) < 0.3
 
 
+def test_correlated_constraint_in_toy_study():
+    """The MVN constraint traces inside the vmapped toy-fit program and
+    tightens the correlated pair relative to the unconstrained fit."""
+    import jax
+    from blueice_tpu.likelihood import BinnedLogLikelihood
+    from blueice_tpu.parallel.toys import BinnedToyStudy
+    from blueice_tpu.test_helpers import GaussianMCSource
+
+    conf = conf_for_test(mc=True, n_sources=2, events_per_day=500.,
+                         n_events_for_pdf=int(1e5))
+    conf['sources'] = [dict(name='s0', mu=0.0), dict(name='s1', mu=2.0)]
+    lf = BinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.add_rate_parameter('s1')
+    lf.prepare()
+
+    free = BinnedToyStudy(lf).run(jax.random.PRNGKey(2), n_toys=128)
+    constraint = correlated_gaussian_constraint(
+        ['s0_rate_multiplier', 's1_rate_multiplier'],
+        [1.0, 1.0], np.array([[1e-4, 8e-5], [8e-5, 1e-4]]))
+    joint = LogLikelihoodSum([lf, constraint])
+    con = BinnedToyStudy(joint).run(jax.random.PRNGKey(2), n_toys=128)
+
+    for p in ('s0_rate_multiplier', 's1_rate_multiplier'):
+        assert con[p].std() < 0.7 * free[p].std(), p
+    # rho = 0.8: the fitted multipliers co-move across toys
+    corr = np.corrcoef(con['s0_rate_multiplier'],
+                       con['s1_rate_multiplier'])[0, 1]
+    assert corr > 0.3, corr
+
+
 def test_correlation_matters():
     """The off-diagonal term changes the joint value: correlated != the
     product of two independent NormalPriors at off-center points."""

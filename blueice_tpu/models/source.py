@@ -371,11 +371,13 @@ class DensityEstimatingSource(HistogramPdfSource):
             raise ValueError(
                 "%s: the weighted template has net-negative bins; it cannot "
                 "be sampled as a toy distribution" % self)
-        if self.fraction_in_range > 1.0:
+        if self.fraction_in_range > 1.0 + 1e-9:
             # Net-negative OUT-of-range weight: expected_events stays
             # consistent, but the caller's 1/fraction_in_range scale-up
             # cannot be undone by binomial thinning (it would need to ADD
-            # events) — refusing beats silently under-populating every toy
+            # events) — refusing beats silently under-populating every toy.
+            # (The relative tolerance passes the f == 1 + roundoff case of
+            # weight normalizations like w / w.mean().)
             raise ValueError(
                 "%s: fraction_in_range = %.3f > 1 (net-negative out-of-range "
                 "weight); host toy simulation cannot represent this source"

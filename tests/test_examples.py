@@ -30,3 +30,19 @@ def test_observed_analysis_demo(monkeypatch, capsys, tmp_path):
     out = capsys.readouterr().out
     assert '90% UL' in out and '68% central' in out
     assert 'done.' in out
+
+
+_SYS_DEMO = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'examples', 'systematics_demo.py')
+
+
+def test_systematics_demo(monkeypatch, capsys, tmp_path):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, 'argv', ['systematics_demo.py', '24'])
+    runpy.run_path(_SYS_DEMO, run_name='__main__')
+    out = capsys.readouterr().out
+    assert 'effective MC counts' in out
+    assert 'all 32 bins positive' in out
+    assert 'joint bestfit' in out
+    assert 'correlation across toys' in out
+    assert 'done.' in out

@@ -109,6 +109,29 @@ def test_compiled_matches_host_log_morphing():
         assert almost_equal(float(c(**kwargs)), lf(**kwargs), 1e-9), kwargs
 
 
+@pytest.mark.parametrize('mode', ['bb_lite', 'bb_single'])
+def test_log_morphing_with_bb_modes(mode):
+    """Log-morphed pmfs compose with the MC-statistics modes: the morphed
+    nme stays linear, the pmfs geometric, and host == compiled."""
+    d0, _ = make_data([dict(n_events=9, x=0.5), dict(n_events=1, x=1.5)])
+    d1, _ = make_data([dict(n_events=4, x=0.5), dict(n_events=6, x=1.5)])
+    conf = conf_for_test(default_source_class=FixedSampleSource,
+                         analysis_space=[['x', [0, 1, 2]]],
+                         events_per_day=20. / 5., data=d0)
+    lc = {'template_interpolation': 'log',
+          'model_statistical_uncertainty_handling': mode}
+    if mode == 'bb_single':
+        lc['bb_single_source'] = 0
+    lf = BinnedLogLikelihood(conf, likelihood_config=lc)
+    lf.add_shape_parameter('data', anchors={0: d0, 1: d1}, base_value=0)
+    lf.prepare()
+    obs, _ = make_data([dict(n_events=3, x=0.5), dict(n_events=2, x=1.5)])
+    lf.set_data(obs)
+    c = build_logl(lf)
+    for z in (0.0, 0.4, 0.8):
+        assert almost_equal(float(c(data=z)), lf(data=z), 1e-12), (mode, z)
+
+
 def test_toy_study_falls_back_to_ad_engine():
     from blueice_tpu.parallel.toys import BinnedToyStudy
     lf = _two_anchor_lf('log')

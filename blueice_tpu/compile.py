@@ -695,12 +695,20 @@ def build_logl(lf, dtype=None, include_livetime=False, with_priors=True):
         x = np.asarray(x)
         return x.astype(np.dtype(dtype)) if dtype is not None else x
 
+    # Log (geometric) template morphing wraps the dense-grid morpher; the
+    # anchor grid lives on the INNER morpher and the published ps_tensor is
+    # the LOG anchor tensor — compiled.log_morph tells the closed-form
+    # engines to carry the exp/mass-rescale chain (ops.binned_vgh_log)
+    from .morphers import LogMorpher
+    _ps_inner = (_ps_morpher.inner
+                 if isinstance(_ps_morpher, LogMorpher) else _ps_morpher)
+    compiled.log_morph = isinstance(_ps_morpher, LogMorpher)
     if ('ps' in lf._builds and ps_build_kind == 'global'
-            and hasattr(_ps_morpher, 'anchor_z_arrays')):
+            and hasattr(_ps_inner, 'anchor_z_arrays')):
         compiled.ps_tensor = _as_dev(lf._builds['ps'][2])
         compiled.ps_tensor_host = _np_host(lf._builds['ps'][2])
         compiled.anchor_arrays = [np.asarray(a, dtype=float)
-                                  for a in _ps_morpher.anchor_z_arrays]
+                                  for a in _ps_inner.anchor_z_arrays]
     elif ps_build_kind == 'constant' and 'ps' in lf._builds:
         compiled.ps_tensor = _as_dev(lf._builds['ps'][1])
         compiled.ps_tensor_host = _np_host(lf._builds['ps'][1])

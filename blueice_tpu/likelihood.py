@@ -759,9 +759,10 @@ class BinnedLogLikelihood(LogLikelihoodBase):
                     "Source-wise interpolation is not implemented for binned "
                     "likelihoods")
             # 'log' wraps the pmf morphing only: rates and MC counts keep
-            # linear anchor interpolation. The closed-form fit engines bake in
-            # linear corner-lerp, so compile.py publishes no anchor_arrays for
-            # a wrapped morpher and the engines auto-fall back to autodiff.
+            # linear anchor interpolation. compile.py publishes the LOG
+            # anchor tensor with compiled.log_morph=True; the closed-form
+            # engine carries the exp/mass-rescale chain (ops.binned_vgh_log).
+            # With a Beeston-Barlow mode the engines fall back to autodiff.
             ps_morpher = self.morpher
             if self.template_interpolation == 'log':
                 ps_morpher = LogMorpher(self.morpher,

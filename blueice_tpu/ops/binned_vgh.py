@@ -28,7 +28,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ['corner_weight_tables', 'binned_vgh']
+__all__ = ['corner_weight_tables', 'binned_vgh',
+           'binned_vgh_log', 'binned_ll_log']
 
 
 def corner_weight_tables(t):
@@ -98,8 +99,21 @@ def binned_vgh(corners, m, t, observed):
         D = jnp.zeros((0,) + P.shape, dtype=corners.dtype)
         X = jnp.zeros((0, 0) + P.shape, dtype=corners.dtype)
 
+    return _assemble_vgh(P, D, X, m, observed, K)
+
+
+def _assemble_vgh(P, D, X, m, observed, K):
+    """Likelihood value/gradient/Hessian from the morphed templates and their
+    t-derivatives — shared by the linear (multilinear-lerp) and log
+    (geometric) morphing paths, which differ only in how (P, D, X) are built.
+
+    :param P: (S, N) morphed per-source pmfs at the query point.
+    :param D: (K, S, N) dP/dt_d.
+    :param X: (K, K, S, N) d2P/dt_d dt_e.
+    """
+    dtype = P.dtype
     lam = jnp.tensordot(m, P, axes=(0, 0))                    # (N,)
-    tiny = jnp.finfo(corners.dtype).tiny
+    tiny = jnp.finfo(dtype).tiny
     lam_safe = jnp.maximum(lam, tiny)
     k_safe = jnp.where(observed > 0, observed, 1.0)
 
@@ -110,14 +124,14 @@ def binned_vgh(corners, m, t, observed):
     # the lane at a non-optimum. The penalty is linear in lambda, so its
     # exact contribution rides along in r (d(penalty)/dlam = 1e6 where
     # lam < 0; its own second derivative in lam is 0 a.e.).
-    pen_scale = jnp.asarray(1e6, dtype=corners.dtype)
+    pen_scale = jnp.asarray(1e6, dtype=dtype)
     ll = (jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
           + pen_scale * jnp.sum(jnp.minimum(lam, 0.0)))
     # Reciprocal form: lam_safe**2 would underflow to 0 for empty bins
     # (lam == tiny) and poison q with 0/0
     inv_lam = 1.0 / lam_safe
     r = (observed * inv_lam - 1.0
-         + pen_scale * (lam < 0).astype(corners.dtype))       # (N,)
+         + pen_scale * (lam < 0).astype(dtype))               # (N,)
     q = (observed * inv_lam) * inv_lam                        # (N,)
 
     # Gradient
@@ -140,6 +154,105 @@ def binned_vgh(corners, m, t, observed):
     bottom = jnp.concatenate([H_mt.T, H_tt], axis=1)
     H = jnp.concatenate([top, bottom], axis=0)
     return ll, g, H
+
+
+def _log_morph_P(log_corners, mass_corners, w):
+    """Morphed pmf P of the geometric (log) template morph at corner weights
+    w, plus the intermediates its derivatives need.
+
+    Mirrors morphers.LogMorpher.jax_eval exactly: raw = exp(multilinear lerp
+    of the LOG templates), rescaled so each source's total mass is the LINEAR
+    lerp of the anchor masses (raw-mass denominator clamped at tiny).
+
+    :param log_corners: (2^K, S, N) LOG corner templates.
+    :param mass_corners: (2^K, S) per-corner template masses
+      (sum over bins of exp(log template), computed on the FULL template —
+      not just in-slice bins — to match the morpher).
+    :return: (P (S, N), R (S, N) raw exp-lerp, inv_mass_raw (S,),
+      M (S,) lerped target mass).
+    """
+    L = jnp.tensordot(w, log_corners, axes=(0, 0))            # (S, N)
+    R = jnp.exp(L)
+    tiny = jnp.finfo(log_corners.dtype).tiny
+    mass_raw = jnp.sum(R, axis=-1)                            # (S,)
+    inv_mass_raw = 1.0 / jnp.maximum(mass_raw, tiny)
+    M = jnp.tensordot(w, mass_corners, axes=(0, 0))           # (S,)
+    P = R * (M * inv_mass_raw)[:, None]
+    return P, R, inv_mass_raw, M
+
+
+def binned_vgh_log(log_corners, mass_corners, m, t, observed):
+    """binned_vgh for geometric (log) template morphing
+    (template_interpolation='log', morphers.LogMorpher): the pmf is
+    exp(multilinear lerp of log templates), linearly-rescaled to the lerped
+    anchor masses. Same contract and parameter order as :func:`binned_vgh`;
+    the t-derivatives carry the exp and the mass-rescale quotient chain, so
+    unlike the multilinear case d2P/dt_d^2 != 0.
+
+    :param log_corners: (2^K, S, N) LOG corner templates (the anchor tensor a
+      LogMorpher builds).
+    :param mass_corners: (2^K, S) per-corner full-template masses.
+    """
+    log_corners = jnp.asarray(log_corners)
+    dtype = log_corners.dtype
+    mass_corners = jnp.asarray(mass_corners, dtype=dtype)
+    m = jnp.asarray(m, dtype=dtype)
+    t = jnp.asarray(t, dtype=dtype)
+    observed = jnp.asarray(observed, dtype=dtype)
+    K = t.shape[0]
+
+    w, wd, wx = corner_weight_tables(t)
+    P, R, inv_mass_raw, M = _log_morph_P(log_corners, mass_corners, w)
+    if K == 0:
+        D = jnp.zeros((0,) + P.shape, dtype=dtype)
+        X = jnp.zeros((0, 0) + P.shape, dtype=dtype)
+        return _assemble_vgh(P, D, X, m, observed, K)
+
+    tiny = jnp.finfo(dtype).tiny
+    Ld = jnp.tensordot(wd, log_corners, axes=(1, 0))          # (K, S, N)
+    Lx = jnp.tensordot(wx, log_corners, axes=(2, 0))          # (K, K, S, N)
+    Md = jnp.tensordot(wd, mass_corners, axes=(1, 0))         # (K, S)
+    Mx = jnp.tensordot(wx, mass_corners, axes=(2, 0))         # (K, K, S)
+    inv_M = 1.0 / jnp.maximum(M, tiny)
+
+    # Raw-mass derivatives: A_d = d(sum R)/dt_d, B_de = d2(sum R)/dt_d dt_e
+    A = jnp.einsum('sn,ksn->ks', R, Ld)                       # (K, S)
+    B = (jnp.einsum('sn,ksn,esn->kes', R, Ld, Ld)
+         + jnp.einsum('sn,kesn->kes', R, Lx))                 # (K, K, S)
+
+    # log-scale chain: scale = M / mass_raw, v_d = d log(scale)/dt_d,
+    # w_de = d2 log(scale)/dt_d dt_e
+    v = Md * inv_M[None] - A * inv_mass_raw[None]             # (K, S)
+    w2 = (Mx * inv_M[None, None]
+          - jnp.einsum('ks,es->kes', Md * inv_M[None], Md * inv_M[None])
+          - B * inv_mass_raw[None, None]
+          + jnp.einsum('ks,es->kes', A * inv_mass_raw[None],
+                       A * inv_mass_raw[None]))               # (K, K, S)
+
+    # dP/dt_d = P * u_d with u_d = Ld + v_d; d2P = P * (u_d u_e + Lx + w_de)
+    u = Ld + v[:, :, None]                                    # (K, S, N)
+    D = P[None] * u                                           # (K, S, N)
+    X = P[None, None] * (jnp.einsum('ksn,esn->kesn', u, u)
+                         + Lx + w2[:, :, :, None])            # (K, K, S, N)
+    return _assemble_vgh(P, D, X, m, observed, K)
+
+
+def binned_ll_log(log_corners, mass_corners, m, t, observed):
+    """Value-only twin of :func:`binned_vgh_log` (cheap accept-step
+    evaluation inside the Newton loop)."""
+    log_corners = jnp.asarray(log_corners)
+    dtype = log_corners.dtype
+    mass_corners = jnp.asarray(mass_corners, dtype=dtype)
+    m = jnp.asarray(m, dtype=dtype)
+    t = jnp.asarray(t, dtype=dtype)
+    observed = jnp.asarray(observed, dtype=dtype)
+    w, _, _ = corner_weight_tables(t)
+    P, _, _, _ = _log_morph_P(log_corners, mass_corners, w)
+    lam = jnp.tensordot(m, P, axes=(0, 0))
+    lam_safe = jnp.maximum(lam, jnp.finfo(dtype).tiny)
+    k_safe = jnp.where(observed > 0, observed, 1.0)
+    return (jnp.sum(observed * jnp.log(lam_safe / k_safe) - (lam - observed))
+            + 1e6 * jnp.sum(jnp.minimum(lam, 0.0)))
 
 
 def binned_ll(corners, m, t, observed):

@@ -608,6 +608,10 @@ def _analytic_supported(compiled):
             and compiled.anchor_arrays is not None):
         return False
     if compiled.has_bb or getattr(compiled, 'has_bb_lite', False):
+        # The BB engines lerp the pmf corners LINEARLY internally; geometric
+        # (log) pmf morphing with a BB mode falls back to the AD engine
+        if getattr(compiled, 'log_morph', False):
+            return False
         return getattr(compiled, 'nme_tensor', None) is not None
     return True
 
@@ -841,7 +845,8 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     non-TPU backends. Must be called OUTSIDE any jit trace (it prepares
     device-constant tensors).
     """
-    from ..ops.binned_vgh import binned_vgh, binned_ll, gather_corners
+    from ..ops.binned_vgh import (binned_vgh, binned_ll, gather_corners,
+                                  binned_vgh_log, binned_ll_log)
     from ..ops.bb_vgh import binned_bb_vgh, binned_bb_ll
     from ..ops.bb_lite import binned_bblite_vgh, binned_bblite_ll
     from ..ops import fused
@@ -860,6 +865,23 @@ def _make_analytic_parts(compiled, names, fixed, transform,
         bb_i = compiled.bb_source_i
     if has_bb or has_bb_lite:
         nme_flat = compiled.nme_tensor.reshape(grid_shape + (S, -1))
+    log_morph = getattr(compiled, 'log_morph', False)
+    if log_morph and use_pallas:
+        raise ValueError(
+            "the fused Pallas kernels bake in linear template morphing; "
+            "log-morphed (template_interpolation='log') models use "
+            "engine='analytic'")
+    if log_morph:
+        # Per-anchor template masses for the linear mass-rescale of the
+        # geometric morph (morphers.LogMorpher._anchor_mass); precomputed
+        # from the HOST twin of the log anchor tensor — exp+sum of the full
+        # payload runs once here, never on the device per fit
+        ps_host = getattr(compiled, 'ps_tensor_host', None)
+        logT = (np.asarray(ps_host) if ps_host is not None
+                else np.asarray(ps_flat))
+        mass_grid = jnp.asarray(
+            np.exp(logT.reshape(grid_shape + (S, -1))).sum(axis=-1),
+            dtype=ps_tensor.dtype)                        # (*grid, S)
 
     if use_pallas:
         from ..ops import fused_bb, fused_bb_lite
@@ -916,6 +938,10 @@ def _make_analytic_parts(compiled, names, fixed, transform,
             ll = binned_bb_ll(_corners(u, fixed_values),
                               _corners_of(nme_flat, u, fixed_values),
                               mt[:S], mt[S:], data_flat, bb_i)
+        elif log_morph:
+            ll = binned_ll_log(_corners(u, fixed_values),
+                               _corners_of(mass_grid, u, fixed_values),
+                               mt[:S], mt[S:], data_flat)
         else:
             ll = binned_ll(_corners(u, fixed_values), mt[:S], mt[S:],
                            data_flat)
@@ -951,6 +977,10 @@ def _make_analytic_parts(compiled, names, fixed, transform,
             return fused.binned_vgh_fused(
                 anchor_flat, strides, idx_of_u(u, fixed_values), mt[S:],
                 mt[:S], data_padded, interpret=interpret)
+        if log_morph:
+            return binned_vgh_log(_corners(u, fixed_values),
+                                  _corners_of(mass_grid, u, fixed_values),
+                                  mt[:S], mt[S:], data_flat)
         return binned_vgh(_corners(u, fixed_values), mt[:S], mt[S:],
                           data_flat)
 
@@ -1110,10 +1140,13 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         K, S, G, n_bins = _grid_dims(compiled)
         per_toy_payload = S * fused._round_up(n_bins, fused.LANE)
         # allow_negative models need the negative-expectation penalty that
-        # only the jnp value paths carry — keep them off the Pallas kernels
+        # only the jnp value paths carry — keep them off the Pallas kernels;
+        # log-morphed models use the jnp closed forms (the kernels bake in
+        # linear lerp)
         if (jax.default_backend() == 'tpu'
                 and per_toy_payload >= 4096
                 and not _has_negative(compiled)
+                and not getattr(compiled, 'log_morph', False)
                 and fused.fused_vgh_supported((G, S, n_bins),
                                               compiled.ps_tensor.dtype)):
             engine = 'pallas'

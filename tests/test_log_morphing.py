@@ -102,8 +102,10 @@ def test_zero_bins_stay_zero():
 def test_compiled_matches_host_log_morphing():
     lf = _two_anchor_lf('log')
     c = build_logl(lf)
-    # log morphing has no linear corner structure: engines must not claim it
-    assert c.anchor_arrays is None
+    # The INNER morpher's anchor grid is published with the log flag: the
+    # closed-form engine carries the exp/mass-rescale chain itself
+    assert c.log_morph
+    assert c.anchor_arrays is not None and len(c.anchor_arrays) == 1
     for kwargs in [dict(), dict(data=0.3), dict(data=0.75),
                    dict(data=0.5, s0_rate_multiplier=1.7)]:
         assert almost_equal(float(c(**kwargs)), lf(**kwargs), 1e-9), kwargs
@@ -132,7 +134,64 @@ def test_log_morphing_with_bb_modes(mode):
         assert almost_equal(float(c(data=z)), lf(data=z), 1e-12), (mode, z)
 
 
-def test_toy_study_falls_back_to_ad_engine():
+def test_analytic_engine_matches_ad_engine():
+    """The closed-form engine (ops.binned_vgh_log) fits log-morphed models
+    to the same optimum as autodiff of the compiled likelihood."""
+    import jax.numpy as jnp
+    from blueice_tpu.parallel.fitter import make_toy_fitter
+    lf = _two_anchor_lf('log')
+    c = build_logl(lf)
+    data = jnp.asarray(
+        lf.data_events_per_bin.values.reshape(-1), dtype=float)
+    results = {}
+    for engine in ('analytic', 'ad'):
+        fit_one, names = make_toy_fitter(c, engine=engine)
+        x, ll, _ = fit_one(data)
+        results[engine] = (np.asarray(x), float(ll), names)
+    assert results['analytic'][2] == results['ad'][2]
+    npt.assert_allclose(results['analytic'][0], results['ad'][0], atol=2e-6)
+    npt.assert_allclose(results['analytic'][1], results['ad'][1], atol=1e-8)
+
+
+def test_binned_vgh_log_matches_autodiff():
+    """ops.binned_vgh_log against jax value/grad/Hessian of the same closed
+    form, on a K=2 grid with 2 sources — exercises the off-diagonal AND the
+    (nonzero, unlike multilinear) diagonal t-curvature."""
+    import jax
+    import jax.numpy as jnp
+    from blueice_tpu.ops.binned_vgh import (binned_vgh_log, binned_ll_log,
+                                            corner_weight_tables,
+                                            _log_morph_P)
+    rng = np.random.RandomState(42)
+    S, N = 2, 7
+    corners = rng.uniform(0.05, 1.0, size=(4, S, N))
+    corners /= corners.sum(axis=-1, keepdims=True)
+    log_corners = jnp.asarray(np.log(corners))
+    mass_corners = jnp.asarray(corners.sum(axis=-1))   # == 1 by construction
+    observed = jnp.asarray(rng.poisson(8.0, size=N).astype(float))
+    m0 = jnp.asarray([5.0, 9.0])
+    t0 = jnp.asarray([0.3, 0.7])
+
+    def ll_of(mt):
+        w, _, _ = corner_weight_tables(mt[S:])
+        P, _, _, _ = _log_morph_P(log_corners, mass_corners, w)
+        lam = mt[:S] @ P
+        k_safe = jnp.where(observed > 0, observed, 1.0)
+        return jnp.sum(observed * jnp.log(lam / k_safe) - (lam - observed))
+
+    mt0 = jnp.concatenate([m0, t0])
+    ll, g, H = binned_vgh_log(log_corners, mass_corners, m0, t0, observed)
+    npt.assert_allclose(float(ll), float(ll_of(mt0)), rtol=1e-10)
+    npt.assert_allclose(float(ll),
+                        float(binned_ll_log(log_corners, mass_corners,
+                                            m0, t0, observed)), rtol=1e-12)
+    npt.assert_allclose(np.asarray(g), np.asarray(jax.grad(ll_of)(mt0)),
+                        rtol=1e-8, atol=1e-10)
+    npt.assert_allclose(np.asarray(H), np.asarray(jax.hessian(ll_of)(mt0)),
+                        rtol=1e-7, atol=1e-9)
+
+
+def test_toy_study_on_log_morphed_model():
     from blueice_tpu.parallel.toys import BinnedToyStudy
     lf = _two_anchor_lf('log')
     study = BinnedToyStudy(lf, max_iter=40)
@@ -140,6 +199,26 @@ def test_toy_study_falls_back_to_ad_engine():
     res = study.run(jax.random.PRNGKey(11), n_toys=8)
     assert np.all(np.isfinite(res.max_ll))
 
+
+def test_log_morph_bb_still_falls_back():
+    """With a Beeston-Barlow mode the engines' linear pmf lerp does not
+    apply: the AD engine runs it, engine='analytic' refuses."""
+    from blueice_tpu.parallel.toys import BinnedToyStudy
+    import jax
+    d0, _ = make_data([dict(n_events=9, x=0.5), dict(n_events=1, x=1.5)])
+    d1, _ = make_data([dict(n_events=4, x=0.5), dict(n_events=6, x=1.5)])
+    conf = conf_for_test(default_source_class=FixedSampleSource,
+                         analysis_space=[['x', [0, 1, 2]]],
+                         events_per_day=20. / 5., data=d0)
+    lf = BinnedLogLikelihood(conf, likelihood_config={
+        'template_interpolation': 'log',
+        'model_statistical_uncertainty_handling': 'bb_lite'})
+    lf.add_shape_parameter('data', anchors={0: d0, 1: d1}, base_value=0)
+    lf.prepare()
+    obs, _ = make_data([dict(n_events=3, x=0.5), dict(n_events=2, x=1.5)])
+    lf.set_data(obs)
+    res = BinnedToyStudy(lf, max_iter=40).run(jax.random.PRNGKey(2), n_toys=4)
+    assert np.all(np.isfinite(res.max_ll))
     with pytest.raises(ValueError, match="analytic derivative engine"):
         BinnedToyStudy(lf, engine='analytic').run(
             jax.random.PRNGKey(1), n_toys=4)

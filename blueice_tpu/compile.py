@@ -224,6 +224,11 @@ def build_logl_sum(sum_lf, dtype=None, include_livetime=False,
                                      defaults, bounds,
                                      [c.data for c in children], sum_lf)
     compiled.children = children
+    # Per-child routing metadata for the Sum closed-form fit engine
+    # (parallel.fitter._make_sum_analytic_parts): which joint parameters are
+    # DECLARED on each child, and each child's likelihood weight
+    compiled.child_weights = weights
+    compiled.child_routed = [frozenset(r) for r in routed]
     # Dataset-free children (ancillary terms) don't vote on binnedness
     compiled.is_binned = all(c.is_binned for c in children
                              if getattr(c, 'has_data', True))

@@ -618,17 +618,43 @@ def _analytic_supported(compiled):
 
 def _unbinned_analytic_supported(compiled):
     """The closed-form unbinned engine covers global-grid (or shape-free)
-    extended likelihoods; source-wise grids and likelihood sums fall back to
-    the AD engine."""
+    extended likelihoods; source-wise grids fall back to the AD engine."""
     return (compiled.is_binned is False
             and compiled.anchor_arrays is not None)
 
 
-def _make_param_graph(compiled, names, fixed, transform, runtime_fixed=()):
+def _sum_analytic_supported(compiled):
+    """Closed-form engine eligibility of a compiled LogLikelihoodSum
+    (joint/combined fits, e.g. multi-science-run): every DATASET child must
+    itself be analytic-eligible (binned, dense global anchor grid); dataset-
+    free children (ancillary constraints) ride along via autodiff of their
+    tiny param-only graphs."""
+    children = getattr(compiled, 'children', None)
+    if not children or getattr(compiled, 'child_routed', None) is None:
+        return False
+    has_dataset_child = False
+    for c in children:
+        if not getattr(c, 'has_data', True):
+            continue
+        if not (c.is_binned and _analytic_supported(c)):
+            return False
+        has_dataset_child = True
+    return has_dataset_child
+
+
+def _make_param_graph(compiled, names, fixed, transform, runtime_fixed=(),
+                      routed=None):
     """The tiny differentiable graph from the optimizer's u vector to the
     likelihood's natural parameters: params dict, float (m, t) vector, integer
     anchor-cell indices, and the prior term. Shared by the binned and
-    unbinned closed-form engines."""
+    unbinned closed-form engines.
+
+    :param routed: for a CHILD of a compiled LogLikelihoodSum, the set of
+      joint parameter names DECLARED on this child — joint values (floating,
+      fixed or runtime-fixed) outside it must not override the child's own
+      defaults, matching the host Sum's routing (composition.py). None (the
+      default, single likelihoods) routes everything.
+    """
     shape_names = compiled.shape_names
     # This builder can be entered lazily inside a jit trace (the unbinned
     # engine choice depends on the per-trace event count). The anchor-array
@@ -644,11 +670,15 @@ def _make_param_graph(compiled, names, fixed, transform, runtime_fixed=()):
     def params_of_u(u, fixed_values):
         x = transform.to_x(u)
         p = dict(compiled.defaults)
-        p.update(fixed)
+        for k, v in fixed.items():
+            if routed is None or k in routed:
+                p[k] = v
         for i, rname in enumerate(runtime_fixed):
-            p[rname] = fixed_values[i]
+            if routed is None or rname in routed:
+                p[rname] = fixed_values[i]
         for i, name in enumerate(names):
-            p[name] = x[i]
+            if routed is None or name in routed:
+                p[name] = x[i]
         return p
 
     def mt_of_u(u, fixed_values):
@@ -833,7 +863,7 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
 
 
 def _make_analytic_parts(compiled, names, fixed, transform,
-                         use_pallas=False, runtime_fixed=()):
+                         use_pallas=False, runtime_fixed=(), routed=None):
     """Build (value_fn(u, data_flat, fixed_values),
     vgh_fn(u, data_flat, fixed_values)) computing the negated objective from
     closed-form (m, t)-derivatives + chain rule through the (tiny) parameter
@@ -918,7 +948,7 @@ def _make_analytic_parts(compiled, names, fixed, transform,
 
     runtime_fixed = list(runtime_fixed)
     params_of_u, mt_of_u, idx_of_u, prior_of_u = _make_param_graph(
-        compiled, names, fixed, transform, runtime_fixed)
+        compiled, names, fixed, transform, runtime_fixed, routed=routed)
 
     def _corners_of(tensor_flat, u, fixed_values):
         if K == 0:
@@ -988,6 +1018,7 @@ def _make_analytic_parts(compiled, names, fixed, transform,
 
     value_many_fn = None
     if use_pallas:
+        assert routed is None  # Sum children never take the Pallas path
         def value_many_fn(u_cands, data_flat, fixed_values=()):
             """Objective at A parameter candidates sharing one dataset — one
             value-kernel launch for the optimizer's line search / polish."""
@@ -1018,6 +1049,72 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     return value_fn, vgh_fn, value_many_fn
 
 
+def _make_sum_analytic_parts(compiled, names, fixed, transform,
+                             runtime_fixed=()):
+    """(value_fn(u, data_list, fixed_values), vgh_fn(...)) for a compiled
+    LogLikelihoodSum: each dataset child contributes its closed-form
+    (value, gradient, Hessian) already chained to the JOINT u space — the
+    `routed` filter keeps undeclared joint parameters from overriding the
+    child's own defaults, matching the host Sum's routing
+    (composition.LogLikelihoodSum) — weighted by the sum's likelihood
+    weights; dataset-free (ancillary) children contribute autodiff of their
+    tiny param-only graphs. ``data_list`` aligns with the children (None
+    entries for dataset-free children)."""
+    entries = []
+    for i, (c, w) in enumerate(zip(compiled.children,
+                                   compiled.child_weights)):
+        routed = compiled.child_routed[i]
+        if getattr(c, 'has_data', True):
+            vf, gf, _ = _make_analytic_parts(
+                c, names, fixed, transform, use_pallas=False,
+                runtime_fixed=runtime_fixed, routed=routed)
+        else:
+            def _mk(c=c, routed=routed):
+                def p_of_u(u, fixed_values):
+                    x = transform.to_x(u)
+                    p = dict(c.defaults)
+                    for k, v in fixed.items():
+                        if k in routed:
+                            p[k] = v
+                    for j, rname in enumerate(runtime_fixed):
+                        if rname in routed:
+                            p[rname] = fixed_values[j]
+                    for j, name in enumerate(names):
+                        if name in routed:
+                            p[name] = x[j]
+                    return p
+
+                def vf(u, _data, fixed_values=()):
+                    return -c.logl(p_of_u(u, fixed_values))
+
+                def gf(u, _data, fixed_values=()):
+                    f = lambda v: vf(v, None, fixed_values)  # noqa: E731
+                    val, g = jax.value_and_grad(f)(u)
+                    return val, g, jax.hessian(f)(u)
+                return vf, gf
+            vf, gf = _mk()
+        entries.append((i, float(w), vf, gf))
+
+    def value_fn(u, data_list, fixed_values=()):
+        out = jnp.zeros((), dtype=u.dtype)
+        for i, w, vf, _ in entries:
+            out = out + w * vf(u, data_list[i], fixed_values)
+        return out
+
+    def vgh_fn(u, data_list, fixed_values=()):
+        val = jnp.zeros((), dtype=u.dtype)
+        g = jnp.zeros_like(u)
+        H = jnp.zeros((u.shape[0], u.shape[0]), dtype=u.dtype)
+        for i, w, _, gf in entries:
+            v_i, g_i, H_i = gf(u, data_list[i], fixed_values)
+            val = val + w * v_i.astype(u.dtype)
+            g = g + w * g_i.astype(u.dtype)
+            H = H + w * H_i.astype(u.dtype)
+        return val, g, H
+
+    return value_fn, vgh_fn
+
+
 def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
                     engine='auto', runtime_fixed=(), polish=4,
                     kink_jumps=None):
@@ -1026,7 +1123,9 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
 
     :param engine: 'ad' uses autodiff value/grad/Hessian of the compiled
       likelihood; 'analytic' uses the closed-form (m, t)-derivative engine
-      (binned, no Beeston-Barlow); 'auto' picks analytic when supported.
+      (binned incl. BB modes and log morphing, unbinned, and Sums of binned
+      children); 'pallas' the fused TPU kernels; 'auto' picks the fastest
+      supported engine for the backend.
     :param runtime_fixed: parameter names fixed at *call time* — their values
       arrive as fit_one's third argument (a vector aligned with this list), so
       e.g. a Neyman hypothesis scan reuses one compiled program instead of
@@ -1089,12 +1188,14 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
 
     if engine in ('analytic', 'pallas') and not (
             _analytic_supported(compiled)
-            or _unbinned_analytic_supported(compiled)):
+            or _unbinned_analytic_supported(compiled)
+            or (engine == 'analytic' and _sum_analytic_supported(compiled))):
         raise ValueError("The analytic derivative engine supports binned and "
                          "unbinned likelihoods on a dense global anchor grid "
                          "(with Beeston-Barlow, the n_model_events tensor "
-                         "must be on the same layout; source-wise grids and "
-                         "likelihood sums use the AD engine)")
+                         "must be on the same layout), and LogLikelihoodSums "
+                         "of such binned likelihoods; source-wise grids use "
+                         "the AD engine")
     if engine == 'auto' and compiled.has_bb and _analytic_supported(compiled):
         # Closed-form BB derivative engine; on real TPUs take the fused
         # Pallas kernel (pmf anchors + the finite-MC source's count rows
@@ -1152,8 +1253,34 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             engine = 'pallas'
         else:
             engine = 'analytic'
+    if engine == 'auto' and _sum_analytic_supported(compiled):
+        # Compiled LogLikelihoodSum of analytic-eligible binned children:
+        # joint closed-form engine (per-child Pallas kernels would each pin
+        # their anchor tensor in VMEM; keep the jnp path for sums)
+        engine = 'analytic'
     use_pallas = engine == 'pallas'
     use_analytic = engine in ('analytic', 'pallas')
+
+    if use_analytic and getattr(compiled, 'children', None) is not None:
+        value_fn, vgh_fn = _make_sum_analytic_parts(
+            compiled, names, fixed, transform, runtime_fixed=runtime_fixed)
+        children = compiled.children
+
+        def fit_one(data, mask=None, fixed_values=(), x0=None, freeze=None):
+            const = compiled.data_constant(data)
+            data_list = [jnp.asarray(d).reshape(-1)
+                         if getattr(c, 'has_data', True) else None
+                         for c, d in zip(children, data)]
+            u_start = u0 if x0 is None else transform.to_u(jnp.asarray(x0))
+            u, fval, it = minimize_newton(
+                lambda u: value_fn(u, data_list, fixed_values), u_start,
+                max_iter=max_iter, tol=tol, polish=polish,
+                kink_coords=kink_coords, kink_jumps=kink_jumps,
+                snap_anchors=snap_anchors, freeze=freeze,
+                vgh=lambda u: vgh_fn(u, data_list, fixed_values))
+            return transform.to_x(u), -fval + const, it
+
+        return fit_one, names
 
     if use_analytic and not compiled.is_binned:
         from ..ops import fused_unbinned

@@ -236,3 +236,111 @@ def test_sum_delegates_rate_bounds_and_sources():
     assert s.get_bounds('s0_rate_multiplier') == (-float('inf'), float('inf'))
     assert s.get_bounds('s1_rate_multiplier') == (0, float('inf'))
     assert s.source_name_list == ['s0', 's1']
+
+
+def _binned_child(seed, interp='linear', epd=20. / 5., rate_param=True):
+    from blueice_tpu.test_helpers import make_data, FixedSampleSource
+    from blueice_tpu.likelihood import BinnedLogLikelihood
+    d0, _ = make_data([dict(n_events=9, x=0.5), dict(n_events=1, x=1.5)])
+    d1, _ = make_data([dict(n_events=4, x=0.5), dict(n_events=6, x=1.5)])
+    conf = conf_for_test(default_source_class=FixedSampleSource,
+                         analysis_space=[['x', [0, 1, 2]]],
+                         events_per_day=epd, data=d0)
+    lf = BinnedLogLikelihood(conf, likelihood_config={
+        'template_interpolation': interp})
+    if rate_param:
+        lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('data', anchors={0: d0, 1: d1}, base_value=0)
+    lf.prepare()
+    rng = np.random.default_rng(seed)
+    lf.set_data(lf.base_model.simulate(rng=rng))
+    return lf
+
+
+def _sum_counts(c):
+    """One observed data tuple for a compiled Sum, aligned with children."""
+    import jax.numpy as jnp
+    out = []
+    for child in c.children:
+        if not getattr(child, 'has_data', True):
+            out.append(jnp.zeros((0,)))
+        else:
+            out.append(jnp.asarray(
+                child.lf.data_events_per_bin.values.reshape(-1),
+                dtype=float))
+    return tuple(out)
+
+
+def test_sum_analytic_engine_matches_ad():
+    """The joint closed-form engine (per-child binned_vgh chained to the
+    joint u space) fits a compiled Sum — linear child + log-morphed child +
+    correlated constraint — to the AD engine's optimum."""
+    from blueice_tpu.compile import build_logl
+    from blueice_tpu.composition import correlated_gaussian_constraint
+    from blueice_tpu.parallel.fitter import (make_toy_fitter,
+                                             _sum_analytic_supported)
+
+    lf1 = _binned_child(5, 'linear')
+    lf2 = _binned_child(6, 'log', epd=30. / 5.)
+    con = correlated_gaussian_constraint(
+        ['s0_rate_multiplier'], [1.0], [[0.05]])
+    s = LogLikelihoodSum([lf1, lf2, con], likelihood_weights=[1.0, 0.7, 1.0])
+    c = build_logl(s)
+    assert _sum_analytic_supported(c)
+    data = _sum_counts(c)
+    res = {}
+    for eng in ('analytic', 'ad'):
+        fit_one, names = make_toy_fitter(c, engine=eng)
+        x, ll, _ = fit_one(data)
+        res[eng] = (np.asarray(x), float(ll), names)
+    assert res['analytic'][2] == res['ad'][2]
+    np.testing.assert_allclose(res['analytic'][0], res['ad'][0], atol=5e-5)
+    assert abs(res['analytic'][1] - res['ad'][1]) < 1e-7
+
+
+def test_sum_analytic_engine_routing_and_runtime_fixed():
+    """Joint fixed= and runtime-fixed values route like the host Sum: a
+    parameter NOT declared on a child stays at that child's default there."""
+    from blueice_tpu.compile import build_logl
+    from blueice_tpu.parallel.fitter import make_toy_fitter
+
+    lf1 = _binned_child(7, rate_param=True)
+    lf2 = _binned_child(8, rate_param=False, epd=30. / 5.)  # s0 rate undeclared
+    s = LogLikelihoodSum([lf1, lf2])
+    c = build_logl(s)
+    data = _sum_counts(c)
+    for eng in ('analytic', 'ad'):
+        fit_one, names = make_toy_fitter(
+            c, fixed={'s0_rate_multiplier': 1.4}, runtime_fixed=('data',),
+            engine=eng)
+        x, ll, _ = fit_one(data, None, (0.35,))
+        if eng == 'analytic':
+            ref = (np.asarray(x), float(ll))
+        else:
+            np.testing.assert_allclose(np.asarray(x), ref[0], atol=5e-5)
+            assert abs(float(ll) - ref[1]) < 1e-7
+    # Oracle: the host Sum at the same point (everything fixed)
+    host = s(s0_rate_multiplier=1.4, data=0.35)
+    fit_all, _ = make_toy_fitter(
+        c, fixed={'s0_rate_multiplier': 1.4, 'data': 0.35}, engine='analytic')
+    _, ll_fixed, _ = fit_all(data)
+    assert almost_equal(float(ll_fixed), host, 1e-9)
+
+
+def test_sum_toy_study_analytic_engine():
+    """BinnedToyStudy on a compiled Sum auto-selects the joint closed-form
+    engine and reproduces the AD engine's ensemble."""
+    import jax
+    from blueice_tpu.parallel.toys import BinnedToyStudy
+
+    lf1 = _binned_child(9)
+    lf2 = _binned_child(10, 'log', epd=30. / 5.)
+    s = LogLikelihoodSum([lf1, lf2])
+    outs = {}
+    for eng in ('auto', 'ad'):
+        study = BinnedToyStudy(s, max_iter=50, engine=eng)
+        outs[eng] = study.run(jax.random.PRNGKey(21), n_toys=16)
+    np.testing.assert_allclose(np.asarray(outs['auto'].max_ll),
+                               np.asarray(outs['ad'].max_ll), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs['auto'].x),
+                               np.asarray(outs['ad'].x), atol=5e-4)

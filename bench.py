@@ -6,15 +6,25 @@ fit (target fixed) + profile-LR statistic — the unit of work of a
 Neyman/sensitivity ensemble (north star: 10k of these under a minute on a
 v5e-8).
 
-Default run covers ALL four scenarios (the driver's one JSON line carries the
-Gaussian-binned headline plus a "scenarios" record for xenon / unbinned /
-beeston-barlow, each with its own host baseline):
+The default run is DRIVER-PROOF: the machine-readable JSON record is printed
+after every completed scenario (the last stdout line wins), a wall-clock
+budget (env BLUEICE_BENCH_BUDGET_S, default 1200 s) skips scenarios that no
+longer fit with explicit {"skipped": "budget"} markers, the persistent XLA
+compile cache lives at the repo-local .jax_cache/ so re-runs compile nothing,
+and the kernel roofline/MFU table rides along in the same record. The gauss
+scenario also carries a statistical sanity certificate (its profile-LR toy
+median must sit at the chi2(1) median — Wilks).
+
+Scenarios (each with its own time-capped host baseline):
 
   gauss    — BASELINE.json config #1: 2-source Gaussian, 1D binned,
              rate + mu shape nuisance on a 3-anchor grid, 4096 toys
   unbinned — same model, per-event extended LL (~2k events/toy), 1024 toys
   xenon    — BASELINE.json config #4: 6 sources, 3^4=81-anchor grid,
              8 nuisances, 2D 50x62 bins, 512 toys
+  unbinned_xenon — the same 6-source 81-anchor model as an UNBINNED extended
+             LL at ~1.9k events/toy (3 live days) — the reference's actual
+             science mode (blueice/likelihood.py:528-573), 128 toys
   bb       — xenon with bb_single Beeston-Barlow MC-statistics handling on
              the dominant ER background (the reference's signature feature,
              blueice/likelihood.py:618-660), full 50x62 binning, 256 toys
@@ -48,6 +58,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -59,14 +70,44 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Persistent XLA compile cache at a REPO-LOCAL path: /tmp does not survive
+# into fresh driver environments, and cold XENON-scale compiles (40-185 s per
+# scenario) are what blew the round-3 driver budget (BENCH_r03.json rc=124).
+# The repo directory persists between rounds on the bench machine, so a
+# pre-warmed .jax_cache turns every re-run compile into a cache load.
+REPO_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          '.jax_cache')
+
+# Wall-clock budget for the default full-story run. The driver kills bench.py
+# at an unpublished timeout; rather than gamble, scenarios are skipped (with
+# an explicit {"skipped": "budget"} record) once the estimated cost of the
+# next one no longer fits, and the machine-readable JSON line is re-emitted
+# after EVERY scenario so a kill at any point still leaves a complete record
+# (last line wins).
+BUDGET_S = float(os.environ.get('BLUEICE_BENCH_BUDGET_S', '1200'))
+_T0 = time.time()
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - _T0)
+
+
 def _enable_compile_cache():
     import jax
     try:
-        jax.config.update('jax_compilation_cache_dir',
-                          '/tmp/blueice_tpu_jax_cache')
+        os.makedirs(REPO_CACHE, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', REPO_CACHE)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
     except Exception as e:
         log("compilation cache unavailable:", e)
+
+
+def _cache_is_warm():
+    """Heuristic: a populated persistent cache means compiles are loads."""
+    try:
+        return len(os.listdir(REPO_CACHE)) >= 20
+    except OSError:
+        return False
 
 
 def build_lf(n_events_for_pdf=int(2e5), binned=True):
@@ -101,6 +142,15 @@ def build_lf_xenon(bb=False):
     return build_likelihood('binned', bb=bb)
 
 
+def build_lf_xenon_unbinned(livetime_days=3.0):
+    """The reference's actual science mode (blueice/likelihood.py:528-573):
+    the XENON scenario as an UNBINNED extended likelihood — 6 sources, 81
+    anchors, 8 nuisances, realistic per-toy event counts (~1.9k at 3 live
+    days: the dominant ER background runs at 620 events/day)."""
+    from blueice_tpu.examples.xenon_like import build_likelihood
+    return build_likelihood('unbinned', livetime_days=livetime_days)
+
+
 def _study_for(lf, scenario, **opts):
     import jax
     import jax.numpy as jnp
@@ -111,7 +161,13 @@ def _study_for(lf, scenario, **opts):
     tol = 3e-4 if on_tpu else 1e-8
     # Generous stage-1 cap: the integrated while_loop exits as soon as every
     # lane is done, so a high cap costs nothing when lanes converge
-    cls = UnbinnedToyStudy if scenario == 'unbinned' else BinnedToyStudy
+    unbinned = scenario.startswith('unbinned')
+    cls = UnbinnedToyStudy if unbinned else BinnedToyStudy
+    if not unbinned and 'profile_mode' not in opts and not _cache_is_warm():
+        # Cold persistent cache: the split profile programs compile 1.21x
+        # faster than the fused double-fit (BENCH.md splitcompile A/B) at
+        # pinned-identical statistics — the cold-start/CI-budget choice
+        opts['profile_mode'] = 'split'
     return cls(lf, dtype=dtype, max_iter=96, tol=tol, **opts)
 
 
@@ -190,14 +246,21 @@ def bench_host_baseline(lf, n_toys=48, target='s0_rate_multiplier',
 
 
 SCENARIOS = {
-    # name: (build, target, default n_toys, host-baseline toys)
-    'gauss': (build_lf, 's0_rate_multiplier', 4096, 64),
-    'unbinned': (build_lf_unbinned, 's0_rate_multiplier', 1024, 48),
+    # name: (build, target, default n_toys, host toys, host time cap [s]).
+    # Host caps are deliberately tight: the host baseline is a ratio
+    # denominator, its median stabilizes within a handful of toys, and
+    # round 3 proved that 105-120 s of host loop per scenario adds up to a
+    # blown driver budget (BENCH_r03.json rc=124).
+    'gauss': (build_lf, 's0_rate_multiplier', 4096, 64, 45.0),
+    'unbinned': (build_lf_unbinned, 's0_rate_multiplier', 1024, 32, 45.0),
     'xenon': (lambda: build_lf_xenon(bb=False), 'wimp_rate_multiplier',
-              512, 48),
-    'bb': (lambda: build_lf_xenon(bb=True), 'wimp_rate_multiplier', 256, 48),
+              512, 12, 45.0),
+    'unbinned_xenon': (build_lf_xenon_unbinned, 'wimp_rate_multiplier',
+                       128, 8, 45.0),
+    'bb': (lambda: build_lf_xenon(bb=True), 'wimp_rate_multiplier',
+           256, 6, 45.0),
     'bblite': (lambda: build_lf_xenon(bb='bb_lite'), 'wimp_rate_multiplier',
-               256, 48),
+               256, 8, 45.0),
 }
 
 METRICS = {
@@ -208,6 +271,10 @@ METRICS = {
                  "Gaussian, ~2k events/toy, rate+shape nuisance)"),
     'xenon': ("batched profile-likelihood toy fits (XENON1T-style 2D: 6 "
               "sources, 81-anchor morphing grid, 8 nuisances, 50x62 bins)"),
+    'unbinned_xenon': ("batched profile-likelihood toy fits (XENON1T-style "
+                       "UNBINNED extended LL: 6 sources, 81-anchor grid, 8 "
+                       "nuisances, ~1.9k events/toy — the reference's "
+                       "science mode, blueice/likelihood.py:528-573)"),
     'bb': ("batched profile-likelihood toy fits (XENON1T-style 2D with "
            "Beeston-Barlow bb_single MC-statistics profiling, 50x62 bins)"),
     'bblite': ("batched profile-likelihood toy fits (XENON1T-style 2D with "
@@ -215,9 +282,17 @@ METRICS = {
                "profiling, 50x62 bins)"),
 }
 
+# chi2(1) median — the profile-LR statistic of the well-behaved gauss
+# scenario must asymptotically follow chi2(1) (Wilks), so its toy-median is
+# an end-to-end statistical correctness certificate for the whole pipeline
+# (simulate -> fit -> profile). Band is generous: 4096 toys put the sampling
+# error of the median at ~0.02, and f32-on-TPU adds a little.
+CHI2_1_MEDIAN = 0.4549
+SANITY_BAND = (0.35, 0.60)
+
 
 def run_scenario(name, n_toys=None):
-    build, target, default_toys, host_toys = SCENARIOS[name]
+    build, target, default_toys, host_toys, host_cap = SCENARIOS[name]
     # MC-sampled pdf templates draw from the global numpy RNG
     # (reference-parity behavior). Seed it per scenario so the templates —
     # which are baked into the compiled fit programs as constants — are
@@ -228,17 +303,32 @@ def run_scenario(name, n_toys=None):
     t0 = time.time()
     lf = build()
     log("[%s] template build: %.1fs" % (name, time.time() - t0))
-    host_rate = bench_host_baseline(lf, n_toys=host_toys, target=target)
+    host_rate = bench_host_baseline(lf, n_toys=host_toys, target=target,
+                                    time_cap=host_cap)
     dev = bench_device(lf, n_toys or default_toys, name, target=target)
     dev['host_fits_per_sec'] = round(host_rate, 2)
     dev['vs_baseline'] = round(dev['fits_per_sec'] / host_rate, 2)
+    if name == 'gauss':
+        # End-to-end statistical certificate (VERDICT r3 #8): the gauss
+        # profile-LR toy median must sit at the chi2(1) median (Wilks).
+        lo, hi = SANITY_BAND
+        ok = lo < dev['median_t'] < hi
+        dev['sanity'] = dict(median_t=dev['median_t'],
+                             expected_chi2_1_median=CHI2_1_MEDIAN,
+                             band=[lo, hi], ok=bool(ok))
+        if not ok:
+            log("[gauss] SANITY FAILURE: median t %.4f outside (%.2f, %.2f)"
+                % (dev['median_t'], lo, hi))
     log("[%s] %s" % (name, dev))
     return dev
 
 
-def bench_mfu():
-    """Kernel-level roofline: achieved FLOP/s / HBM GB/s of each fused Pallas
-    kernel vs the chip's compute and bandwidth roofs."""
+def roofline_record():
+    """Kernel-level roofline/MFU verdicts of every fused Pallas fit kernel —
+    achieved FLOP/s and HBM bytes/s vs the chip's compute and bandwidth
+    roofs, and which bound binds. Folded into the DEFAULT bench record
+    (VERDICT r3 #2: the microbenches take seconds; the round's best perf
+    evidence must be driver-visible, not hidden behind a flag)."""
     import jax
     from blueice_tpu.utils.roofline import (
         measure_binned_kernel, measure_bb_kernel, measure_bblite_kernel,
@@ -250,21 +340,32 @@ def bench_mfu():
         measure_bb_kernel(chip=chip),
         measure_bblite_kernel(chip=chip),
         measure_unbinned_kernel(chip=chip),     # Gaussian-unbinned shapes
+        # XENON-scale unbinned shapes (VERDICT r3 #4): 81 anchors, 6
+        # sources, ~2k events — the per-toy (G, S, E) density tensor
+        # streams from HBM, so this shape is where the bandwidth roof binds
+        measure_unbinned_kernel(G=81, S=6, E=2048, K=4, B=64, chip=chip),
     ]
     log(format_report(verdicts))
-    v = verdicts[0]
+    return dict(
+        chip=chip,
+        kernels=[{k: (round(x, 4) if isinstance(x, float) else x)
+                  for k, x in vv.items()} for vv in verdicts])
+
+
+def bench_mfu():
+    rec = roofline_record()
+    v = rec['kernels'][0]
     print(json.dumps({
         "metric": "fused binned vgh kernel fraction of binding roofline "
                   "(%s; %s-bound)" % (v['kernel'], v['binding']),
         "value": round(100 * v['frac_of_binding_roof'], 1),
         "unit": "% of roofline",
         "vs_baseline": round(v['gflops_achieved'], 1),
-        "kernels": [{k: (round(x, 4) if isinstance(x, float) else x)
-                     for k, x in vv.items()} for vv in verdicts],
+        "kernels": rec['kernels'],
     }))
 
 
-def bench_band(n_toys=256, n_hyp=17, time_cap=120.0):
+def bench_band(n_toys=256, n_hyp=17, time_cap=60.0):
     """Expected-sensitivity (Brazil) band on the XENON scenario: per-toy 90%
     upper limits over a background-only ensemble (parallel/limits.py — one
     free-fit program + one conditional program reused across the hypothesis
@@ -578,30 +679,62 @@ def main():
         return
 
     # Default: full story. Headline = Gaussian binned; every other scenario
-    # rides along in the same JSON record.
+    # rides along in the same JSON record. The record is RE-EMITTED after
+    # every scenario (last stdout line wins) and scenarios that no longer
+    # fit the wall-clock budget are skipped with an explicit marker, so a
+    # driver kill at ANY point leaves the best complete record so far
+    # (VERDICT r3 #1: round 3's single end-of-run print died with rc=124).
     results = {}
-    for name in ('gauss', 'unbinned', 'xenon', 'bb', 'bblite'):
+
+    def emit(done=False):
+        head = results.get('gauss') or {}
+        sane = head.get('sanity', {}).get('ok')
+        print(json.dumps({
+            "metric": METRICS['gauss'],
+            "value": head.get('fits_per_sec'),
+            "unit": "fits/s/chip",
+            "vs_baseline": head.get('vs_baseline'),
+            "sanity_ok": sane,
+            "elapsed_s": round(time.time() - _T0, 1),
+            "budget_s": BUDGET_S,
+            "complete": done,
+            "scenarios": results,
+        }), flush=True)
+
+    # (name, runner, cold-cost estimate [s]). Estimates are deliberately
+    # pessimistic cold-compile + host-baseline ceilings; with a warm
+    # persistent cache actual costs are far lower, so nothing gets skipped.
+    cold = not _cache_is_warm()
+    est = (lambda c_cold, c_warm: c_cold if cold else c_warm)
+    steps = [
+        ('gauss', lambda: run_scenario('gauss', n_toys), est(420, 150)),
+        ('roofline', roofline_record, est(120, 60)),
+        ('unbinned', lambda: run_scenario('unbinned'), est(200, 90)),
+        ('xenon', lambda: run_scenario('xenon'), est(220, 80)),
+        ('unbinned_xenon', lambda: run_scenario('unbinned_xenon'),
+         est(260, 100)),
+        ('bb', lambda: run_scenario('bb'), est(220, 80)),
+        ('bblite', lambda: run_scenario('bblite'), est(220, 80)),
+        ('band', bench_band, est(300, 140)),
+        ('interval', bench_interval, est(200, 80)),
+        ('mcmc', bench_mcmc, est(220, 90)),
+    ]
+    for name, fn, estimate in steps:
+        if name != 'gauss' and _remaining() < estimate:
+            log("[%s] SKIPPED: %ds estimated > %.0fs remaining of %.0fs "
+                "budget" % (name, estimate, _remaining(), BUDGET_S))
+            results[name] = dict(skipped='budget', estimate_s=estimate)
+            emit()
+            continue
         try:
-            results[name] = run_scenario(name, n_toys if name == 'gauss'
-                                         else None)
+            t0 = time.time()
+            results[name] = fn()
+            results[name]['scenario_elapsed_s'] = round(time.time() - t0, 1)
         except Exception as e:   # a broken scenario must not hide the rest
             log("[%s] FAILED: %r" % (name, e))
             results[name] = dict(error=repr(e))
-    for name, fn in (('band', bench_band), ('mcmc', bench_mcmc),
-                     ('interval', bench_interval)):
-        try:
-            results[name] = fn()
-        except Exception as e:
-            log("[%s] FAILED: %r" % (name, e))
-            results[name] = dict(error=repr(e))
-    head = results['gauss']
-    print(json.dumps({
-        "metric": METRICS['gauss'],
-        "value": head.get('fits_per_sec'),
-        "unit": "fits/s/chip",
-        "vs_baseline": head.get('vs_baseline'),
-        "scenarios": results,
-    }))
+        emit()
+    emit(done=all('skipped' not in v for v in results.values()))
 
 
 if __name__ == '__main__':

@@ -642,6 +642,34 @@ def _sum_analytic_supported(compiled):
     return has_dataset_child
 
 
+def _routed_params_of_u(defaults, names, fixed, transform, runtime_fixed=(),
+                        routed=None):
+    """The u -> params-dict closure shared by every closed-form engine:
+    floating names, build-time fixed and runtime-fixed values applied on top
+    of ``defaults``, each filtered by a Sum child's ``routed`` name set (None
+    routes everything) — joint parameters not declared on a child must never
+    override that child's own defaults (composition.LogLikelihoodSum
+    routing). One definition so the routing semantics cannot drift between
+    the dataset-child and ancillary-child paths."""
+    runtime_fixed = list(runtime_fixed)
+
+    def params_of_u(u, fixed_values):
+        x = transform.to_x(u)
+        p = dict(defaults)
+        for k, v in fixed.items():
+            if routed is None or k in routed:
+                p[k] = v
+        for i, rname in enumerate(runtime_fixed):
+            if routed is None or rname in routed:
+                p[rname] = fixed_values[i]
+        for i, name in enumerate(names):
+            if routed is None or name in routed:
+                p[name] = x[i]
+        return p
+
+    return params_of_u
+
+
 def _make_param_graph(compiled, names, fixed, transform, runtime_fixed=(),
                       routed=None):
     """The tiny differentiable graph from the optimizer's u vector to the
@@ -666,20 +694,8 @@ def _make_param_graph(compiled, names, fixed, transform, runtime_fixed=(),
     with jax.ensure_compile_time_eval():
         anchor_arrays = [jnp.asarray(a) for a in compiled.anchor_arrays]
     runtime_fixed = list(runtime_fixed)
-
-    def params_of_u(u, fixed_values):
-        x = transform.to_x(u)
-        p = dict(compiled.defaults)
-        for k, v in fixed.items():
-            if routed is None or k in routed:
-                p[k] = v
-        for i, rname in enumerate(runtime_fixed):
-            if routed is None or rname in routed:
-                p[rname] = fixed_values[i]
-        for i, name in enumerate(names):
-            if routed is None or name in routed:
-                p[name] = x[i]
-        return p
+    params_of_u = _routed_params_of_u(compiled.defaults, names, fixed,
+                                      transform, runtime_fixed, routed)
 
     def mt_of_u(u, fixed_values):
         """Float (m, t) vector — the differentiable tiny graph."""
@@ -1070,19 +1086,8 @@ def _make_sum_analytic_parts(compiled, names, fixed, transform,
                 runtime_fixed=runtime_fixed, routed=routed)
         else:
             def _mk(c=c, routed=routed):
-                def p_of_u(u, fixed_values):
-                    x = transform.to_x(u)
-                    p = dict(c.defaults)
-                    for k, v in fixed.items():
-                        if k in routed:
-                            p[k] = v
-                    for j, rname in enumerate(runtime_fixed):
-                        if rname in routed:
-                            p[rname] = fixed_values[j]
-                    for j, name in enumerate(names):
-                        if name in routed:
-                            p[name] = x[j]
-                    return p
+                p_of_u = _routed_params_of_u(c.defaults, names, fixed,
+                                             transform, runtime_fixed, routed)
 
                 def vf(u, _data, fixed_values=()):
                     return -c.logl(p_of_u(u, fixed_values))
@@ -1185,6 +1190,28 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             transform.to_u_coord(
                 ci, np.asarray(compiled.anchor_arrays[shape_idx[names[ci]]]))
             for ci in kink_coords]
+    elif kink_coords and getattr(compiled, 'children', None) is not None:
+        # Compiled Sum: no joint anchor grid, but every kink (shape)
+        # coordinate is anchored on the children it routes to. The UNION of
+        # those per-child anchor sets is where the joint objective has C0
+        # kinks, so it is the right snap-candidate set for the joint fit —
+        # without this, Sum fits silently lost the snap-to-anchor line-search
+        # candidates that rescue toys generated at anchor-point truths.
+        per_coord = []
+        for ci in kink_coords:
+            nm = names[ci]
+            vals = []
+            for c, routed in zip(compiled.children, compiled.child_routed):
+                if (nm in routed and c.anchor_arrays is not None
+                        and nm in c.shape_names):
+                    d = list(c.shape_names).index(nm)
+                    vals.append(np.asarray(c.anchor_arrays[d]))
+            if not vals:
+                break
+            per_coord.append(transform.to_u_coord(
+                ci, np.unique(np.concatenate(vals))))
+        if len(per_coord) == len(kink_coords):
+            snap_anchors = per_coord
 
     if engine in ('analytic', 'pallas') and not (
             _analytic_supported(compiled)
@@ -1267,6 +1294,13 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
         children = compiled.children
 
         def fit_one(data, mask=None, fixed_values=(), x0=None, freeze=None):
+            if mask is not None:
+                # The binned closed-form engines carry no per-bin mask (the
+                # AD engine's logl_with_data does); silently ignoring one
+                # would make engine='auto' disagree with engine='ad'
+                raise ValueError(
+                    "the closed-form Sum engine does not support per-child "
+                    "masks; use engine='ad' for masked fits")
             const = compiled.data_constant(data)
             data_list = [jnp.asarray(d).reshape(-1)
                          if getattr(c, 'has_data', True) else None
@@ -1342,6 +1376,10 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             runtime_fixed=runtime_fixed)
 
         def fit_one(data, mask=None, fixed_values=(), x0=None, freeze=None):
+            if compiled.is_binned and mask is not None:
+                raise ValueError(
+                    "the binned closed-form/Pallas engines do not support a "
+                    "bin mask; use engine='ad' for masked fits")
             const = compiled.data_constant(data)
             data_flat = jnp.asarray(data).reshape(-1)
             f_many = (None if value_many_fn is None else

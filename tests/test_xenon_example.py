@@ -83,6 +83,34 @@ def test_host_simulation_matches_expectation(lf):
     assert abs(z) < 4.0, (counts.mean(), expected, z)
 
 
+def test_unbinned_variant_matches_host_and_fits():
+    """The reference's science mode (blueice/likelihood.py:528-573) at XENON
+    structure: 6 sources, 3^4 anchors, UNBINNED extended LL. Host/compiled
+    parity on real simulated events plus a small batched profile study
+    (the bench.py unbinned_xenon scenario at test scale)."""
+    from blueice_tpu.parallel import UnbinnedToyStudy
+    lf = build_likelihood('unbinned', n_cs1_bins=12, n_cs2_bins=10,
+                          livetime_days=0.5)
+    d = lf.base_model.simulate(rng=np.random.default_rng(3))
+    assert 100 < len(d) < 700     # ~311 expected at half a live day
+    lf.set_data(d)
+    c = build_logl(lf)
+    for kwargs in [dict(),
+                   dict(wimp_rate_multiplier=2.0, band_shift=0.3),
+                   dict(efficiency=0.85, cs1_tilt=-0.5,
+                        band_width_scale=1.1)]:
+        assert almost_equal(float(c(**kwargs)), lf(**kwargs), 1e-6), kwargs
+
+    study = UnbinnedToyStudy(lf, max_iter=40)
+    t, free, cond = study.profile_ts(jax.random.PRNGKey(0), n_toys=8,
+                                     target='wimp_rate_multiplier',
+                                     hypothesis=1.0)
+    assert (t >= 0).all()
+    assert np.isfinite(free.max_ll).all()
+    # wimp is ~1 event at this livetime: fits scatter wide but stay in range
+    assert np.all(np.asarray(free['wimp_rate_multiplier']) >= 0)
+
+
 def test_bb_lite_variant_compiles_and_fits():
     """bb='bb_lite' wires the all-source Barlow-Beeston-lite handling
     through the example: host/compiled parity and a small profile study on

@@ -25,3 +25,30 @@ assert len(jax.devices()) == 8
 # behavior); seed it so templates — and everything downstream — are
 # deterministic regardless of test selection/order
 np.random.seed(1234567)
+
+import pytest  # noqa: E402
+
+# Test tiers. `pytest -m "not slow"` is the FAST GATE: < 5 minutes on the
+# 1-core box, still covering every reference-parity oracle
+# (test_likelihood, test_binned_likelihood, test_BeestonBarlow,
+# test_morphers, test_inference, test_likelihood_reparam, ...) and every
+# derivative-level engine-equivalence test (test_compile*, the
+# vgh-matches-autodiff halves of test_analytic_engine / test_fused* /
+# test_bb_lite / test_log_morphing). The files below are multi-minute
+# compile-heavy toy ENSEMBLES and statistics-toolkit runs — valuable, but
+# not gate material; they run in the full (default) suite.
+SLOW_FILES = {
+    'test_toys.py', 'test_toys_fixes.py', 'test_examples.py',
+    'test_profile_map.py', 'test_limits.py', 'test_cls.py',
+    'test_xenon_example.py', 'test_device_templates.py', 'test_mcmc.py',
+    'test_neyman.py', 'test_coverage.py', 'test_discovery.py',
+    'test_gof.py', 'test_ranking.py', 'test_stats_fixes.py',
+    'test_fuzz_bb.py', 'test_fuzz_engines.py', 'test_fuzz_new_features.py',
+    'test_unbinned_centering.py',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path.name in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)

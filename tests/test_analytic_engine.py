@@ -121,6 +121,7 @@ def _binned_lf():
     return lf
 
 
+@pytest.mark.slow
 def test_analytic_engine_matches_ad_fits():
     lf = _binned_lf()
     study = BinnedToyStudy(lf)
@@ -139,6 +140,7 @@ def test_analytic_engine_matches_ad_fits():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_pallas_engine_matches_analytic_fits():
     """The Pallas-kernel engine (interpret mode on CPU) reproduces the jnp
     analytic engine's fits."""
@@ -211,6 +213,7 @@ def test_bb_vgh_matches_autodiff():
                                rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_bb_through_analytic_engine():
     """A Beeston-Barlow model fits on the fast engine: same optima as the AD
     engine, and 'auto' now routes BB to the analytic path."""
@@ -288,6 +291,7 @@ def test_analytic_engine_coverage_boundaries():
                         engine='analytic')
 
 
+@pytest.mark.slow
 def test_unbinned_analytic_engine_matches_ad():
     """The closed-form unbinned engine reproduces the AD engine's fits on
     batched toys (rate + shape, with padding masks)."""

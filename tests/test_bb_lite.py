@@ -134,6 +134,7 @@ def test_host_compiled_parity():
     assert ll_lite != pytest.approx(ll_plain, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_fit_engines_agree_and_toys_run():
     lf = _lite_lf()
     study = BinnedToyStudy(lf)

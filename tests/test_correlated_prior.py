@@ -115,6 +115,7 @@ def test_composed_compiled_and_fit():
     assert abs(res_con['s1_rate_multiplier'] - 1) < 0.3
 
 
+@pytest.mark.slow
 def test_correlated_constraint_in_toy_study():
     """The MVN constraint traces inside the vmapped toy-fit program and
     tightens the correlated pair relative to the unconstrained fit."""

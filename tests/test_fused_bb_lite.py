@@ -134,6 +134,7 @@ def test_fused_bblite_support_check():
     assert not fused_bblite_supported((500, 20, 10000))
 
 
+@pytest.mark.slow
 def test_bblite_pallas_engine_matches_analytic_fits():
     """End to end: the pallas fit engine (interpret mode on CPU) reproduces
     the jnp analytic engine's fits on a bb_lite model."""

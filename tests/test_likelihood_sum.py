@@ -327,6 +327,7 @@ def test_sum_analytic_engine_routing_and_runtime_fixed():
     assert almost_equal(float(ll_fixed), host, 1e-9)
 
 
+@pytest.mark.slow
 def test_sum_toy_study_analytic_engine():
     """BinnedToyStudy on a compiled Sum auto-selects the joint closed-form
     engine and reproduces the AD engine's ensemble."""

@@ -191,6 +191,7 @@ def test_binned_vgh_log_matches_autodiff():
                         rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_toy_study_on_log_morphed_model():
     from blueice_tpu.parallel.toys import BinnedToyStudy
     lf = _two_anchor_lf('log')
@@ -200,6 +201,7 @@ def test_toy_study_on_log_morphed_model():
     assert np.all(np.isfinite(res.max_ll))
 
 
+@pytest.mark.slow
 def test_log_morph_bb_still_falls_back():
     """With a Beeston-Barlow mode the engines' linear pmf lerp does not
     apply: the AD engine runs it, engine='analytic' refuses."""

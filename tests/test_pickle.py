@@ -46,6 +46,7 @@ def test_binned_pickle_roundtrip(tmp_path):
     assert float(read_pickle(p)(**KW)) == v1
 
 
+@pytest.mark.slow
 def test_unpickled_likelihood_drives_the_compiled_path():
     """The unpickled object must feed the device engines too: _builds and
     the anchor payloads survive, so a toy study on the loaded likelihood

@@ -332,7 +332,7 @@ def roofline_record():
     import jax
     from blueice_tpu.utils.roofline import (
         measure_binned_kernel, measure_bb_kernel, measure_bblite_kernel,
-        measure_unbinned_kernel, format_report)
+        measure_unbinned_kernel, measure_unbinned_jnp, format_report)
     _enable_compile_cache()
     chip = 'tpu-v5e' if jax.default_backend() == 'tpu' else 'cpu-1core'
     verdicts = [
@@ -341,9 +341,10 @@ def roofline_record():
         measure_bblite_kernel(chip=chip),
         measure_unbinned_kernel(chip=chip),     # Gaussian-unbinned shapes
         # XENON-scale unbinned shapes (VERDICT r3 #4): 81 anchors, 6
-        # sources, ~2k events — the per-toy (G, S, E) density tensor
-        # streams from HBM, so this shape is where the bandwidth roof binds
-        measure_unbinned_kernel(G=81, S=6, E=2048, K=4, B=64, chip=chip),
+        # sources, ~2k events. The Pallas kernel's VMEM budget rejects this
+        # block size, so the scenario (and this probe) run the XLA
+        # closed-form engine with a 2^K-corner gather out of the 81-row axis
+        measure_unbinned_jnp(G=81, S=6, E=2048, K=4, B=64, chip=chip),
     ]
     log(format_report(verdicts))
     return dict(

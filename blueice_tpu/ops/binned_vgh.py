@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ['corner_weight_tables', 'binned_vgh',
-           'binned_vgh_log', 'binned_ll_log']
+           'binned_vgh_log', 'binned_ll_log',
+           'gather_corners', 'gather_corners_dense']
 
 
 def corner_weight_tables(t):
@@ -289,3 +290,66 @@ def gather_corners(tensor, idx, K):
         + (zero,) * len(extra_shape)
     block = lax.dynamic_slice(tensor, starts, (2,) * K + extra_shape)
     return block.reshape((2 ** K,) + extra_shape)
+
+
+def gather_corners_dense(tensor, idx, K):
+    """:func:`gather_corners` as a one-hot contraction over the FLATTENED
+    anchor axis — the TPU shape of the corner selection.
+
+    Under ``vmap`` (one lane per toy, each with its own corner cell),
+    ``gather_corners``'s dynamic_slice lowers to an elementwise XLA gather,
+    which serializes on TPU and dominated the unbinned Newton loop (measured:
+    the whole fit ran ~40x slower than its closed-form vgh kernel at
+    XENON-scale shapes). This form is a (2^K, G) x (G, prod(extra)) matmul:
+    it rides the MXU and streams the tensor at HBM bandwidth instead of
+    gathering. Bit-exact: the one-hot coefficients are 0/1 and HIGHEST
+    precision reconstructs each selected float32 value exactly (the bf16
+    split passes sum back to the original value; zero terms contribute
+    exactly zero)."""
+    tensor = jnp.asarray(tensor)
+    grid_shape = tensor.shape[:K]
+    extra_shape = tensor.shape[K:]
+    G = int(np.prod(grid_shape))
+    strides = tuple(int(np.prod(grid_shape[d + 1:], dtype=int))
+                    for d in range(K))
+    base = sum(jnp.asarray(i, jnp.int32) * s
+               for i, s in zip(idx, strides))
+    offsets = jnp.asarray(
+        [sum(o * s for o, s in zip(offs, strides))
+         for offs in itertools.product((0, 1), repeat=K)], jnp.int32)
+    onehot = (jnp.arange(G, dtype=jnp.int32)[None, :]
+              == (base + offsets)[:, None]).astype(tensor.dtype)
+    block = jnp.matmul(onehot, tensor.reshape((G, -1)),
+                       precision=lax.Precision.HIGHEST)
+    return block.reshape((2 ** K,) + extra_shape)
+
+
+def gather_corners_dense_many(tensor, idxs, K):
+    """Corner blocks for MANY query cells sharing ONE streaming read of the
+    tensor: (A, 2^K, *extra) from lower-corner index matrix ``idxs`` (A, K).
+
+    The line-search evaluates ~a dozen parameter candidates per Newton
+    iteration; extracting their corner blocks one by one re-reads the anchor
+    tensor from HBM per candidate. Stacking the one-hot rows makes the whole
+    batch a single (A*2^K, G) x (G, prod(extra)) matmul — the tensor
+    streams once per iteration regardless of the candidate count. Bit-exact
+    like :func:`gather_corners_dense`."""
+    tensor = jnp.asarray(tensor)
+    idxs = jnp.asarray(idxs, jnp.int32)
+    A = idxs.shape[0]
+    grid_shape = tensor.shape[:K]
+    extra_shape = tensor.shape[K:]
+    G = int(np.prod(grid_shape))
+    strides_py = [int(np.prod(grid_shape[d + 1:], dtype=int))
+                  for d in range(K)]
+    strides = jnp.asarray(strides_py, jnp.int32)
+    base = jnp.sum(idxs * strides[None, :], axis=1)          # (A,)
+    offsets = jnp.asarray(
+        [sum(o * s for o, s in zip(offs, strides_py))
+         for offs in itertools.product((0, 1), repeat=K)], jnp.int32)
+    flat_idx = (base[:, None] + offsets[None, :]).reshape(-1)  # (A * 2^K,)
+    onehot = (jnp.arange(G, dtype=jnp.int32)[None, :]
+              == flat_idx[:, None]).astype(tensor.dtype)
+    block = jnp.matmul(onehot, tensor.reshape((G, -1)),
+                       precision=lax.Precision.HIGHEST)
+    return block.reshape((A, 2 ** K) + extra_shape)

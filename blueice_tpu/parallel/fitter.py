@@ -762,7 +762,7 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
     events padded to the lane width), so one program serves the whole
     ensemble; ``center = ref_fn(tensor, mask)[0]`` is the per-toy float32
     centering data (see ops.unbinned_vgh.reference_center)."""
-    from ..ops.binned_vgh import gather_corners
+    from ..ops.binned_vgh import gather_corners, gather_corners_dense
     from ..ops.unbinned_vgh import (unbinned_vgh, unbinned_ll,
                                     reference_center)
     from ..ops import fused_unbinned
@@ -776,11 +776,19 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
     strides = tuple(int(np.prod(grid_shape[d + 1:])) for d in range(K))
     interpret = jax.default_backend() != 'tpu'
 
+    # Per-toy corner extraction: dynamic_slice under vmap lowers to an
+    # elementwise gather (slow on TPU — it dominated the XENON-scale
+    # unbinned Newton loop); the one-hot-matmul form streams the tensor
+    # through the MXU instead. CPU keeps the slice (a dense G-row matmul
+    # there only wastes G/2^K x the work).
+    corner_fn = (gather_corners_dense
+                 if jax.default_backend() == 'tpu' else gather_corners)
+
     def _corners(tensor, u, fixed_values):
         if K == 0:
             return tensor
-        return gather_corners(tensor.reshape(grid_shape + tensor.shape[1:]),
-                              idx_of_u(u, fixed_values), K)
+        return corner_fn(tensor.reshape(grid_shape + tensor.shape[1:]),
+                         idx_of_u(u, fixed_values), K)
 
     # The reference point for float32 centering is built from HOST-SIDE
     # literal constants (every parameter at its default — ignoring guesses
@@ -874,8 +882,30 @@ def _make_unbinned_parts(compiled, names, fixed, transform, runtime_fixed=(),
                             mt[S:], mask, outlier, inv_ref=inv_ref,
                             ref_msum=ref_msum)
 
-    return (value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh), None,
-            ref_fn)
+    def value_many_fn(u_cands, tensor, mask, center, fixed_values=()):
+        """All line-search candidates in ONE call, their corner blocks
+        extracted by a single stacked one-hot matmul — the anchor tensor
+        streams from HBM once per Newton iteration instead of once per
+        candidate (the dominant cost of the XENON-scale unbinned fit)."""
+        from ..ops.binned_vgh import gather_corners_dense_many
+        mts = jax.vmap(lambda v: mt_of_u(v, fixed_values))(u_cands)
+        priors = jax.vmap(lambda v: prior_of_u(v, fixed_values))(u_cands)
+        inv_ref, ref_msum = center
+        if K:
+            idxs = jax.vmap(lambda v: jnp.stack(
+                idx_of_u(v, fixed_values)))(u_cands)
+            corners = gather_corners_dense_many(
+                tensor.reshape(grid_shape + tensor.shape[1:]), idxs, K)
+        else:
+            corners = jnp.broadcast_to(
+                tensor[None], (u_cands.shape[0],) + tensor.shape)
+        lls = jax.vmap(lambda c, mt: unbinned_ll(
+            c, mt[:S], mt[S:], mask, outlier,
+            inv_ref=inv_ref, ref_msum=ref_msum))(corners, mts)
+        return -(lls.astype(u_cands.dtype) + priors)
+
+    return (value_fn, _chain_vgh(mt_of_u, prior_of_u, _raw_vgh),
+            value_many_fn, ref_fn)
 
 
 def _make_analytic_parts(compiled, names, fixed, transform,
@@ -892,6 +922,7 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     device-constant tensors).
     """
     from ..ops.binned_vgh import (binned_vgh, binned_ll, gather_corners,
+                                  gather_corners_dense,
                                   binned_vgh_log, binned_ll_log)
     from ..ops.bb_vgh import binned_bb_vgh, binned_bb_ll
     from ..ops.bb_lite import binned_bblite_vgh, binned_bblite_ll
@@ -966,10 +997,15 @@ def _make_analytic_parts(compiled, names, fixed, transform,
     params_of_u, mt_of_u, idx_of_u, prior_of_u = _make_param_graph(
         compiled, names, fixed, transform, runtime_fixed, routed=routed)
 
+    # Same gather-vs-matmul tradeoff as the unbinned engine: under vmap the
+    # slice is an elementwise gather; on TPU the one-hot matmul wins
+    corner_fn = (gather_corners_dense
+                 if jax.default_backend() == 'tpu' else gather_corners)
+
     def _corners_of(tensor_flat, u, fixed_values):
         if K == 0:
             return tensor_flat[None]
-        return gather_corners(tensor_flat, idx_of_u(u, fixed_values), K)
+        return corner_fn(tensor_flat, idx_of_u(u, fixed_values), K)
 
     def _corners(u, fixed_values):
         return _corners_of(ps_flat, u, fixed_values)

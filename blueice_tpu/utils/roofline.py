@@ -341,6 +341,51 @@ def measure_unbinned_kernel(G=3, S=2, E=2304, K=1, B=256, chip='tpu-v5e',
     return v
 
 
+def measure_unbinned_jnp(G=81, S=6, E=2048, K=4, B=64, chip='tpu-v5e',
+                         n_inner=None):
+    """The XLA (jnp) closed-form unbinned engine at XENON scale — the engine
+    the unbinned_xenon bench scenario actually runs: a (81, 6, ~2k) per-toy
+    density block exceeds the Pallas kernel's VMEM budget
+    (ops/fused_unbinned.py fused_unbinned_supported), so make_toy_fitter's
+    per-trace check falls back to ops/unbinned_vgh.py. Replicates the real
+    per-iteration work: gather the 2^K corner rows out of the G-axis, then
+    the closed-form (ll, g, H). HBM cost counts only the corner rows read
+    (jnp.take touches 2^K of G rows), not the whole block."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.unbinned_vgh import unbinned_vgh
+    rng = np.random.default_rng(3)
+    ps_b = jnp.asarray(rng.uniform(0.001, 0.4, (B, G, S, E)), jnp.float32)
+    idx_b = jnp.zeros((B, K), jnp.int32)
+    t_b = jnp.asarray(rng.uniform(0, 1, (B, K)), jnp.float32)
+    m_b = jnp.asarray(rng.uniform(100, 2000, (B, S)), jnp.float32)
+    mask_b = jnp.ones((B, E), bool)
+    strides = tuple(1 for _ in range(K))
+    offsets = np.array(
+        [sum(o * s for o, s in zip(offs, strides))
+         for offs in np.ndindex(*(2,) * K)], dtype=np.int32)
+
+    def one(ps, idx, t, m, mask):
+        base = jnp.sum(idx * jnp.asarray(strides, jnp.int32))
+        corners = jnp.take(ps, base + jnp.asarray(offsets), axis=0)
+        return unbinned_vgh(corners, m, t, mask)
+
+    fn = jax.jit(jax.vmap(one))
+
+    def run():
+        jax.block_until_ready(fn(ps_b, idx_b, t_b, m_b, mask_b))
+    dispatch_s = _time_op(run)
+    n_inner = n_inner or _default_n_inner()
+    elapsed = _amortized_elapsed(
+        lambda m: fn(ps_b, idx_b, t_b, m, mask_b), m_b, n_inner)
+    cost = binned_vgh_cost(G, S, E, K)
+    cost['hbm_bytes'] += 4 * ((2 ** K) * S * E + 2 * E)
+    v = roofline_verdict(cost, elapsed, B, chip)
+    v.update(dispatch_s=dispatch_s, n_inner=n_inner)
+    v['kernel'] = 'unbinned_vgh_jnp(G=%d,S=%d,E=%d,K=%d)' % (G, S, E, K)
+    return v
+
+
 def format_report(verdicts):
     """Human-readable roofline table. 'disp ms' is the single-dispatch wall
     time — on the remote-TPU tunnel it is dominated by the host->device round

@@ -220,3 +220,52 @@ def test_sample_from_template_rejects_bare_edge_array():
     with pytest.raises(ValueError, match="one per weights axis"):
         sample_from_template(jax.random.PRNGKey(0), jnp.ones(4),
                              [jnp.linspace(0.0, 1.0, 4)], 8)
+
+
+def test_gather_corners_dense_is_bit_exact():
+    """The one-hot-matmul corner extraction (the TPU-friendly form the fit
+    engines use under vmap) must be BIT-identical to the dynamic-slice form,
+    single and vmapped, across grid shapes and dtypes."""
+    import jax
+    from blueice_tpu.ops.binned_vgh import (gather_corners,
+                                            gather_corners_dense)
+    rng = np.random.default_rng(0)
+    for grid_shape, extra in [((3,), (2, 7)), ((3, 3), (5,)),
+                              ((3, 3, 3, 3), (6, 11))]:
+        K = len(grid_shape)
+        for dtype in (np.float32, np.float64):
+            t = jnp.asarray(rng.standard_normal(grid_shape + extra), dtype)
+            idx = [jnp.asarray(rng.integers(0, g - 1), jnp.int32)
+                   for g in grid_shape]
+            a = gather_corners(t, idx, K)
+            b = gather_corners_dense(t, idx, K)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # vmapped (per-toy corner cells): the case that matters on TPU
+        t = jnp.asarray(rng.standard_normal(grid_shape + extra), np.float32)
+        idx_b = jnp.asarray(rng.integers(0, grid_shape[0] - 1, (8, K)),
+                            jnp.int32)
+        va = jax.vmap(lambda i: gather_corners(t, [i[d] for d in range(K)],
+                                               K))(idx_b)
+        vb = jax.vmap(lambda i: gather_corners_dense(
+            t, [i[d] for d in range(K)], K))(idx_b)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_gather_corners_dense_many_matches_single():
+    """The stacked-candidates one-hot extraction equals per-candidate
+    extraction exactly."""
+    import jax
+    from blueice_tpu.ops.binned_vgh import (gather_corners_dense,
+                                            gather_corners_dense_many)
+    rng = np.random.default_rng(1)
+    for grid_shape, extra in [((3,), (4,)), ((3, 4, 3), (2, 5))]:
+        K = len(grid_shape)
+        t = jnp.asarray(rng.standard_normal(grid_shape + extra), np.float32)
+        idxs = np.stack([rng.integers(0, g - 1, 6) for g in grid_shape],
+                        axis=1)
+        many = gather_corners_dense_many(t, idxs, K)
+        singles = jnp.stack([
+            gather_corners_dense(t, [jnp.asarray(i, jnp.int32)
+                                     for i in row], K)
+            for row in idxs])
+        np.testing.assert_array_equal(np.asarray(many), np.asarray(singles))

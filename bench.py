@@ -98,6 +98,10 @@ def _enable_compile_cache():
         os.makedirs(REPO_CACHE, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', REPO_CACHE)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+        # LRU-bound the cache: every engine-code change re-keys the big
+        # (30-900 MB) profile programs, so an unbounded dir grows by GBs per
+        # development round
+        jax.config.update('jax_compilation_cache_max_size', 6 * 2 ** 30)
     except Exception as e:
         log("compilation cache unavailable:", e)
 

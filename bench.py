@@ -100,7 +100,15 @@ def _enable_compile_cache():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
         # LRU-bound the cache: every engine-code change re-keys the big
         # (30-900 MB) profile programs, so an unbounded dir grows by GBs per
-        # development round
+        # development round. Entries written BEFORE the bound was enabled
+        # lack the -atime marker the LRU eviction pass stats; backfill them
+        # or every subsequent cache WRITE fails with FileNotFoundError.
+        for name in os.listdir(REPO_CACHE):
+            if name.endswith('-cache'):
+                marker = os.path.join(REPO_CACHE,
+                                      name[:-len('-cache')] + '-atime')
+                if not os.path.exists(marker):
+                    open(marker, 'a').close()
         jax.config.update('jax_compilation_cache_max_size', 6 * 2 ** 30)
     except Exception as e:
         log("compilation cache unavailable:", e)

@@ -174,6 +174,39 @@ def _solve_spd_small(A, b):
         x1 = (c01 * b[0] + c11 * b[1] + c21 * b[2]) / det
         x2 = (c02 * b[0] + c12 * b[1] + c22 * b[2]) / det
         return jnp.stack([x0, x1, x2])
+    if n <= 16:
+        # Unpivoted Cholesky, fully unrolled at trace time into scalar-graph
+        # ops (vectorized over the vmapped toy lanes). jnp.linalg.solve is a
+        # batched pivoting LU whose serial pivot loop dominated the Newton
+        # iteration on TPU at XENON scale (up to 6 solves of a 9x9 system
+        # per iteration: main step + per-kink snap + active set). The damped
+        # Marquardt matrix is SPD whenever its solution should be trusted;
+        # an indefinite matrix produces NaNs here, which every caller
+        # already routes to the scaled-steepest-descent rescue (the same
+        # treatment LU's ascent/garbage solutions get).
+        L = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1):
+                s = A[i, j]
+                for k in range(j):
+                    s = s - L[i][k] * L[j][k]
+                if i == j:
+                    L[i][j] = jnp.sqrt(s)
+                else:
+                    L[i][j] = s / L[j][j]
+        y = [None] * n
+        for i in range(n):
+            s = b[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        x = [None] * n
+        for i in reversed(range(n)):
+            s = y[i]
+            for k in range(i + 1, n):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        return jnp.stack(x)
     return jnp.linalg.solve(A, b)
 
 

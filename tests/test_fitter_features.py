@@ -155,3 +155,34 @@ def test_far_guess_indefinite_region_converges():
     expected = (np.asarray(counts).ravel() - 400.0) / 20.0
     assert np.allclose(np.asarray(free['s0_rate_multiplier']), expected,
                        rtol=1e-5)
+
+
+def test_solve_spd_small_matches_lu_and_flags_indefinite():
+    """The unrolled-Cholesky Newton solver (n in 4..16 — the XENON-scale
+    path; jnp.linalg.solve's batched pivoting LU dominated the vmapped
+    iteration on TPU) must agree with LU on SPD systems to roundoff, work
+    under vmap, and yield NaNs on indefinite matrices (the signal the
+    Newton loop's steepest-descent rescue keys on)."""
+    from blueice_tpu.parallel.fitter import _solve_spd_small
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 3, 4, 6, 9, 12, 16):
+        M = rng.standard_normal((n, n))
+        A = M @ M.T + n * np.eye(n)
+        b = rng.standard_normal(n)
+        x = np.asarray(_solve_spd_small(jnp.asarray(A), jnp.asarray(b)))
+        np.testing.assert_allclose(x, np.linalg.solve(A, b),
+                                   rtol=1e-10, atol=1e-12)
+    # vmapped lanes (the real usage shape)
+    n = 9
+    Ms = rng.standard_normal((32, n, n))
+    As = jnp.asarray(np.einsum('bij,bkj->bik', Ms, Ms) + n * np.eye(n))
+    bs = jnp.asarray(rng.standard_normal((32, n)))
+    xs = np.asarray(jax.vmap(_solve_spd_small)(As, bs))
+    np.testing.assert_allclose(
+        xs, np.linalg.solve(np.asarray(As),
+                            np.asarray(bs)[..., None])[..., 0],
+        rtol=1e-10, atol=1e-12)
+    # indefinite -> NaN, never a silently wrong finite solution
+    A_ind = jnp.asarray(np.diag([1.0, -1.0] + [1.0] * 7))
+    x = np.asarray(_solve_spd_small(A_ind, jnp.asarray(np.ones(9))))
+    assert not np.isfinite(x).all()

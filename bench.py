@@ -575,7 +575,7 @@ def bench_splitcompile(n_toys=None, scenario='xenon'):
     compile from scratch; statistics are pinned equal between modes."""
     import jax
 
-    build, target, default_toys, _ = SCENARIOS[scenario]
+    build, target, default_toys, _, _ = SCENARIOS[scenario]
     n_toys = n_toys or min(default_toys, 256)
     np.random.seed(20260817)
     lf = build()

@@ -223,8 +223,16 @@ class BinnedToyStudy:
     """
 
     def __init__(self, lf, dtype=None, max_iter=60, tol=1e-8, engine='auto',
-                 two_stage=True, profile_mode='fused'):
-        """:param two_stage: re-fit the toys that hit the stage-1 iteration
+                 two_stage=True, profile_mode='fused', polish=4):
+        """:param polish: post-convergence coordinate-sweep rounds per fit
+        (parallel/fitter.py minimize_newton). The default 4 is what buys the
+        "0 optima short" quality on near-degenerate models; it also
+        dominates the wall time (XENON-scale A/B, 512 free fits on one
+        v5e chip: polish=4 477 fits/s / all optima exact; 3: 539, 7 toys
+        <= 6e-3 LL short; 2: 668, 46 toys <= 0.015 short; 1: 877, 261 toys
+        <= 0.12 short). Lower it when ensemble throughput matters more than
+        the last 1e-2 LL of each optimum.
+        :param two_stage: re-fit the toys that hit the stage-1 iteration
         cap in a small warm-started second pass with a 4x cap (see
         :func:`_refine_stragglers`) — lets ``max_iter`` be sized for the bulk
         of the ensemble instead of the slowest straggler.
@@ -242,6 +250,7 @@ class BinnedToyStudy:
         self.tol = tol
         self.engine = engine
         self.two_stage = two_stage
+        self.polish = polish
         if profile_mode not in ('fused', 'split'):
             raise ValueError("profile_mode must be 'fused' or 'split'")
         self.profile_mode = profile_mode
@@ -253,6 +262,7 @@ class BinnedToyStudy:
 
     def _make_fitter(self, **opts):
         """(stage-1 fit_one, long-cap fit_one or None, names)."""
+        opts.setdefault('polish', getattr(self, 'polish', 4))
         fit_one, names = make_toy_fitter(
             self.compiled, max_iter=self.max_iter, tol=self.tol,
             engine=self.engine, **opts)
@@ -639,7 +649,7 @@ class BinnedToyStudy:
                 runtime_fixed=list(targets),
                 max_iter=(4 * self.max_iter if self.two_stage
                           else self.max_iter),
-                tol=self.tol, engine=self.engine)
+                tol=self.tol, engine=self.engine, polish=self.polish)
             warm = (np.asarray(_warm_cols(names_free, names_cond))
                     if names_cond and _warm_cols(names_free, names_cond)
                     is not None else None)
@@ -681,7 +691,7 @@ class UnbinnedToyStudy:
     """
 
     def __init__(self, lf, n_max=None, dtype=None, max_iter=60, tol=1e-8,
-                 engine='auto', two_stage=True):
+                 engine='auto', two_stage=True, polish=4):
         self.lf = lf
         self.compiled = build_logl(lf, dtype=dtype)
         if self.compiled.is_binned:
@@ -690,6 +700,9 @@ class UnbinnedToyStudy:
         self.tol = tol
         self.engine = engine
         self.two_stage = two_stage
+        # Post-convergence polish rounds per fit — the optimum-quality /
+        # throughput knob; see BinnedToyStudy.__init__
+        self.polish = polish
 
         space = lf.base_model.config['analysis_space']
         self.edges = [np.asarray(e, dtype=float) for _, e in space]
@@ -985,7 +998,7 @@ class UnbinnedToyStudy:
         if cache_key not in self._fit_cache:
             fit_one, names = make_toy_fitter(
                 self.compiled, fixed=fixed, max_iter=self.max_iter,
-                tol=self.tol, engine=self.engine)
+                tol=self.tol, engine=self.engine, polish=self.polish)
 
             def one(key, weights):
                 coords, mask, bins = self._sample_one(key, weights)
@@ -995,7 +1008,7 @@ class UnbinnedToyStudy:
             if self.two_stage and names:
                 fit_long, _ = make_toy_fitter(
                     self.compiled, fixed=fixed, max_iter=4 * self.max_iter,
-                    tol=self.tol, engine=self.engine)
+                    tol=self.tol, engine=self.engine, polish=self.polish)
                 long_j = self._sample_score_fit(fit_long)
             self._fit_cache[cache_key] = (
                 jax.jit(jax.vmap(one, in_axes=(0, None))), long_j, names)
@@ -1057,10 +1070,11 @@ class UnbinnedToyStudy:
         if cache_key not in self._profile_cache:
             fit_free, names_free = make_toy_fitter(
                 self.compiled, fixed=fixed, max_iter=self.max_iter,
-                tol=self.tol, engine=self.engine)
+                tol=self.tol, engine=self.engine, polish=self.polish)
             fit_cond, names_cond = make_toy_fitter(
                 self.compiled, fixed=fixed, runtime_fixed=[target],
-                max_iter=self.max_iter, tol=self.tol, engine=self.engine)
+                max_iter=self.max_iter, tol=self.tol,
+                engine=self.engine, polish=self.polish)
 
             warm_cols = _warm_cols(names_free, names_cond)
 
@@ -1081,11 +1095,11 @@ class UnbinnedToyStudy:
             if self.two_stage and names_cond:
                 free_long, _ = make_toy_fitter(
                     self.compiled, fixed=fixed, max_iter=4 * self.max_iter,
-                    tol=self.tol, engine=self.engine)
+                    tol=self.tol, engine=self.engine, polish=self.polish)
                 cond_long, _ = make_toy_fitter(
                     self.compiled, fixed=fixed, runtime_fixed=[target],
                     max_iter=4 * self.max_iter, tol=self.tol,
-                    engine=self.engine)
+                    engine=self.engine, polish=self.polish)
                 free_long_j = self._sample_score_fit(free_long)
                 cond_long_j = self._sample_score_fit(cond_long,
                                                      with_hypothesis=True)
@@ -1105,7 +1119,8 @@ class UnbinnedToyStudy:
         if cache_key not in self._profile_cache:
             fit_cond, names_cond = make_toy_fitter(
                 self.compiled, fixed=fixed, runtime_fixed=[target],
-                max_iter=self.max_iter, tol=self.tol, engine=self.engine)
+                max_iter=self.max_iter, tol=self.tol,
+                engine=self.engine, polish=self.polish)
             warm_cols = _warm_cols(names_free, names_cond)
             wc = (np.asarray(warm_cols)
                   if warm_cols is not None and len(warm_cols) else None)
@@ -1131,7 +1146,7 @@ class UnbinnedToyStudy:
                 cond_long, _ = make_toy_fitter(
                     self.compiled, fixed=fixed, runtime_fixed=[target],
                     max_iter=4 * self.max_iter, tol=self.tol,
-                    engine=self.engine)
+                    engine=self.engine, polish=self.polish)
                 cond_long_j = self._sample_score_fit(cond_long,
                                                      with_hypothesis=True)
             self._profile_cache[cache_key] = (cond_fn, cond_long_j,
@@ -1241,11 +1256,11 @@ class UnbinnedToyStudy:
             cap = 4 * self.max_iter if self.two_stage else self.max_iter
             fit_free, names_free = make_toy_fitter(
                 self.compiled, fixed=dict(fixed or {}), max_iter=cap,
-                tol=self.tol, engine=self.engine)
+                tol=self.tol, engine=self.engine, polish=self.polish)
             fit_cond, names_cond = make_toy_fitter(
                 self.compiled, fixed=dict(fixed or {}),
                 runtime_fixed=list(targets), max_iter=cap, tol=self.tol,
-                engine=self.engine)
+                engine=self.engine, polish=self.polish)
             warm = (np.asarray(_warm_cols(names_free, names_cond))
                     if names_cond and _warm_cols(names_free, names_cond)
                     is not None else None)

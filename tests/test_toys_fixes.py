@@ -165,3 +165,31 @@ def test_profile_ts_grid_return_cond_false_same_stats():
     assert all(c is not None for c in conds1)
     # Unrefined hypotheses skip the conditional transfer entirely
     assert any(c is None for c in conds2)
+
+
+def test_polish_knob_trades_quality_for_speed():
+    """polish=0 must run (fewer iterations) and stay within the documented
+    quality envelope of the default polish=4 on an easy model; the knob is
+    the ensemble-throughput lever (BinnedToyStudy/UnbinnedToyStudy
+    constructor arg, threaded to minimize_newton)."""
+    import jax
+    from blueice_tpu.parallel.toys import BinnedToyStudy
+    from blueice_tpu.test_helpers import conf_for_test
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    conf = conf_for_test(n_sources=2, mc=True, n_events_for_pdf=int(2e4),
+                         cache_dir=tmp, task_dir=tmp)
+    from blueice_tpu.likelihood import BinnedLogLikelihood
+    lf = BinnedLogLikelihood(conf)
+    lf.add_rate_parameter('s0')
+    lf.add_shape_parameter('mu', (-1.0, 0.0, 1.0))
+    lf.prepare()
+    s4 = BinnedToyStudy(lf, max_iter=60)
+    s0 = BinnedToyStudy(lf, max_iter=60, polish=0)
+    counts = s4.simulate(jax.random.PRNGKey(0), 16)
+    r4 = s4.fit_toys(counts)
+    r0 = s0.fit_toys(counts)
+    assert r0.n_iter.mean() <= r4.n_iter.mean()
+    # On this well-conditioned model the optima must agree closely even
+    # without polish sweeps
+    np.testing.assert_allclose(r0.max_ll, r4.max_ll, rtol=0, atol=5e-3)

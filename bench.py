@@ -294,6 +294,17 @@ METRICS = {
                "profiling, 50x62 bins)"),
 }
 
+# Throughput floors: ~80% of the round-4 canonical numbers (BENCH.md r4).
+# A scenario below its floor lands in the compact record's floors_failed
+# list (VERDICT r4 #6) — visible, not fatal, since the tunnel adds real
+# run-to-run variance. interval is seconds (lower better), so no floor;
+# mcmc is a median of 3 warm chains.
+FLOORS = {
+    'gauss': 6700.0, 'unbinned': 2000.0, 'xenon': 240.0,
+    'unbinned_xenon': 36.0, 'bb': 145.0, 'bblite': 220.0, 'band': 27.0,
+    'mcmc': 580000.0,
+}
+
 # chi2(1) median — the profile-LR statistic of the well-behaved gauss
 # scenario must asymptotically follow chi2(1) (Wilks), so its toy-median is
 # an end-to-end statistical correctness certificate for the whole pipeline
@@ -540,15 +551,21 @@ def bench_mcmc(n_walkers=64, big_walkers=2048, n_steps=400, n_burn_in=100):
             lf, n_walkers=nw, n_steps=n_steps, n_burn_in=n_burn_in,
             seed=1, compiled=compiled)
         compile_s = time.time() - t0
-        t0 = time.time()
-        fit_dev, _ = bestfit_emcee_device(
-            lf, n_walkers=nw, n_steps=n_steps, n_burn_in=n_burn_in,
-            seed=2, compiled=compiled)
-        s = time.time() - t0
+        # Median of 3 warm chains (VERDICT r4 #6): single-run mcmc numbers
+        # swung 725k-872k between rounds on tunnel variance alone
+        warm = []
+        for seed in (2, 3, 4):
+            t0 = time.time()
+            fit_dev, _ = bestfit_emcee_device(
+                lf, n_walkers=nw, n_steps=n_steps, n_burn_in=n_burn_in,
+                seed=seed, compiled=compiled)
+            warm.append(time.time() - t0)
+        s = float(np.median(warm))
         rate = nw * n_steps / s
-        log("device sampler: %d walkers x %d steps in %.3fs -> %.0f "
-            "walker-steps/s (compile+first chain %.1fs); fit %s"
-            % (nw, n_steps, s, rate, compile_s, dict(fit_dev)))
+        log("device sampler: %d walkers x %d steps, median of 3 warm "
+            "chains %.3fs -> %.0f walker-steps/s (compile+first chain "
+            "%.1fs); fit %s" % (nw, n_steps, s, rate, compile_s,
+                                dict(fit_dev)))
         assert 0.5 < fit_dev['s0_rate_multiplier'] < 2.0
         return rate, compile_s
 
@@ -637,6 +654,84 @@ def bench_splitcompile(n_toys=None, scenario='xenon'):
     }))
 
 
+def make_records(results, done, elapsed_s):
+    """Build the (full record, compact final line) pair for the default run.
+
+    The driver keeps only a ~2000-char tail of stdout and parses its LAST
+    line, so the last line must be a compact (<1.5 KB guaranteed) summary —
+    round 4's ~4.6 KB full record truncated its own headline fields away
+    (BENCH_r04.json rc=0 / parsed:null). Module-level and pure so the fast
+    test gate pins both the line-length guarantee and the field contract
+    (tests/test_bench_record.py)."""
+    head = results.get('gauss') or {}
+    sane = head.get('sanity', {}).get('ok')
+    complete = done and not any(
+        'error' in v for v in results.values() if isinstance(v, dict))
+    full = {
+        "metric": METRICS['gauss'],
+        "value": head.get('fits_per_sec'),
+        "unit": "fits/s/chip",
+        "vs_baseline": head.get('vs_baseline'),
+        "sanity_ok": sane,
+        "elapsed_s": round(elapsed_s, 1),
+        "budget_s": BUDGET_S,
+        "complete": complete,
+        "scenarios": results,
+    }
+
+    # Per-scenario throughput floors (~80% of the round-4 canonical
+    # numbers, VERDICT r4 #6): tunnel variance or a real regression
+    # becomes a visible flag instead of silent drift in an unread record
+    floors_failed = []
+    rates = {}
+    for name, v in results.items():
+        if not isinstance(v, dict):
+            continue
+        r = (v.get('fits_per_sec') or v.get('limits_per_sec')
+             or v.get('walker_steps_per_sec'))
+        if r is None and 'seconds_warm' in v:
+            r = v['seconds_warm']     # interval: seconds, lower=better
+        if r is not None:
+            rates[name] = round(r, 1)
+        floor = FLOORS.get(name)
+        if floor is not None and (r is None or r < floor):
+            floors_failed.append(name)
+
+    # North star (BASELINE.json): 10k batched profile-likelihood toy fits
+    # on a v5e-8 in under a minute. Measured single-chip wall time for 10k
+    # fits; toys are embarrassingly parallel over the mesh (MULTICHIP
+    # dryruns pin bit-identical layout invariance), so the v5e-8 time is
+    # bounded by the single-chip time. Met outright on ONE chip.
+    ns = None
+    g = head.get('fits_per_sec')
+    if g:
+        x = (results.get('xenon') or {}).get('fits_per_sec')
+        ns = {"target": "10k profile toy fits < 60 s on v5e-8",
+              "gauss_10k_s_1chip": round(1e4 / g, 1),
+              "xenon_10k_s_1chip": round(1e4 / x, 1) if x else None,
+              "met": bool(1e4 / g < 60.0)}
+
+    compact = {
+        "metric": "batched profile-likelihood toy fits "
+                  "(binned Gaussian flagship)",
+        "value": head.get('fits_per_sec'),
+        "unit": "fits/s/chip",
+        "vs_baseline": head.get('vs_baseline'),
+        "sanity_ok": sane,
+        "complete": complete,
+        "elapsed_s": round(elapsed_s, 1),
+        "north_star": ns,
+        "floors_failed": floors_failed,
+        "scenarios": rates,
+        "full_record": "BENCH_full.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:   # hard guard: the driver tail is 2000 chars
+        compact.pop('scenarios', None)
+        line = json.dumps(compact)
+    return full, line
+
+
 def main():
     args = list(sys.argv[1:])
     if 'mfu' in args:
@@ -693,26 +788,31 @@ def main():
 
     # Default: full story. Headline = Gaussian binned; every other scenario
     # rides along in the same JSON record. The record is RE-EMITTED after
-    # every scenario (last stdout line wins) and scenarios that no longer
-    # fit the wall-clock budget are skipped with an explicit marker, so a
-    # driver kill at ANY point leaves the best complete record so far
-    # (VERDICT r3 #1: round 3's single end-of-run print died with rc=124).
+    # every scenario and scenarios that no longer fit the wall-clock budget
+    # are skipped with an explicit marker, so a driver kill at ANY point
+    # leaves the best complete record so far (VERDICT r3 #1: round 3's
+    # single end-of-run print died with rc=124). The LAST stdout line is a
+    # COMPACT (<1.5 KB) summary: the driver keeps only a 2000-char tail of
+    # stdout and parses its last line, and round 4's ~4.6 KB full record
+    # truncated its own headline fields away (VERDICT r4 #1). The full
+    # record is printed second-to-last and mirrored to BENCH_full.json.
     results = {}
 
     def emit(done=False):
-        head = results.get('gauss') or {}
-        sane = head.get('sanity', {}).get('ok')
-        print(json.dumps({
-            "metric": METRICS['gauss'],
-            "value": head.get('fits_per_sec'),
-            "unit": "fits/s/chip",
-            "vs_baseline": head.get('vs_baseline'),
-            "sanity_ok": sane,
-            "elapsed_s": round(time.time() - _T0, 1),
-            "budget_s": BUDGET_S,
-            "complete": done,
-            "scenarios": results,
-        }), flush=True)
+        full, line = make_records(results, done=done,
+                                  elapsed_s=time.time() - _T0)
+        # Mirror the full record to a file so nothing is lost to stdout
+        # truncation, and print it second-to-last for humans reading logs
+        try:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                'BENCH_full.json')
+            with open(path + '.tmp', 'w') as f:
+                json.dump(full, f, indent=1)
+            os.replace(path + '.tmp', path)
+        except OSError as e:
+            log("BENCH_full.json write failed:", e)
+        print(json.dumps(full), flush=True)
+        print(line, flush=True)
 
     # (name, runner, cold-cost estimate [s]). Estimates are deliberately
     # pessimistic cold-compile + host-baseline ceilings; with a warm

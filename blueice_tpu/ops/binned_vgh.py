@@ -292,6 +292,13 @@ def gather_corners(tensor, idx, K):
     return block.reshape((2 ** K,) + extra_shape)
 
 
+def _norm_start(i, g):
+    """dynamic_slice start normalization for a 2-wide slice on an axis of
+    size g: negative starts get a single +g wrap, then clamp to [0, g-2]."""
+    i = jnp.where(i < 0, i + g, i)
+    return jnp.clip(i, 0, max(g - 2, 0))
+
+
 def gather_corners_dense(tensor, idx, K):
     """:func:`gather_corners` as a one-hot contraction over the FLATTENED
     anchor axis — the TPU shape of the corner selection.
@@ -305,15 +312,19 @@ def gather_corners_dense(tensor, idx, K):
     gathering. Bit-exact: the one-hot coefficients are 0/1 and HIGHEST
     precision reconstructs each selected float32 value exactly (the bf16
     split passes sum back to the original value; zero terms contribute
-    exactly zero)."""
+    exactly zero). Out-of-range indices are normalized exactly as
+    dynamic_slice normalizes starts in :func:`gather_corners` (negatives
+    get one +g wrap, then clamp to [0, g-2] per axis) — without this an
+    index of g-1 would one-hot-match nothing and silently return zero
+    rows."""
     tensor = jnp.asarray(tensor)
     grid_shape = tensor.shape[:K]
     extra_shape = tensor.shape[K:]
     G = int(np.prod(grid_shape))
     strides = tuple(int(np.prod(grid_shape[d + 1:], dtype=int))
                     for d in range(K))
-    base = sum(jnp.asarray(i, jnp.int32) * s
-               for i, s in zip(idx, strides))
+    base = sum(_norm_start(jnp.asarray(i, jnp.int32), g) * s
+               for i, s, g in zip(idx, strides, grid_shape))
     offsets = jnp.asarray(
         [sum(o * s for o, s in zip(offs, strides))
          for offs in itertools.product((0, 1), repeat=K)], jnp.int32)
@@ -333,7 +344,8 @@ def gather_corners_dense_many(tensor, idxs, K):
     tensor from HBM per candidate. Stacking the one-hot rows makes the whole
     batch a single (A*2^K, G) x (G, prod(extra)) matmul — the tensor
     streams once per iteration regardless of the candidate count. Bit-exact
-    like :func:`gather_corners_dense`."""
+    like :func:`gather_corners_dense`, including its out-of-range start
+    normalization."""
     tensor = jnp.asarray(tensor)
     idxs = jnp.asarray(idxs, jnp.int32)
     A = idxs.shape[0]
@@ -343,6 +355,10 @@ def gather_corners_dense_many(tensor, idxs, K):
     strides_py = [int(np.prod(grid_shape[d + 1:], dtype=int))
                   for d in range(K)]
     strides = jnp.asarray(strides_py, jnp.int32)
+    gs = jnp.asarray(grid_shape, jnp.int32)
+    idxs = jnp.where(idxs < 0, idxs + gs[None, :], idxs)
+    hi = jnp.asarray([max(g - 2, 0) for g in grid_shape], jnp.int32)
+    idxs = jnp.clip(idxs, 0, hi[None, :])
     base = jnp.sum(idxs * strides[None, :], axis=1)          # (A,)
     offsets = jnp.asarray(
         [sum(o * s for o, s in zip(offs, strides_py))

@@ -1271,10 +1271,13 @@ def make_toy_fitter(compiled, fixed=None, guess=None, max_iter=60, tol=1e-8,
             nm = names[ci]
             vals = []
             for c, routed in zip(compiled.children, compiled.child_routed):
-                if (nm in routed and c.anchor_arrays is not None
+                if (nm in routed and c.anchor_arrays
                         and nm in c.shape_names):
                     d = list(c.shape_names).index(nm)
-                    vals.append(np.asarray(c.anchor_arrays[d]))
+                    # ps_build_kind='constant' children carry shape_names
+                    # but an empty/short anchor_arrays — skip, don't crash
+                    if d < len(c.anchor_arrays):
+                        vals.append(np.asarray(c.anchor_arrays[d]))
             if not vals:
                 break
             per_coord.append(transform.to_u_coord(

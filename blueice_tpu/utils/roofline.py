@@ -344,30 +344,36 @@ def measure_unbinned_kernel(G=3, S=2, E=2304, K=1, B=256, chip='tpu-v5e',
 def measure_unbinned_jnp(G=81, S=6, E=2048, K=4, B=64, chip='tpu-v5e',
                          n_inner=None):
     """The XLA (jnp) closed-form unbinned engine at XENON scale — the engine
-    the unbinned_xenon bench scenario actually runs: a (81, 6, ~2k) per-toy
-    density block exceeds the Pallas kernel's VMEM budget
-    (ops/fused_unbinned.py fused_unbinned_supported), so make_toy_fitter's
-    per-trace check falls back to ops/unbinned_vgh.py. Replicates the real
-    per-iteration work: gather the 2^K corner rows out of the G-axis, then
-    the closed-form (ll, g, H). HBM cost counts only the corner rows read
-    (jnp.take touches 2^K of G rows), not the whole block."""
+    the unbinned_xenon bench scenario runs when the per-toy density block
+    exceeds the Pallas kernel's VMEM budget (ops/fused_unbinned.py
+    fused_unbinned_supported makes make_toy_fitter fall back to
+    ops/unbinned_vgh.py). Mirrors the REAL per-iteration work, including
+    the engine's corner extraction: on TPU the fitter uses
+    gather_corners_dense (ops/binned_vgh.py — a one-hot matmul that
+    STREAMS all G anchor rows from HBM), not an elementwise 2^K-row take,
+    so the grid has its true per-axis strides and the HBM accounting is
+    unbinned_vgh_cost's full-tensor stream. The one-hot matmul's MXU flops
+    (2*2^K flops per streamed byte/4 ~ AI 8, far below the MXU ridge) ride
+    in the bandwidth shadow of that stream, so they are deliberately not
+    added to the (VPU) flop count."""
     import jax
     import jax.numpy as jnp
+    from ..ops.binned_vgh import gather_corners_dense
     from ..ops.unbinned_vgh import unbinned_vgh
     rng = np.random.default_rng(3)
-    ps_b = jnp.asarray(rng.uniform(0.001, 0.4, (B, G, S, E)), jnp.float32)
-    idx_b = jnp.zeros((B, K), jnp.int32)
+    g = max(2, int(round(G ** (1 / K)))) if K else 1
+    if K and g ** K != G:
+        raise ValueError("G=%d is not a K=%d-dim grid" % (G, K))
+    grid_shape = (g,) * K
+    ps_b = jnp.asarray(rng.uniform(0.001, 0.4, (B,) + grid_shape + (S, E)),
+                       jnp.float32)
+    idx_b = jnp.asarray(rng.integers(0, max(g - 1, 1), (B, K)), jnp.int32)
     t_b = jnp.asarray(rng.uniform(0, 1, (B, K)), jnp.float32)
     m_b = jnp.asarray(rng.uniform(100, 2000, (B, S)), jnp.float32)
     mask_b = jnp.ones((B, E), bool)
-    strides = tuple(1 for _ in range(K))
-    offsets = np.array(
-        [sum(o * s for o, s in zip(offs, strides))
-         for offs in np.ndindex(*(2,) * K)], dtype=np.int32)
 
     def one(ps, idx, t, m, mask):
-        base = jnp.sum(idx * jnp.asarray(strides, jnp.int32))
-        corners = jnp.take(ps, base + jnp.asarray(offsets), axis=0)
+        corners = gather_corners_dense(ps, [idx[d] for d in range(K)], K)
         return unbinned_vgh(corners, m, t, mask)
 
     fn = jax.jit(jax.vmap(one))
@@ -378,8 +384,7 @@ def measure_unbinned_jnp(G=81, S=6, E=2048, K=4, B=64, chip='tpu-v5e',
     n_inner = n_inner or _default_n_inner()
     elapsed = _amortized_elapsed(
         lambda m: fn(ps_b, idx_b, t_b, m, mask_b), m_b, n_inner)
-    cost = binned_vgh_cost(G, S, E, K)
-    cost['hbm_bytes'] += 4 * ((2 ** K) * S * E + 2 * E)
+    cost = unbinned_vgh_cost(G, S, E, K)
     v = roofline_verdict(cost, elapsed, B, chip)
     v.update(dispatch_s=dispatch_s, n_inner=n_inner)
     v['kernel'] = 'unbinned_vgh_jnp(G=%d,S=%d,E=%d,K=%d)' % (G, S, E, K)

@@ -269,3 +269,31 @@ def test_gather_corners_dense_many_matches_single():
                                      for i in row], K)
             for row in idxs])
         np.testing.assert_array_equal(np.asarray(many), np.asarray(singles))
+
+
+def test_gather_corners_dense_clips_out_of_range_like_dynamic_slice():
+    """ADVICE r4: an out-of-range lower-corner index (e.g. g-1, or negative)
+    must clamp to a valid 2-wide block exactly as gather_corners'
+    dynamic_slice does — not silently one-hot-match nothing and return
+    zero rows."""
+    from blueice_tpu.ops.binned_vgh import (gather_corners,
+                                            gather_corners_dense,
+                                            gather_corners_dense_many)
+    rng = np.random.default_rng(2)
+    for grid_shape, extra in [((3,), (4,)), ((3, 4), (2, 5))]:
+        K = len(grid_shape)
+        t = jnp.asarray(rng.standard_normal(grid_shape + extra), np.float32)
+        bad_idxs = [[g - 1 for g in grid_shape],         # last row: clamp
+                    [g + 3 for g in grid_shape],         # far out: clamp
+                    [-2 for _ in grid_shape]]            # negative: clamp 0
+        for raw in bad_idxs:
+            idx = [jnp.asarray(i, jnp.int32) for i in raw]
+            a = gather_corners(t, idx, K)
+            b = gather_corners_dense(t, idx, K)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert np.abs(np.asarray(b)).sum() > 0
+        many = gather_corners_dense_many(t, np.asarray(bad_idxs), K)
+        singles = np.stack([np.asarray(gather_corners(
+            t, [jnp.asarray(i, jnp.int32) for i in row], K))
+            for row in bad_idxs])
+        np.testing.assert_array_equal(np.asarray(many), singles)

@@ -301,7 +301,7 @@ METRICS = {
 # mcmc is a median of 3 warm chains.
 FLOORS = {
     'gauss': 6700.0, 'unbinned': 2000.0, 'xenon': 240.0,
-    'unbinned_xenon': 36.0, 'bb': 145.0, 'bblite': 220.0, 'band': 27.0,
+    'unbinned_xenon': 100.0, 'bb': 145.0, 'bblite': 220.0, 'band': 27.0,
     'mcmc': 580000.0,
 }
 

@@ -346,35 +346,34 @@ def measure_unbinned_jnp(G=81, S=6, E=2048, K=4, B=64, chip='tpu-v5e',
     """The XLA (jnp) closed-form unbinned engine at XENON scale — the engine
     the unbinned_xenon bench scenario runs when the per-toy density block
     exceeds the Pallas kernel's VMEM budget (ops/fused_unbinned.py
-    fused_unbinned_supported makes make_toy_fitter fall back to
-    ops/unbinned_vgh.py). Mirrors the REAL per-iteration work, including
-    the engine's corner extraction: on TPU the fitter uses
-    gather_corners_dense (ops/binned_vgh.py — a one-hot matmul that
-    STREAMS all G anchor rows from HBM), not an elementwise 2^K-row take,
-    so the grid has its true per-axis strides and the HBM accounting is
-    unbinned_vgh_cost's full-tensor stream. The one-hot matmul's MXU flops
-    (2*2^K flops per streamed byte/4 ~ AI 8, far below the MXU ridge) ride
-    in the bandwidth shadow of that stream, so they are deliberately not
-    added to the (VPU) flop count."""
+    fused_unbinned_supported makes make_toy_fitter fall back to the dense
+    engine). Runs the ACTUAL shipped op, ops/unbinned_dense.py's
+    unbinned_vgh_dense: one stacked (J, G) x (G, S*E) morph matmul
+    streaming the whole per-toy tensor from HBM once, then the closed
+    forms — so the grid has its true per-axis strides and the HBM
+    accounting is unbinned_vgh_cost's full-tensor stream. The morph
+    matmul's MXU flops (AI ~ 2J/4 flops per streamed byte, far below the
+    MXU ridge) ride in the bandwidth shadow of that stream, so they are
+    deliberately not added to the (VPU) flop count."""
     import jax
     import jax.numpy as jnp
-    from ..ops.binned_vgh import gather_corners_dense
-    from ..ops.unbinned_vgh import unbinned_vgh
+    from ..ops.unbinned_dense import unbinned_vgh_dense
     rng = np.random.default_rng(3)
     g = max(2, int(round(G ** (1 / K)))) if K else 1
     if K and g ** K != G:
         raise ValueError("G=%d is not a K=%d-dim grid" % (G, K))
     grid_shape = (g,) * K
-    ps_b = jnp.asarray(rng.uniform(0.001, 0.4, (B,) + grid_shape + (S, E)),
-                       jnp.float32)
+    strides = tuple(int(np.prod(grid_shape[d + 1:], dtype=int))
+                    for d in range(K))
+    ps_b = jnp.asarray(rng.uniform(0.001, 0.4, (B, G, S, E)), jnp.float32)
     idx_b = jnp.asarray(rng.integers(0, max(g - 1, 1), (B, K)), jnp.int32)
     t_b = jnp.asarray(rng.uniform(0, 1, (B, K)), jnp.float32)
     m_b = jnp.asarray(rng.uniform(100, 2000, (B, S)), jnp.float32)
     mask_b = jnp.ones((B, E), bool)
 
     def one(ps, idx, t, m, mask):
-        corners = gather_corners_dense(ps, [idx[d] for d in range(K)], K)
-        return unbinned_vgh(corners, m, t, mask)
+        return unbinned_vgh_dense(ps, strides, [idx[d] for d in range(K)],
+                                  t, m, mask)
 
     fn = jax.jit(jax.vmap(one))
 

@@ -43,7 +43,7 @@ def _r4_results():
             for _ in range(6)]),
         'unbinned': dict(fits_per_sec=2479.34, vs_baseline=41.1),
         'xenon': dict(fits_per_sec=303.87, vs_baseline=640.57),
-        'unbinned_xenon': dict(fits_per_sec=45.44, vs_baseline=57.18),
+        'unbinned_xenon': dict(fits_per_sec=150.6, vs_baseline=190.0),
         'bb': dict(fits_per_sec=181.05, vs_baseline=986.84),
         'bblite': dict(fits_per_sec=274.29, vs_baseline=1209.1),
         'band': dict(limits_per_sec=34.24, median_ul=0.0808,

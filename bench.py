@@ -411,7 +411,7 @@ def bench_band(n_toys=256, n_hyp=17, time_cap=60.0):
     # (this scenario's bg-only WIMP limits are ~0.02 — a blind [0, 4] grid
     # would put every crossing inside one cell)
     rng = np.random.default_rng(0)
-    times, host_uls = [], []
+    times, host_uls, host_datasets = [], [], []
     start = time.time()
     with warnings.catch_warnings():
         warnings.simplefilter('ignore', RuntimeWarning)
@@ -423,6 +423,7 @@ def bench_band(n_toys=256, n_hyp=17, time_cap=60.0):
             try:
                 host_uls.append(lf.one_parameter_interval(
                     target, bound=6.0, kind='upper', confidence_level=0.9))
+                host_datasets.append(d)
             except (OptimizationFailed, ValueError):
                 pass    # a failed toy costs what it costs
             times.append(time.time() - t0)
@@ -451,17 +452,51 @@ def bench_band(n_toys=256, n_hyp=17, time_cap=60.0):
         % (n_toys, n_hyp, warm_s, compile_s, rate, band[0.5], band[0.16],
            band[0.84]))
     assert np.isfinite(band[0.5]) and out['n_beyond_grid'] < n_toys // 4
+    paired = None
     if host_uls:
-        # Cross-validation: the device band's median limit must sit near the
-        # host one_parameter_interval median (few host samples -> loose)
-        ratio = band[0.5] / host_med_ul
-        log("device/host median-UL ratio: %.2f" % ratio)
-        assert 0.4 < ratio < 2.5, (band[0.5], host_med_ul)
+        # PAIRED cross-validation (VERDICT r4 #3a, replacing the near-
+        # vacuous 0.4-2.5 ensemble-median ratio band): the device limit is
+        # recomputed on the SAME datasets the host loop fit, toy by toy,
+        # via observed_interval on the already-compiled profile-map
+        # program. The ~10% systematic device-advantage at these scales is
+        # the host scipy optimizer's shortfall (quantified with an f64
+        # referee by the interval scenario's `referee` record), so the
+        # paired tolerance is 25% per toy / 15% on the median ratio.
+        from blueice_tpu.parallel import observed_interval as obs_iv
+        pairs, ratios = [], []
+        n_paired = min(len(host_uls), 8)
+        t0 = time.time()
+        for d, u_h in list(zip(host_datasets, host_uls))[:n_paired]:
+            lf.set_data(d)
+            u_d = float(obs_iv(study, target, kind='upper', cl=0.9))
+            pairs.append((d, u_h, u_d))
+            ratios.append(u_d / u_h)
+        med_ratio = float(np.median(ratios))
+        log("paired device/host UL ratios (%d toys, %.1fs): median %.3f, "
+            "range [%.3f, %.3f]" % (n_paired, time.time() - t0, med_ratio,
+                                    min(ratios), max(ratios)))
+        # Any toy where the two sides disagree by >20% goes to the f64
+        # referee, which asserts the DEVICE limit tracks the refereed
+        # profile-LR crossing (rel < 6%) — paired disagreement is only
+        # acceptable when the host optimizer owns it. Median must stay
+        # tight regardless.
+        n_refereed = 0
+        for d, u_h, u_d in pairs:
+            if not 0.8 < u_d / u_h < 1.25 and n_refereed < 2:
+                lf.set_data(d)
+                _interval_referee(lf, study, target, u_d, u_h)
+                n_refereed += 1
+        assert 0.85 < med_ratio < 1.15, ratios
+        paired = dict(n=n_paired, median_ratio=round(med_ratio, 4),
+                      min_ratio=round(min(ratios), 4),
+                      max_ratio=round(max(ratios), 4),
+                      n_refereed=n_refereed)
     return dict(limits_per_sec=round(rate, 2),
                 compile_first_run_s=round(compile_s, 1),
                 median_ul=round(band[0.5], 4),
                 band_68=[round(band[0.16], 4), round(band[0.84], 4)],
                 host_median_ul=round(host_med_ul, 4),
+                paired=paired,
                 n_toys=n_toys, n_hypotheses=n_hyp,
                 host_limits_per_sec=round(host_rate, 4),
                 vs_baseline=round(rate / host_rate, 1))
@@ -502,10 +537,73 @@ def bench_interval(time_cap=120.0):
             target, bound=6.0, kind='upper', confidence_level=0.9))
         host_s = time.time() - t0
     log("host one_parameter_interval: %.1fs (UL %.4g)" % (host_s, ul_host))
+    referee = _interval_referee(lf, study, target, ul, ul_host)
     return dict(ul=round(ul, 5), seconds_warm=round(warm, 3),
                 compile_first_run_s=round(compile_s, 1),
                 host_seconds=round(host_s, 1), host_ul=round(ul_host, 5),
+                referee=referee,
                 vs_baseline=round(host_s / warm, 1))
+
+
+def _interval_referee(lf, study, target, ul_dev, ul_host, cl=0.9):
+    """Diagnose a device/host UL gap with the host float64 likelihood as
+    referee (VERDICT r4 #3b: round 4 recorded a 10.5% unexplained gap).
+
+    Both chains' fitted parameters are re-evaluated on the SAME f64 host
+    likelihood: if the device conditional/free fits score at least as high
+    as the host optimizer's own (adv_* >= 0), the gap is the host scipy
+    optimizer's shortfall, not a device error. The referee limit — the
+    critical-value crossing of the profile-LR curve built from the BEST of
+    both fits at each hypothesis — is then the ground truth both are
+    measured against, and the device limit must sit within rel_tol of it.
+    """
+    import warnings
+    from scipy import stats
+    crit = float(stats.norm.ppf(cl)) ** 2
+    hyps = np.sort(np.array([ul_dev, ul_host], dtype=float))
+    t_dev, free_dev, cond_dev = study.profile_map([(target, hyps)])
+
+    def host_ll(names, row, extra=None):
+        kw = {n: float(v) for n, v in zip(names, row)}
+        if extra:
+            kw.update(extra)
+        return float(lf(**kw))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', RuntimeWarning)
+        _, ll_h_free = lf.bestfit_scipy()
+        ll_d_free = host_ll(free_dev.names, free_dev.x[0])
+        adv_free = ll_d_free - ll_h_free
+        adv_cond, t_ref = [], []
+        for j, h in enumerate(hyps):
+            _, ll_h_c = lf.bestfit_scipy(**{target: float(h)})
+            ll_d_c = host_ll(cond_dev.names, cond_dev.x[j],
+                             {target: float(h)})
+            adv_cond.append(ll_d_c - ll_h_c)
+            t_ref.append(2.0 * (max(ll_h_free, ll_d_free)
+                                - max(ll_h_c, ll_d_c)))
+    # Referee crossing between (or linearly extrapolated just beyond) the
+    # two candidate limits
+    t1, t2 = t_ref
+    h1, h2 = hyps
+    ul_ref = (h1 + (crit - t1) * (h2 - h1) / (t2 - t1)
+              if t2 != t1 else h1)
+    rel_dev = abs(ul_dev / ul_ref - 1.0)
+    rel_host = abs(ul_host / ul_ref - 1.0)
+    out = dict(adv_free=round(adv_free, 4),
+               adv_cond=[round(a, 4) for a in adv_cond],
+               t_referee=[round(t, 4) for t in t_ref],
+               ul_referee=round(float(ul_ref), 5),
+               rel_gap_dev=round(rel_dev, 4),
+               rel_gap_host=round(rel_host, 4))
+    log("interval referee (f64): %s" % out)
+    # Device fits must not be materially worse than the host optimizer's
+    # under the f64 referee, and the device limit must track the referee
+    # crossing; the host limit is allowed to drift (its optimizer owns
+    # the residual gap, quantified above).
+    assert adv_free > -0.05 and all(a > -0.05 for a in adv_cond), out
+    assert rel_dev < 0.06, out
+    return out
 
 
 def bench_mcmc(n_walkers=64, big_walkers=2048, n_steps=400, n_burn_in=100):

@@ -130,3 +130,27 @@ def test_bb_lite_variant_compiles_and_fits():
                                      hypothesis=1.0)
     assert (t >= -1e-6).all()
     assert np.isfinite(free.max_ll).all()
+
+
+def test_limits_host_parity_relative(lf):
+    """XENON-scale per-toy host parity of the device observed_interval with
+    a RELATIVE tolerance (VERDICT r4 #3c: the gauss-scale test's absolute
+    0.05 is vacuous where limits are ~0.02-0.08). Both sides run float64 on
+    CPU; the host fit uses the jax optimizer so the comparison measures the
+    limit machinery (profile scan + crossing interpolation), not scipy's
+    convergence shortfall."""
+    from blueice_tpu.parallel import observed_interval
+
+    study = BinnedToyStudy(lf, max_iter=60)
+    rng = np.random.default_rng(42)
+    rel = []
+    for i in range(2):
+        d = lf.base_model.simulate({'wimp': 0.0}, rng=rng)
+        lf.set_data(d)
+        ul_host = float(lf.one_parameter_interval(
+            'wimp_rate_multiplier', bound=6.0, kind='upper',
+            confidence_level=0.9, bestfit_routine='jax'))
+        ul_dev = float(observed_interval(study, 'wimp_rate_multiplier',
+                                         kind='upper', cl=0.9))
+        rel.append(abs(ul_dev / ul_host - 1.0))
+        assert rel[-1] < 0.05, (i, ul_dev, ul_host)

@@ -830,10 +830,36 @@ def make_records(results, done, elapsed_s):
     return full, line
 
 
+def bench_mix():
+    """Measured VPU ceilings of the kernels' pure per-bin op mixes
+    (VMEM-resident Pallas loops; see roofline.measure_op_mix and the
+    round-5 BENCH.md analysis of what binds the BB kernels)."""
+    import jax
+    from blueice_tpu.utils.roofline import measure_op_mix
+    _enable_compile_cache()
+    chip = 'tpu-v5e' if jax.default_backend() == 'tpu' else 'cpu-1core'
+    mixes = {k: measure_op_mix(k, chip=chip)
+             for k in ('fma', 'bb', 'bblite', 'poisson')}
+    for k, v in mixes.items():
+        log("[mix:%s] %s" % (k, v))
+    print(json.dumps({
+        "metric": "measured VPU op-mix ceilings (GFLOP/s: fma / bb / "
+                  "bblite / poisson)",
+        "value": mixes['fma']['gflops_achieved'],
+        "unit": "GFLOP/s (fma mix)",
+        "vs_baseline": round(mixes['fma']['gflops_achieved']
+                             / max(mixes['bb']['gflops_achieved'], 1e-9), 2),
+        "detail": mixes,
+    }))
+
+
 def main():
     args = list(sys.argv[1:])
     if 'mfu' in args:
         bench_mfu()
+        return
+    if 'mix' in args:
+        bench_mix()
         return
     if 'splitcompile' in args:
         nums = [int(a) for a in args if a.isdigit()]

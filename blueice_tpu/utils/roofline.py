@@ -228,7 +228,7 @@ def _common_setup(G, S, N, K, B, seed=0):
     return anchor, strides, idx_b, t_b, m_b, obs_b
 
 
-def measure_op_mix(kind, chip='tpu-v5e', reps=2048, grid=8,
+def measure_op_mix(kind, chip='tpu-v5e', reps=None, grid=8,
                    block=(64, 512)):
     """Achievable VPU rate for a pure elementwise op mix, measured with a
     VMEM-RESIDENT Pallas loop — the mix-specific compute bound the fused
@@ -263,6 +263,15 @@ def measure_op_mix(kind, chip='tpu-v5e', reps=2048, grid=8,
     interpret = jax.default_backend() != 'tpu'
     if interpret:
         reps, grid = 2, 1
+    n_elems_ = block[0] * block[1]
+    # The mix is applied `unroll` times per fori_loop iteration: enough
+    # total work to dwarf the tunnel dispatch (~30 GFLOP/call) while the
+    # trip count stays in the thousands (a ~100k-trip Mosaic loop
+    # compiled pathologically slowly in round 5)
+    unroll = {'fma': 16, 'bb': 1, 'bblite': 4, 'poisson': 4}[kind]
+    if reps is None:
+        charge = {'fma': 2, 'bb': 200, 'bblite': 40, 'poisson': 16}[kind]
+        reps = max(64, int(30e9 / (charge * unroll * n_elems_ * grid)))
 
     if kind == 'fma':
         flops_per_elem = 2
@@ -305,19 +314,36 @@ def measure_op_mix(kind, chip='tpu-v5e', reps=2048, grid=8,
     # unused VMEM ref still costs allocation under Mosaic)
     n_aux = {'fma': 0, 'bb': 5, 'bblite': 2, 'poisson': 1}[kind]
 
-    def kern(*refs):
-        x_ref, aux_refs, o_ref = refs[0], refs[1:-1], refs[-1]
-        aux_vals = [r[...] for r in aux_refs]
-        if kind == 'bblite':
-            aux = (aux_vals[0], None, None, None, aux_vals[1])
-        elif kind == 'poisson':
-            aux = (None, None, None, None, aux_vals[0])
-        else:
-            aux = tuple(aux_vals) if aux_vals else ()
-        o_ref[...] = lax.fori_loop(
-            0, reps, lambda i, x: step_fn(x, aux), x_ref[...])
+    # Only the aux arrays each mix actually reads are kernel inputs (an
+    # unused VMEM ref still costs allocation under Mosaic)
+    n_aux = {'fma': 0, 'bb': 5, 'bblite': 2, 'poisson': 1}[kind]
 
-    n_elems = block[0] * block[1]
+    def make_call(r):
+        def kern(*refs):
+            x_ref, aux_refs, o_ref = refs[0], refs[1:-1], refs[-1]
+            aux_vals = [ref[...] for ref in aux_refs]
+            if kind == 'bblite':
+                aux = (aux_vals[0], None, None, None, aux_vals[1])
+            elif kind == 'poisson':
+                aux = (None, None, None, None, aux_vals[0])
+            else:
+                aux = tuple(aux_vals) if aux_vals else ()
+            def body(i, x):
+                for _ in range(unroll):
+                    x = step_fn(x, aux)
+                return x
+            o_ref[...] = lax.fori_loop(0, r, body, x_ref[...])
+
+        spec = pl.BlockSpec((1,) + block, lambda i: (i, 0, 0))
+        call = pl.pallas_call(
+            lambda *refs: kern(*[ref.at[0] for ref in refs]),
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((grid,) + block, dt),
+            in_specs=[spec] * (1 + n_aux), out_specs=spec,
+            interpret=interpret)
+        return jax.jit(lambda *a: call(*a))
+
+    n_elems = n_elems_
     pools = dict(
         bb=[rng.uniform(1, 40, block), rng.uniform(0.0, 5.0, block),
             rng.uniform(10, 100, block), rng.uniform(100, 1000, block),
@@ -328,24 +354,37 @@ def measure_op_mix(kind, chip='tpu-v5e', reps=2048, grid=8,
         fma=[])
     raw = [rng.uniform(0.5, 2.0, block)] + pools[kind]
     args = [jnp.asarray(np.tile(v, (grid, 1, 1)), dt) for v in raw]
-    spec = pl.BlockSpec((1,) + block, lambda i: (i, 0, 0))
-    call = pl.pallas_call(
-        lambda *refs: kern(*[r.at[0] for r in refs]),
-        grid=(grid,),
-        out_shape=jax.ShapeDtypeStruct((grid,) + block, dt),
-        in_specs=[spec] * (1 + n_aux), out_specs=spec,
-        interpret=interpret)
-    fn = jax.jit(lambda *a: call(*a))
 
-    def run():
-        jax.block_until_ready(fn(*args))
-    elapsed = _time_op(run, warmup=1, repeats=3)
-    flops = flops_per_elem * n_elems * reps * grid
+    # Two loop lengths, each timed on PER-CALL-UNIQUE inputs (the remote-
+    # TPU tunnel memoizes identical executions, which round 5 caught
+    # returning physically impossible PFLOP/s rates); the difference
+    # cancels dispatch and any constant per-call overhead.
+    def timed(fn, salt):
+        best = np.inf
+        for i in range(3):
+            a0 = args[0] * np.float32(1.0 + 1e-6 * (salt + i))
+            _ = np.asarray(a0[0, 0, 0])
+            t0 = time.perf_counter()
+            # Synchronize by FETCHING a result element: on the remote-TPU
+            # tunnel block_until_ready returns immediately (round 5
+            # measured t=0.0000 for a 50-GFLOP kernel), so a host read is
+            # the only reliable completion barrier
+            _ = np.asarray(fn(a0, *args[1:])[0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    fn1, fn2 = make_call(reps), make_call(2 * reps)
+    timed(fn1, 0), timed(fn2, 0)            # warm both compiles
+    t1 = timed(fn1, 10)
+    t2 = timed(fn2, 20)
+    elapsed = max(t2 - t1, 1e-9)            # pure compute of `reps` loops
+    flops = flops_per_elem * unroll * n_elems * reps * grid
     gflops = flops / elapsed / 1e9
     peak = PEAKS[chip]['vpu_f32']
     return dict(kind=kind, gflops_achieved=round(gflops, 1),
                 frac_of_nominal_vpu=round(gflops * 1e9 / peak, 4),
                 reps=reps, grid=grid, block=list(block),
+                t_single_s=round(t1, 4), t_double_s=round(t2, 4),
                 flops_per_elem=flops_per_elem)
 
 

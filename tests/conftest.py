@@ -21,6 +21,30 @@ jax.config.update('jax_enable_x64', True)
 assert jax.devices()[0].platform == 'cpu'
 assert len(jax.devices()) == 8
 
+# Persistent XLA compile cache for the test session (VERDICT r4 #7: the
+# full suite was 44 minutes, dominated by re-compiling near-identical
+# toy-study programs per test file and per run). Identical HLO compiled by
+# ANY earlier test — or any earlier run — becomes a cache load. Repo-local
+# (survives between runs on the same box), LRU-bounded, and entries
+# written before the bound existed get their -atime marker backfilled
+# (without it every subsequent cache WRITE fails with FileNotFoundError —
+# same pitfall bench.py documents for the TPU cache).
+_TEST_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_cache_tests')
+try:
+    os.makedirs(_TEST_CACHE, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _TEST_CACHE)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    for _name in os.listdir(_TEST_CACHE):
+        if _name.endswith('-cache'):
+            _marker = os.path.join(_TEST_CACHE,
+                                   _name[:-len('-cache')] + '-atime')
+            if not os.path.exists(_marker):
+                open(_marker, 'a').close()
+    jax.config.update('jax_compilation_cache_max_size', 4 * 2 ** 30)
+except Exception as _e:   # cache is an optimization, never a failure
+    print("test compile cache unavailable:", _e)
+
 # MC template builds draw from the global numpy state (reference-parity
 # behavior); seed it so templates — and everything downstream — are
 # deterministic regardless of test selection/order

@@ -952,9 +952,12 @@ def main():
          est(260, 100)),
         ('bb', lambda: run_scenario('bb'), est(220, 80)),
         ('bblite', lambda: run_scenario('bblite'), est(220, 80)),
-        ('band', bench_band, est(300, 140)),
-        ('interval', bench_interval, est(200, 80)),
-        ('mcmc', bench_mcmc, est(220, 90)),
+        # band/interval grew the paired per-toy and f64-referee
+        # cross-checks in round 5 (~40-60 s of host scipy fits +
+        # observed_interval reruns each)
+        ('band', bench_band, est(380, 200)),
+        ('interval', bench_interval, est(240, 110)),
+        ('mcmc', bench_mcmc, est(220, 95)),
     ]
     for name, fn, estimate in steps:
         if name != 'gauss' and _remaining() < estimate:

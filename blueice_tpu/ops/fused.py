@@ -25,6 +25,7 @@ deviance-form likelihood and its derivatives.
 
 import functools
 import itertools
+import os
 
 import numpy as np
 import jax
@@ -45,6 +46,20 @@ __all__ = ['binned_vgh_fused', 'binned_ll_fused_multi', 'fused_vgh_supported',
 
 LANE = 128
 TOY_BLOCK = 8
+
+# Kernel flavor: the original ('gather') kernel walks the toys of each grid
+# step in a sequential fori_loop, gathering 2^K corner rows per toy and
+# accumulating the multilinear combine as chains of small (S, N) VPU fmas.
+# The 'dense' flavor instead folds the corner weights into a per-toy (J, G)
+# dense row (J = 1 + K + n_pairs combine components) and computes ALL
+# combines of a toy block as ONE MXU matmul (J*blk, G) x (G, S*N) against
+# the VMEM-resident anchor tensor; the residual per-bin math then runs
+# vectorized over the whole toy block ((blk, N)-shaped VPU ops) instead of
+# per toy. Same HBM traffic (the anchor tensor is resident either way);
+# ~G/2^K more combine flops, but on the MXU and free of the per-toy serial
+# small-op chains that bound the gather kernel at ~32% of its mix ceiling.
+DENSE_DEFAULT = os.environ.get('BLUEICE_FUSED_DENSE', '0').lower() \
+    not in ('0', '', 'false')
 
 
 def _round_up(x, m):
@@ -321,7 +336,7 @@ def _get_ll_op(interpret):
 
 
 def binned_ll_fused_multi(anchor_flat, strides, idx, t, m, observed,
-                          interpret=False):
+                          interpret=False, dense=None):
     """Deviance-form LL at A parameter candidates sharing one dataset, via the
     VMEM-resident value kernel.
 
@@ -342,6 +357,20 @@ def binned_ll_fused_multi(anchor_flat, strides, idx, t, m, observed,
     w = (jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
         jnp.asarray(t, dt)) if K
         else jnp.ones((A, 1), dtype=dt))                       # (A, C)
+
+    if dense is None:
+        dense = DENSE_DEFAULT
+    if dense:
+        ids_c = jnp.clip(ids, 0, G - 1)
+        onehot = (ids_c[:, :, None]
+                  == jnp.arange(G, dtype=jnp.int32)[None, None, :]) \
+            .astype(dt)                                        # (A, C, G)
+        W = jax.lax.dot_general(w, onehot, (((1,), (1,)), ((0,), (0,))),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=dt)     # (A, G)
+        op = _get_ll_dense_op(bool(interpret))
+        return op(anchor_flat.reshape(G, S * N), W, jnp.asarray(m, dt),
+                  jnp.asarray(observed, dt))
 
     op = _get_ll_op(bool(interpret))
     return op(anchor_flat, ids, w, jnp.asarray(m, dt),
@@ -465,7 +494,7 @@ def _get_op(interpret):
 
 
 def binned_vgh_fused(anchor_flat, strides, idx, t, m, observed,
-                     interpret=False):
+                     interpret=False, dense=None):
     """Fused (ll, g, H) via the Pallas kernel. Same contract as
     :func:`blueice_tpu.ops.binned_vgh.binned_vgh`, but gathers the corner
     templates itself from the full flattened-grid anchor tensor.
@@ -506,6 +535,354 @@ def binned_vgh_fused(anchor_flat, strides, idx, t, m, observed,
     wx_in = (jnp.stack([wx[d, e] for d, e in pairs]).astype(dt)
              if pairs else jnp.zeros((1, C), dt))
 
+    if dense is None:
+        dense = DENSE_DEFAULT
+    if dense:
+        W = _dense_combine_rows(ids, w.astype(dt), wd, wx, pairs, K, G, dt)
+        op = _get_dense_op(bool(interpret))
+        return op(anchor_flat.reshape(G, S * N), W, jnp.asarray(m, dt),
+                  jnp.asarray(observed, dt))
     op = _get_op(bool(interpret))
     return op(anchor_flat, ids, w.astype(dt), wd_in, wx_in,
               jnp.asarray(m, dt), jnp.asarray(observed, dt))
+
+
+# ---------------------------------------------------------------------------
+# Dense (toy-vectorized, MXU-combine) kernel flavor
+# ---------------------------------------------------------------------------
+
+def _dense_combine_rows(ids, w, wd, wx, pairs, K, G, dt):
+    """(J, G) dense combine-weight rows for one toy: row 0 carries the value
+    weights, rows 1..K the per-axis derivative weights, the rest the
+    cross-pair weights — each scattered from the 2^K corner table onto the
+    flattened anchor grid. ids are clamped exactly like the gather kernel's
+    dynamic slices clamp out-of-range corners."""
+    ids = jnp.clip(jnp.asarray(ids, jnp.int32), 0, G - 1)
+    onehot = (ids[:, None] == jnp.arange(G, dtype=jnp.int32)[None, :]) \
+        .astype(dt)                                            # (C, G)
+    rows = [w[None, :]]
+    if K:
+        rows.append(wd.astype(dt))
+    if pairs:
+        rows.append(jnp.stack([wx[d, e] for d, e in pairs]).astype(dt))
+    rows = jnp.concatenate(rows, axis=0)                       # (J, C)
+    return jax.lax.dot_general(rows, onehot, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=dt)      # (J, G)
+
+
+def _vgh_kernel_dense(w_ref, m_ref, obs_ref, anchor_hbm, ll_ref, g_ref,
+                      h_ref, scratch_ref, sem, *, S, K, pairs, blk, N):
+    """Toy-vectorized kernel body. Per grid step, ``blk`` toys at once.
+
+    Shapes: w (J*blk, G) VMEM — dense combine rows, component-major
+    (row j*blk + t is component j of toy t); m (blk, S), obs (blk, N) VMEM;
+    anchor (G, S*N) in HBM, copied once into VMEM scratch persisting across
+    the sequential grid steps. Out: ll (blk, 1), g (blk, P), h (blk, P, P)
+    VMEM, P = S + K. One MXU matmul computes every combine component of the
+    block; all per-bin math runs on (blk, N) blocks.
+    """
+    dtype = scratch_ref.dtype
+    P_dim = S + K
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_anchor():
+        dma = pltpu.make_async_copy(anchor_hbm, scratch_ref, sem)
+        dma.start()
+        dma.wait()
+
+    res = jax.lax.dot_general(w_ref[:], scratch_ref[:],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=dtype)  # (J*blk, S*N)
+
+    def comp(j):                                             # (blk, S*N)
+        return res[j * blk:(j + 1) * blk, :]
+
+    def src(block, s):                                       # (blk, N)
+        return block[:, s * N:(s + 1) * N]
+
+    def msum(block):
+        """m-weighted sum over sources: (blk, S*N) -> (blk, N)."""
+        acc = src(block, 0) * m[:, 0:1]
+        for s in range(1, S):
+            acc = acc + src(block, s) * m[:, s:s + 1]
+        return acc
+
+    def rsum(x):                                             # (blk, 1)
+        return jnp.sum(x, axis=1, keepdims=True)
+
+    m = m_ref[:]                                             # (blk, S)
+    obs = obs_ref[:]                                         # (blk, N)
+
+    Pv = comp(0)
+    lam = msum(Pv)                                           # (blk, N)
+    tiny = jnp.finfo(dtype).tiny
+    lam_safe = jnp.maximum(lam, tiny)
+    k_safe = jnp.where(obs > 0, obs, 1.0)
+    # Same negative-expectation penalty contract as the gather kernel.
+    pen = jnp.asarray(1e6, dtype=dtype)
+    ll_ref[:] = rsum(obs * jnp.log(lam_safe / k_safe) - (lam - obs)
+                     + pen * jnp.minimum(lam, 0.0))
+
+    inv_lam = 1.0 / lam_safe
+    # r = -1 in empty-model bins; see the gather kernel's note.
+    r = obs * inv_lam - 1.0 + pen * (lam < 0).astype(dtype)
+    q = obs * inv_lam * inv_lam
+
+    Ps = [src(Pv, s) for s in range(S)]
+    g_cols = [rsum(Ps[s] * r) for s in range(S)]
+    if K:
+        D = [comp(1 + d) for d in range(K)]
+        Dbar = [msum(D[d]) for d in range(K)]
+        g_cols += [rsum(Dbar[d] * r) for d in range(K)]
+    g_ref[:] = jnp.concatenate(g_cols, axis=1)               # (blk, P)
+
+    # Hessian entries, symmetric halves computed once
+    ent = {}
+    Pq = [Ps[s] * q for s in range(S)]
+    for s in range(S):
+        for s2 in range(s, S):
+            ent[(s, s2)] = -rsum(Pq[s] * Ps[s2])
+    if K:
+        for s in range(S):
+            for d in range(K):
+                ent[(s, S + d)] = (-rsum(Pq[s] * Dbar[d])
+                                   + rsum(src(D[d], s) * r))
+        Dq = [Dbar[d] * q for d in range(K)]
+        for d in range(K):
+            for e in range(d, K):
+                val = -rsum(Dq[d] * Dbar[e])
+                if d != e:
+                    X = comp(1 + K + pairs.index((d, e)))
+                    val = val + rsum(msum(X) * r)
+                ent[(S + d, S + e)] = val
+    rows = []
+    for i in range(P_dim):
+        cols = [ent[(min(i, j), max(i, j))] for j in range(P_dim)]
+        rows.append(jnp.concatenate(cols, axis=1)[:, None, :])
+    h_ref[:] = jnp.concatenate(rows, axis=1)                 # (blk, P, P)
+
+
+def _ll_kernel_dense(w_ref, m_ref, obs_ref, anchor_hbm, ll_ref,
+                     scratch_ref, sem, *, S, A, blk, N):
+    """Toy-vectorized value-only kernel: ``blk`` toys x ``A`` candidates per
+    grid step. w (A*blk, G) dense value rows, candidate-major (row a*blk + t
+    is candidate a of toy t); m (A*blk, S) in the SAME row order; obs
+    (blk, N); out ll (blk, A) VMEM. The matmul is looped per source so the
+    live intermediate stays (A*blk, N) regardless of S."""
+    dtype = scratch_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_anchor():
+        dma = pltpu.make_async_copy(anchor_hbm, scratch_ref, sem)
+        dma.start()
+        dma.wait()
+
+    m = m_ref[:]                                             # (A*blk, S)
+    lam = None
+    for s in range(S):
+        res_s = jax.lax.dot_general(
+            w_ref[:], scratch_ref[:, s * N:(s + 1) * N],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype)                    # (A*blk, N)
+        term = res_s * m[:, s:s + 1]
+        lam = term if lam is None else lam + term
+
+    obs = obs_ref[:]                                         # (blk, N)
+    k_safe = jnp.where(obs > 0, obs, 1.0)
+    tiny = jnp.finfo(dtype).tiny
+    pen = jnp.asarray(1e6, dtype=dtype)
+    for a in range(A):
+        lam_a = lam[a * blk:(a + 1) * blk, :]
+        lam_safe = jnp.maximum(lam_a, tiny)
+        ll_ref[:, a:a + 1] = jnp.sum(
+            obs * jnp.log(lam_safe / k_safe) - (lam_a - obs)
+            + pen * jnp.minimum(lam_a, 0.0), axis=1, keepdims=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_batched_call_dense(dtype_name, G, S, N, J, B, blk, K, interpret):
+    pairs = tuple((d, e) for d in range(K) for e in range(d + 1, K))
+    P_dim = S + K
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_vgh_kernel_dense, S=S, K=K, pairs=pairs,
+                             blk=blk, N=N)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=(jax.ShapeDtypeStruct((B, 1), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim, P_dim), dtype)),
+        in_specs=[
+            pl.BlockSpec((J * blk, G), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),           # dense rows
+            pl.BlockSpec((blk, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),           # m
+            pl.BlockSpec((blk, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),           # obs
+            pl.BlockSpec(memory_space=pl.ANY),               # anchor (HBM)
+        ],
+        out_specs=(pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((blk, P_dim), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((blk, P_dim, P_dim), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((G, S * N), dtype),
+                        pltpu.SemaphoreType.DMA],
+        interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )
+
+
+def _batched_impl_dense(anchor2d, W_b, m_b, obs_b, K, interpret):
+    """W_b (B, J, G) dense combine rows, m_b (B, S), obs_b (B, N)
+    -> (ll (B,), g (B, P), H (B, P, P))."""
+    G = anchor2d.shape[0]
+    SN = anchor2d.shape[1]
+    B, J, _ = W_b.shape
+    S = m_b.shape[1]
+    N = SN // S
+
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    if B_pad != B:
+        padn = B_pad - B
+        W_b = jnp.concatenate([W_b, jnp.zeros((padn, J, G), W_b.dtype)])
+        m_b = jnp.concatenate([m_b, jnp.zeros((padn, S), m_b.dtype)])
+        obs_b = jnp.concatenate([obs_b, jnp.zeros((padn, N), obs_b.dtype)])
+
+    # Component-major row order per block: row j*blk + t
+    nb = B_pad // blk
+    W_rows = W_b.reshape(nb, blk, J, G).transpose(0, 2, 1, 3) \
+        .reshape(nb * J * blk, G)
+
+    call = _build_batched_call_dense(str(anchor2d.dtype), G, S, N, J,
+                                    B_pad, blk, K, interpret)
+    ll, g, H = call(W_rows, m_b, obs_b, anchor2d)
+    return ll[:B, 0], g[:B], H[:B]
+
+
+def _make_dense_custom_op(interpret):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(anchor2d, W, m, obs):
+        J = W.shape[0]
+        K = _k_of_j(J)
+        ll, g, H = _batched_impl_dense(anchor2d, W[None], m[None],
+                                       obs[None], K, interpret)
+        return ll[0], g[0], H[0]
+
+    @op.def_vmap
+    def _op_vmap(axis_size, in_batched, anchor2d, W, m, obs):
+        if in_batched[0]:
+            anchor2d = anchor2d[0]       # cond-batching broadcast
+        per_toy = []
+        for arg, batched in zip((W, m, obs), in_batched[1:]):
+            if not batched:
+                arg = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+            per_toy.append(arg)
+        J = per_toy[0].shape[1]
+        out = _batched_impl_dense(anchor2d, *per_toy, K=_k_of_j(J),
+                                  interpret=interpret)
+        return out, (True, True, True)
+
+    return op
+
+
+def _k_of_j(J):
+    """Recover K from the dense row count J = 1 + K + K*(K-1)/2."""
+    for K in range(9):
+        if 1 + K + K * (K - 1) // 2 == J:
+            return K
+    raise ValueError("no K matches J=%d" % J)
+
+
+def _get_dense_op(interpret):
+    key = ('dense', interpret)
+    if key not in _OP_CACHE:
+        _OP_CACHE[key] = _make_dense_custom_op(interpret)
+    return _OP_CACHE[key]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ll_call_dense(dtype_name, G, S, N, A, B, blk, interpret):
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_ll_kernel_dense, S=S, A=A, blk=blk, N=N)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=jax.ShapeDtypeStruct((B, A), dtype),
+        in_specs=[
+            pl.BlockSpec((A * blk, G), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),           # dense rows
+            pl.BlockSpec((A * blk, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),           # m (row order)
+            pl.BlockSpec((blk, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),           # obs
+            pl.BlockSpec(memory_space=pl.ANY),               # anchor (HBM)
+        ],
+        out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=bool(interpret),
+        scratch_shapes=[pltpu.VMEM((G, S * N), dtype),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )
+
+
+def _ll_batched_impl_dense(anchor2d, W_b, m_b, obs_b, interpret):
+    """W_b (B, A, G) dense value rows, m_b (B, A, S), obs_b (B, N)
+    -> ll (B, A)."""
+    G, SN = anchor2d.shape
+    B, A, _ = W_b.shape
+    S = m_b.shape[2]
+    N = SN // S
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    if B_pad != B:
+        padn = B_pad - B
+        W_b = jnp.concatenate([W_b, jnp.zeros((padn, A, G), W_b.dtype)])
+        m_b = jnp.concatenate([m_b, jnp.zeros((padn, A, S), m_b.dtype)])
+        obs_b = jnp.concatenate([obs_b, jnp.zeros((padn, N), obs_b.dtype)])
+    nb = B_pad // blk
+    # Candidate-major row order per block: row a*blk + t, for BOTH W and m
+    W_rows = W_b.reshape(nb, blk, A, G).transpose(0, 2, 1, 3) \
+        .reshape(nb * A * blk, G)
+    m_rows = m_b.reshape(nb, blk, A, S).transpose(0, 2, 1, 3) \
+        .reshape(nb * A * blk, S)
+    call = _build_ll_call_dense(str(anchor2d.dtype), G, S, N, A, B_pad,
+                                blk, interpret)
+    return call(W_rows, m_rows, obs_b, anchor2d)[:B]
+
+
+def _make_ll_dense_custom_op(interpret):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(anchor2d, W, m, obs):
+        return _ll_batched_impl_dense(anchor2d, W[None], m[None],
+                                      obs[None], interpret)[0]
+
+    @op.def_vmap
+    def _op_vmap(axis_size, in_batched, anchor2d, W, m, obs):
+        if in_batched[0]:
+            anchor2d = anchor2d[0]
+        per_toy = []
+        for arg, batched in zip((W, m, obs), in_batched[1:]):
+            if not batched:
+                arg = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+            per_toy.append(arg)
+        return _ll_batched_impl_dense(anchor2d, *per_toy, interpret), True
+
+    return op
+
+
+def _get_ll_dense_op(interpret):
+    key = ('ll_dense', interpret)
+    if key not in _OP_CACHE:
+        _OP_CACHE[key] = _make_ll_dense_custom_op(interpret)
+    return _OP_CACHE[key]

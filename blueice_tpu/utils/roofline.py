@@ -389,10 +389,11 @@ def measure_op_mix(kind, chip='tpu-v5e', reps=None, grid=8,
 
 
 def measure_binned_kernel(G=81, S=6, N=3200, K=3, B=1024, chip='tpu-v5e',
-                          n_inner=None):
+                          n_inner=None, dense=None):
     """Microbenchmark the fused binned vgh kernel at ensemble batch size and
     return its roofline verdict (dispatch-amortized; see
-    :func:`_amortized_elapsed`)."""
+    :func:`_amortized_elapsed`). ``dense`` selects the kernel flavor
+    (None = the module default; see ops.fused.DENSE_DEFAULT)."""
     import jax
     from ..ops.fused import binned_vgh_fused
     interpret = jax.default_backend() != 'tpu'
@@ -400,7 +401,7 @@ def measure_binned_kernel(G=81, S=6, N=3200, K=3, B=1024, chip='tpu-v5e',
 
     fn = jax.jit(jax.vmap(lambda i, t, m, o: binned_vgh_fused(
         anchor, strides, [i[d] for d in range(K)], t, m, o,
-        interpret=interpret)))
+        interpret=interpret, dense=dense)))
 
     def run():
         out = fn(idx_b, t_b, m_b, obs_b)
@@ -411,7 +412,8 @@ def measure_binned_kernel(G=81, S=6, N=3200, K=3, B=1024, chip='tpu-v5e',
         lambda m: fn(idx_b, t_b, m, obs_b), m_b, n_inner)
     v = roofline_verdict(binned_vgh_cost(G, S, N, K), elapsed, B, chip)
     v.update(dispatch_s=dispatch_s, n_inner=n_inner)
-    v['kernel'] = 'binned_vgh_fused(G=%d,S=%d,N=%d,K=%d)' % (G, S, N, K)
+    v['kernel'] = 'binned_vgh_fused(G=%d,S=%d,N=%d,K=%d%s)' % (
+        G, S, N, K, ',dense' if dense else '')
     return v
 
 

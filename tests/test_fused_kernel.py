@@ -79,6 +79,86 @@ def test_fused_under_vmap():
                                    rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.parametrize("K", [0, 1, 2, 3, 4])
+def test_dense_flavor_matches_jnp(K):
+    """The dense (toy-vectorized, MXU-combine) kernel flavor agrees with the
+    jnp analytic engine. The combine is a real weighted matmul (not a
+    bit-exact one-hot extract), so accumulation order differs from the
+    gather flavor — tolerances are f32-roundoff-scaled rather than exact."""
+    tensor_p, anchor_flat, strides, idx, t, m, observed, K = _setup(K=K)
+
+    ll_f, g_f, H_f = binned_vgh_fused(anchor_flat, strides, idx, t, m,
+                                      observed, interpret=True, dense=True)
+
+    corners = (gather_corners(tensor_p, idx, K).reshape(
+        (2 ** K, anchor_flat.shape[1], anchor_flat.shape[2]))
+        if K else anchor_flat)
+    ll_j, g_j, H_j = binned_vgh(corners, m, t, observed)
+
+    np.testing.assert_allclose(float(ll_f), float(ll_j), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_j), rtol=1e-4,
+                               atol=1e-3 * float(np.abs(g_j).max()))
+    np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_j), rtol=1e-4,
+                               atol=1e-3 * float(np.abs(H_j).max()))
+
+
+def test_dense_flavor_under_vmap():
+    """Dense flavor vmapped over toys (the fitter's usage pattern), plus the
+    dense multi-candidate value kernel."""
+    from blueice_tpu.ops.binned_vgh import binned_ll
+    from blueice_tpu.ops.fused import binned_ll_fused_multi
+
+    tensor_p, anchor_flat, strides, idx, t, m, observed, K = _setup(K=2)
+    rng = np.random.default_rng(7)
+    n_toys = 5                       # non-multiple of TOY_BLOCK: pads
+    obs_b = jnp.asarray(pad_bins(
+        rng.poisson(3.0, (n_toys, 100)).astype(float)))
+    t_b = jnp.asarray(rng.random((n_toys, K)))
+    idx_b = jnp.asarray(rng.integers(0, 2, (n_toys, K)), jnp.int32)
+    m_b = jnp.asarray(rng.random((n_toys, 3)) * 10 + 1)
+
+    def one(idx, t, m, obs):
+        return binned_vgh_fused(anchor_flat, strides,
+                                [idx[d] for d in range(K)], t, m, obs,
+                                interpret=True, dense=True)
+
+    ll_b, g_b, H_b = jax.vmap(one)(idx_b, t_b, m_b, obs_b)
+    assert ll_b.shape == (n_toys,)
+
+    for i in range(n_toys):
+        corners = gather_corners(tensor_p, [idx_b[i, d] for d in range(K)],
+                                 K).reshape((4, 3, -1))
+        ll_j, g_j, H_j = binned_vgh(corners, m_b[i], t_b[i], obs_b[i])
+        np.testing.assert_allclose(float(ll_b[i]), float(ll_j), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_b[i]), np.asarray(g_j),
+                                   rtol=1e-4,
+                                   atol=1e-3 * float(np.abs(g_j).max()))
+        np.testing.assert_allclose(np.asarray(H_b[i]), np.asarray(H_j),
+                                   rtol=1e-4,
+                                   atol=1e-3 * float(np.abs(H_j).max()))
+
+    # dense multi-candidate value kernel vs binned_ll, vmapped over toys
+    A = 3
+    t_c = jnp.asarray(rng.random((n_toys, A, K)))
+    idx_c = jnp.asarray(rng.integers(0, 2, (n_toys, A, K)), jnp.int32)
+    m_c = jnp.asarray(rng.random((n_toys, A, 3)) * 10 + 1)
+
+    def many(idx, t, m, obs):
+        return binned_ll_fused_multi(anchor_flat, strides, idx, t, m, obs,
+                                     interpret=True, dense=True)
+
+    lls = jax.vmap(many)(idx_c, t_c, m_c, obs_b)
+    assert lls.shape == (n_toys, A)
+    for i in range(n_toys):
+        for a in range(A):
+            corners = gather_corners(
+                tensor_p, [idx_c[i, a, d] for d in range(K)],
+                K).reshape((4, 3, -1))
+            ll_j = binned_ll(corners, m_c[i, a], t_c[i, a], obs_b[i])
+            np.testing.assert_allclose(float(lls[i, a]), float(ll_j),
+                                       rtol=1e-5)
+
+
 def test_pad_and_support_check():
     assert pad_bins(np.ones((3, 100))).shape == (3, 128)
     assert pad_bins(np.ones((3, 128))).shape == (3, 128)

@@ -785,6 +785,12 @@ def make_records(results, done, elapsed_s):
     for name, v in results.items():
         if not isinstance(v, dict):
             continue
+        if 'skipped' in v:
+            # Budget-skipped = not measured: already visible as the skip
+            # marker and via complete=false; flagging it as a throughput
+            # regression too would misreport (round-5 run: bblite/band/mcmc
+            # skips landed in floors_failed)
+            continue
         r = (v.get('fits_per_sec') or v.get('limits_per_sec')
              or v.get('walker_steps_per_sec'))
         if r is None and 'seconds_warm' in v:
@@ -943,9 +949,13 @@ def main():
     # persistent cache actual costs are far lower, so nothing gets skipped.
     cold = not _cache_is_warm()
     est = (lambda c_cold, c_warm: c_cold if cold else c_warm)
+    # Scenario steps first, diagnostics (roofline) LAST: a round-5 full run
+    # lost four scenarios to budget skips because the roofline probes hit
+    # cold compiles mid-run (443 s against a 60 s warm estimate) ahead of
+    # them in the queue. The measured scenarios are what the record is
+    # judged on; the probe table must never starve them.
     steps = [
         ('gauss', lambda: run_scenario('gauss', n_toys), est(420, 150)),
-        ('roofline', roofline_record, est(120, 60)),
         ('unbinned', lambda: run_scenario('unbinned'), est(200, 90)),
         ('xenon', lambda: run_scenario('xenon'), est(220, 80)),
         ('unbinned_xenon', lambda: run_scenario('unbinned_xenon'),
@@ -958,6 +968,7 @@ def main():
         ('band', bench_band, est(380, 200)),
         ('interval', bench_interval, est(240, 110)),
         ('mcmc', bench_mcmc, est(220, 95)),
+        ('roofline', roofline_record, est(450, 90)),
     ]
     for name, fn, estimate in steps:
         if name != 'gauss' and _remaining() < estimate:
@@ -974,7 +985,10 @@ def main():
             log("[%s] FAILED: %r" % (name, e))
             results[name] = dict(error=repr(e))
         emit()
-    emit(done=all('skipped' not in v for v in results.values()))
+    # 'roofline' is a diagnostics table, not a measured scenario — a budget
+    # skip there (marked in the record) must not flag the run incomplete
+    emit(done=all('skipped' not in v for k, v in results.items()
+                  if k != 'roofline'))
 
 
 if __name__ == '__main__':

@@ -58,8 +58,35 @@ TOY_BLOCK = 8
 # per toy. Same HBM traffic (the anchor tensor is resident either way);
 # ~G/2^K more combine flops, but on the MXU and free of the per-toy serial
 # small-op chains that bound the gather kernel at ~32% of its mix ceiling.
-DENSE_DEFAULT = os.environ.get('BLUEICE_FUSED_DENSE', '0').lower() \
+# Measured A/B at XENON scale (G=81, S=6, N=3200, K=4, B=512, v5e,
+# dispatch-amortized; examples/ab_dense_kernel.py): vgh 2.26 ms -> 1.00 ms
+# per 512-toy call (2.26x), 12-candidate value kernel 3.16 ms -> 1.01 ms
+# (3.1x) — so dense is the default. BLUEICE_FUSED_DENSE=0 restores the
+# gather flavor.
+DENSE_DEFAULT = os.environ.get('BLUEICE_FUSED_DENSE', '1').lower() \
     not in ('0', '', 'false')
+
+# MXU pass count for the dense kernels' combine matmuls. On TPU, DEFAULT
+# f32 dot runs one bf16 pass (~1e-3 relative combine error — visibly
+# shifts the near-degenerate XENON t statistic); HIGHEST runs 6 bf16
+# passes (f32-faithful). Measured on the v5e at XENON scale the HIGHEST
+# matmul still beats the gather flavor's serial VPU combine by a wide
+# margin, so fidelity is the default.
+_PREC = {'default': jax.lax.Precision.DEFAULT,
+         'high': jax.lax.Precision.HIGH,
+         'highest': jax.lax.Precision.HIGHEST}
+DENSE_PRECISION = _PREC[os.environ.get('BLUEICE_FUSED_DENSE_PRECISION',
+                                       'highest').lower()]
+
+
+def resolve_dense(dense):
+    """Kernel-flavor default: explicit ``dense=`` wins; otherwise dense on
+    the TPU backend (where the MXU combine measured 1.4-1.7x faster), gather
+    elsewhere (bit-exact corner combine — what the interpret-mode parity
+    oracles pin)."""
+    if dense is not None:
+        return bool(dense)
+    return DENSE_DEFAULT and jax.default_backend() == 'tpu'
 
 
 def _round_up(x, m):
@@ -358,9 +385,7 @@ def binned_ll_fused_multi(anchor_flat, strides, idx, t, m, observed,
         jnp.asarray(t, dt)) if K
         else jnp.ones((A, 1), dtype=dt))                       # (A, C)
 
-    if dense is None:
-        dense = DENSE_DEFAULT
-    if dense:
+    if resolve_dense(dense):
         ids_c = jnp.clip(ids, 0, G - 1)
         onehot = (ids_c[:, :, None]
                   == jnp.arange(G, dtype=jnp.int32)[None, None, :]) \
@@ -535,9 +560,7 @@ def binned_vgh_fused(anchor_flat, strides, idx, t, m, observed,
     wx_in = (jnp.stack([wx[d, e] for d, e in pairs]).astype(dt)
              if pairs else jnp.zeros((1, C), dt))
 
-    if dense is None:
-        dense = DENSE_DEFAULT
-    if dense:
+    if resolve_dense(dense):
         W = _dense_combine_rows(ids, w.astype(dt), wd, wx, pairs, K, G, dt)
         op = _get_dense_op(bool(interpret))
         return op(anchor_flat.reshape(G, S * N), W, jnp.asarray(m, dt),
@@ -593,6 +616,7 @@ def _vgh_kernel_dense(w_ref, m_ref, obs_ref, anchor_hbm, ll_ref, g_ref,
 
     res = jax.lax.dot_general(w_ref[:], scratch_ref[:],
                               (((1,), (0,)), ((), ())),
+                              precision=DENSE_PRECISION,
                               preferred_element_type=dtype)  # (J*blk, S*N)
 
     def comp(j):                                             # (blk, S*N)
@@ -684,6 +708,7 @@ def _ll_kernel_dense(w_ref, m_ref, obs_ref, anchor_hbm, ll_ref,
         res_s = jax.lax.dot_general(
             w_ref[:], scratch_ref[:, s * N:(s + 1) * N],
             (((1,), (0,)), ((), ())),
+            precision=DENSE_PRECISION,
             preferred_element_type=dtype)                    # (A*blk, N)
         term = res_s * m[:, s:s + 1]
         lam = term if lam is None else lam + term

@@ -33,7 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binned_vgh import corner_weight_tables
-from .fused import VMEM_LIMIT, corner_ids, corner_ids_batched
+from . import fused
+from .fused import (VMEM_LIMIT, corner_ids, corner_ids_batched,
+                    _dense_combine_rows)
 from .bb_lite import _per_bin_parts
 
 __all__ = ['binned_bblite_vgh_fused', 'binned_bblite_ll_fused_multi',
@@ -404,12 +406,336 @@ def _get_bblite_ll_op(interpret):
     return op
 
 
+# ---------------------------------------------------------------------------
+# Dense (toy-vectorized, MXU-combine) kernel flavor — same design as
+# ops/fused.py's dense kernels: per grid step, the corner combines of ALL
+# components x toys run as matmuls of dense (J, G) weight rows against the
+# two resident tensors, and the per-bin closed forms run on (blk, N) blocks
+# instead of per toy. See ops/fused.py DENSE_DEFAULT for the measured A/B.
+# ---------------------------------------------------------------------------
+
+def _bblite_vgh_kernel_dense(w_ref, m_ref, obs_ref, anchor_hbm, nme_hbm,
+                             ll_ref, g_ref, h_ref, scr_ps, scr_nme,
+                             sem_ps, sem_nme, *, S, K, pairs, blk, N):
+    """Toy-vectorized lite kernel: w (J*blk, G) dense combine rows,
+    component-major (row j*blk + t); m (blk, S); obs (blk, N);
+    anchors (G, S*N) pmf + (G, N) total-count rows resident in VMEM."""
+    dtype = scr_ps.dtype
+    P_dim = S + K
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_anchor():
+        dma = pltpu.make_async_copy(anchor_hbm, scr_ps, sem_ps)
+        dma.start()
+        dma2 = pltpu.make_async_copy(nme_hbm, scr_nme, sem_nme)
+        dma2.start()
+        dma.wait()
+        dma2.wait()
+
+    W = w_ref[:]
+    res_ps = jax.lax.dot_general(W, scr_ps[:], (((1,), (0,)), ((), ())),
+                                 precision=fused.DENSE_PRECISION,
+                                 preferred_element_type=dtype)  # (J*blk,S*N)
+    res_nme = jax.lax.dot_general(W, scr_nme[:], (((1,), (0,)), ((), ())),
+                                  precision=fused.DENSE_PRECISION,
+                                  preferred_element_type=dtype)  # (J*blk,N)
+
+    def comp(j):
+        return res_ps[j * blk:(j + 1) * blk, :]                # (blk, S*N)
+
+    def compn(j):
+        return res_nme[j * blk:(j + 1) * blk, :]               # (blk, N)
+
+    def src(block, s):
+        return block[:, s * N:(s + 1) * N]                     # (blk, N)
+
+    def msum(block):
+        acc = src(block, 0) * m[:, 0:1]
+        for s in range(1, S):
+            acc = acc + src(block, s) * m[:, s:s + 1]
+        return acc
+
+    def rsum(x):
+        return jnp.sum(x, axis=1, keepdims=True)               # (blk, 1)
+
+    m = m_ref[:]                                               # (blk, S)
+    obs = obs_ref[:]                                           # (blk, N)
+
+    Pm = comp(0)
+    Mn = compn(0)                                              # (blk, N)
+    lam = msum(Pm)
+    value, f_lam, f_M, H_ll, H_lM, H_MM = _per_bin_parts(lam, Mn, obs,
+                                                         dtype)
+    ll_ref[:] = rsum(value)
+
+    Ps = [src(Pm, s) for s in range(S)]
+    g_cols = [rsum(Ps[s] * f_lam) for s in range(S)]
+    if K:
+        D = [comp(1 + d) for d in range(K)]
+        DM = [compn(1 + d) for d in range(K)]
+        Dbar = [msum(D[d]) for d in range(K)]
+        g_cols += [rsum(Dbar[d] * f_lam + DM[d] * f_M) for d in range(K)]
+    g_ref[:] = jnp.concatenate(g_cols, axis=1)                 # (blk, P)
+
+    # Hessian entries (symmetric halves once). GM rows vanish for rates,
+    # so the rate-rate block only sees H_ll.
+    ent = {}
+    PH = [Ps[s] * H_ll for s in range(S)]
+    for s in range(S):
+        for s2 in range(s, S):
+            ent[(s, s2)] = rsum(PH[s] * Ps[s2])
+    if K:
+        for s in range(S):
+            for d in range(K):
+                ent[(s, S + d)] = (
+                    rsum(Ps[s] * (H_ll * Dbar[d] + H_lM * DM[d]))
+                    + rsum(src(D[d], s) * f_lam))
+        for d in range(K):
+            for e in range(d, K):
+                val = rsum(H_ll * Dbar[d] * Dbar[e]
+                           + H_lM * (Dbar[d] * DM[e] + DM[d] * Dbar[e])
+                           + H_MM * DM[d] * DM[e])
+                if d != e:
+                    pi = pairs.index((d, e))
+                    X = comp(1 + K + pi)
+                    XM = compn(1 + K + pi)
+                    val = val + rsum(msum(X) * f_lam + XM * f_M)
+                ent[(S + d, S + e)] = val
+    rows = []
+    for i in range(P_dim):
+        cols = [ent[(min(i, j), max(i, j))] for j in range(P_dim)]
+        rows.append(jnp.concatenate(cols, axis=1)[:, None, :])
+    h_ref[:] = jnp.concatenate(rows, axis=1)                   # (blk, P, P)
+
+
+def _bblite_ll_kernel_dense(w_ref, m_ref, obs_ref, anchor_hbm, nme_hbm,
+                            ll_ref, scr_ps, scr_nme, sem_ps, sem_nme,
+                            *, S, A, blk, N):
+    """Toy-vectorized lite value kernel: w (A*blk, G) dense value rows,
+    candidate-major (row a*blk + t); m (A*blk, S) in the SAME row order;
+    obs (blk, N); out ll (blk, A)."""
+    dtype = scr_ps.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_anchor():
+        dma = pltpu.make_async_copy(anchor_hbm, scr_ps, sem_ps)
+        dma.start()
+        dma2 = pltpu.make_async_copy(nme_hbm, scr_nme, sem_nme)
+        dma2.start()
+        dma.wait()
+        dma2.wait()
+
+    W = w_ref[:]
+    m = m_ref[:]                                               # (A*blk, S)
+    lam = None
+    for s in range(S):
+        res_s = jax.lax.dot_general(
+            W, scr_ps[:, s * N:(s + 1) * N], (((1,), (0,)), ((), ())),
+            precision=fused.DENSE_PRECISION,
+            preferred_element_type=dtype)                      # (A*blk, N)
+        term = res_s * m[:, s:s + 1]
+        lam = term if lam is None else lam + term
+    Mn = jax.lax.dot_general(W, scr_nme[:], (((1,), (0,)), ((), ())),
+                             precision=fused.DENSE_PRECISION,
+                             preferred_element_type=dtype)     # (A*blk, N)
+
+    obs = obs_ref[:]                                           # (blk, N)
+    for a in range(A):
+        value = _per_bin_parts(lam[a * blk:(a + 1) * blk, :],
+                               Mn[a * blk:(a + 1) * blk, :], obs, dtype)[0]
+        ll_ref[:, a:a + 1] = jnp.sum(value, axis=1, keepdims=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bblite_vgh_call_dense(dtype_name, G, S, N, J, B, blk, K,
+                                 interpret):
+    pairs = tuple((d, e) for d in range(K) for e in range(d + 1, K))
+    P_dim = S + K
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_bblite_vgh_kernel_dense, S=S, K=K,
+                             pairs=pairs, blk=blk, N=N)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=(jax.ShapeDtypeStruct((B, 1), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim, P_dim), dtype)),
+        in_specs=[
+            pl.BlockSpec((J * blk, G), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # dense rows
+            pl.BlockSpec((blk, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # m
+            pl.BlockSpec((blk, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # obs
+            pl.BlockSpec(memory_space=pl.ANY),                 # pmf anchors
+            pl.BlockSpec(memory_space=pl.ANY),                 # count rows
+        ],
+        out_specs=(pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((blk, P_dim), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((blk, P_dim, P_dim), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((G, S * N), dtype),
+                        pltpu.VMEM((G, N), dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bblite_ll_call_dense(dtype_name, G, S, N, A, B, blk, interpret):
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_bblite_ll_kernel_dense, S=S, A=A, blk=blk,
+                             N=N)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=jax.ShapeDtypeStruct((B, A), dtype),
+        in_specs=[
+            pl.BlockSpec((A * blk, G), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # dense rows
+            pl.BlockSpec((A * blk, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # m (row order)
+            pl.BlockSpec((blk, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # obs
+            pl.BlockSpec(memory_space=pl.ANY),                 # pmf anchors
+            pl.BlockSpec(memory_space=pl.ANY),                 # count rows
+        ],
+        out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((G, S * N), dtype),
+                        pltpu.VMEM((G, N), dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )
+
+
+def _bblite_vgh_batched_impl_dense(anchor2d, nme_flat, W_b, m_b, obs_b, K,
+                                   interpret):
+    """W_b (B, J, G) dense combine rows -> (ll (B,), g, H)."""
+    G, SN = anchor2d.shape
+    B, J, _ = W_b.shape
+    S = m_b.shape[1]
+    N = SN // S
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    if B_pad != B:
+        padn = B_pad - B
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((padn,) + x.shape[1:], x.dtype)])
+        W_b, m_b, obs_b = map(pad, (W_b, m_b, obs_b))
+    nb = B_pad // blk
+    W_rows = W_b.reshape(nb, blk, J, G).transpose(0, 2, 1, 3) \
+        .reshape(nb * J * blk, G)
+    call = _build_bblite_vgh_call_dense(str(anchor2d.dtype), G, S, N, J,
+                                        B_pad, blk, K, interpret)
+    ll, g, H = call(W_rows, m_b, obs_b, anchor2d, nme_flat)
+    return ll[:B, 0], g[:B], H[:B]
+
+
+def _bblite_ll_batched_impl_dense(anchor2d, nme_flat, W_b, m_b, obs_b,
+                                  interpret):
+    """W_b (B, A, G) dense value rows, m_b (B, A, S) -> ll (B, A)."""
+    G, SN = anchor2d.shape
+    B, A, _ = W_b.shape
+    S = m_b.shape[2]
+    N = SN // S
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    if B_pad != B:
+        padn = B_pad - B
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((padn,) + x.shape[1:], x.dtype)])
+        W_b, m_b, obs_b = map(pad, (W_b, m_b, obs_b))
+    nb = B_pad // blk
+    W_rows = W_b.reshape(nb, blk, A, G).transpose(0, 2, 1, 3) \
+        .reshape(nb * A * blk, G)
+    m_rows = m_b.reshape(nb, blk, A, S).transpose(0, 2, 1, 3) \
+        .reshape(nb * A * blk, S)
+    call = _build_bblite_ll_call_dense(str(anchor2d.dtype), G, S, N, A,
+                                       B_pad, blk, interpret)
+    return call(W_rows, m_rows, obs_b, anchor2d, nme_flat)[:B]
+
+
+def _get_bblite_dense_op(interpret):
+    from jax.custom_batching import custom_vmap
+
+    key = ('vgh_dense', bool(interpret))
+    if key in _OP_CACHE:
+        return _OP_CACHE[key]
+
+    @custom_vmap
+    def op(anchor2d, nme_flat, W, m, obs):
+        K = fused._k_of_j(W.shape[0])
+        ll, g, H = _bblite_vgh_batched_impl_dense(
+            anchor2d, nme_flat, W[None], m[None], obs[None], K, interpret)
+        return ll[0], g[0], H[0]
+
+    @op.def_vmap
+    def _op_vmap(axis_size, in_batched, anchor2d, nme_flat, W, m, obs):
+        if in_batched[0]:
+            anchor2d = anchor2d[0]
+        if in_batched[1]:
+            nme_flat = nme_flat[0]
+        per_toy = []
+        for arg, batched in zip((W, m, obs), in_batched[2:]):
+            if not batched:
+                arg = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+            per_toy.append(arg)
+        K = fused._k_of_j(per_toy[0].shape[1])
+        out = _bblite_vgh_batched_impl_dense(anchor2d, nme_flat, *per_toy,
+                                             K=K, interpret=interpret)
+        return out, (True, True, True)
+
+    _OP_CACHE[key] = op
+    return op
+
+
+def _get_bblite_ll_dense_op(interpret):
+    from jax.custom_batching import custom_vmap
+
+    key = ('ll_dense', bool(interpret))
+    if key in _OP_CACHE:
+        return _OP_CACHE[key]
+
+    @custom_vmap
+    def op(anchor2d, nme_flat, W, m, obs):
+        return _bblite_ll_batched_impl_dense(
+            anchor2d, nme_flat, W[None], m[None], obs[None], interpret)[0]
+
+    @op.def_vmap
+    def _op_vmap(axis_size, in_batched, anchor2d, nme_flat, W, m, obs):
+        if in_batched[0]:
+            anchor2d = anchor2d[0]
+        if in_batched[1]:
+            nme_flat = nme_flat[0]
+        per_toy = []
+        for arg, batched in zip((W, m, obs), in_batched[2:]):
+            if not batched:
+                arg = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+            per_toy.append(arg)
+        out = _bblite_ll_batched_impl_dense(anchor2d, nme_flat, *per_toy,
+                                            interpret)
+        return out, True
+
+    _OP_CACHE[key] = op
+    return op
+
+
 def binned_bblite_vgh_fused(anchor_flat, nme_flat, strides, idx, t, m,
-                            observed, interpret=False):
+                            observed, interpret=False, dense=None):
     """Fused Barlow-Beeston-lite (ll, g, H) via the Pallas kernel. Same
     contract as :func:`blueice_tpu.ops.bb_lite.binned_bblite_vgh`, but
     gathers the corner templates itself from the flattened-grid anchor
-    tensors.
+    tensors. ``dense`` selects the toy-vectorized MXU-combine flavor
+    (None = ops.fused.DENSE_DEFAULT).
 
     :param anchor_flat: (G, S, N) pmf anchor templates, N a multiple of 128.
     :param nme_flat: (G, N) TOTAL MC-count anchor rows (pre-summed over
@@ -436,13 +762,19 @@ def binned_bblite_vgh_fused(anchor_flat, nme_flat, strides, idx, t, m,
     wx_in = (jnp.stack([wx[d, e] for d, e in pairs]).astype(dt)
              if pairs else jnp.zeros((1, C), dt))
 
+    if fused.resolve_dense(dense):
+        W = _dense_combine_rows(ids, w.astype(dt), wd, wx, pairs, K, G, dt)
+        op = _get_bblite_dense_op(bool(interpret))
+        return op(anchor_flat.reshape(G, S * N), nme_flat, W,
+                  jnp.asarray(m, dt), jnp.asarray(observed, dt))
+
     op = _get_bblite_op(bool(interpret))
     return op(anchor_flat, nme_flat, ids, w.astype(dt), wd_in, wx_in,
               jnp.asarray(m, dt), jnp.asarray(observed, dt))
 
 
 def binned_bblite_ll_fused_multi(anchor_flat, nme_flat, strides, idx, t, m,
-                                 observed, interpret=False):
+                                 observed, interpret=False, dense=None):
     """Lite deviance-form LL at A parameter candidates sharing one dataset.
 
     :param idx: (A, K) int32 lower corners; t: (A, K) lerp weights;
@@ -462,6 +794,19 @@ def binned_bblite_ll_fused_multi(anchor_flat, nme_flat, strides, idx, t, m,
     w = (jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
         jnp.asarray(t, dt)) if K
         else jnp.ones((A, 1), dtype=dt))                       # (A, C)
+
+    if fused.resolve_dense(dense):
+        ids_c = jnp.clip(ids, 0, G - 1)
+        onehot = (ids_c[:, :, None]
+                  == jnp.arange(G, dtype=jnp.int32)[None, None, :]) \
+            .astype(dt)                                        # (A, C, G)
+        W = jax.lax.dot_general(w.astype(dt), onehot,
+                                (((1,), (1,)), ((0,), (0,))),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=dt)     # (A, G)
+        op = _get_bblite_ll_dense_op(bool(interpret))
+        return op(anchor_flat.reshape(G, S * N), nme_flat, W,
+                  jnp.asarray(m, dt), jnp.asarray(observed, dt))
 
     op = _get_bblite_ll_op(bool(interpret))
     return op(anchor_flat, nme_flat, ids, w, jnp.asarray(m, dt),

@@ -23,9 +23,8 @@ def main():
         v = roofline.measure_binned_kernel(G=81, S=6, N=3200, K=K, B=B,
                                            dense=dense)
         key = 'vgh_dense' if dense else 'vgh_gather'
-        out[key] = {k: v[k] for k in
-                    ('gflop_per_s', 'frac_of_roof', 'elapsed_per_call_s',
-                     'kernel') if k in v}
+        out[key] = {k: (round(x, 6) if isinstance(x, float) else x)
+                    for k, x in v.items()}
         print(key, json.dumps(out[key]))
 
     # multi-candidate value kernel, A=12 (the newton candidate batch size)

@@ -129,6 +129,95 @@ def test_fused_bblite_ll_multi_matches_jnp(K):
         np.testing.assert_allclose(float(lls[a]), float(ll_j), rtol=1e-10)
 
 
+@pytest.mark.parametrize("K", [0, 1, 2, 3])
+def test_dense_flavor_bblite_vgh_matches_jnp(K):
+    """The dense (toy-vectorized, MXU-combine) lite flavor agrees with the
+    jnp analytic engine. The combine is a real weighted matmul, so
+    tolerances are f32-roundoff-scaled rather than exact (see the binned
+    dense tests in test_fused_kernel.py)."""
+    S = 3
+    (anchor, nme_tot, anchor_grid, nme_grid, strides, grid_shape,
+     obs) = _setup(K=K)
+    rng = np.random.default_rng(11)
+    idx = [jnp.asarray(rng.integers(0, g - 1), jnp.int32)
+           for g in grid_shape]
+    t = jnp.asarray(rng.uniform(0, 1, K))
+    m = jnp.asarray(rng.uniform(1, 10, S))
+
+    ll_f, g_f, H_f = binned_bblite_vgh_fused(
+        anchor, nme_tot, strides, idx, t, m, obs, interpret=True,
+        dense=True)
+
+    cps = gather_corners(anchor_grid, idx, K) if K else anchor
+    cnme = (gather_corners(nme_grid, idx, K) if K
+            else nme_grid.reshape(1, S, -1))
+    ll_j, g_j, H_j = binned_bblite_vgh(cps, cnme, m, t, obs)
+
+    np.testing.assert_allclose(float(ll_f), float(ll_j), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_j), rtol=1e-4,
+                               atol=1e-3 * float(np.abs(g_j).max()))
+    np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_j), rtol=1e-3,
+                               atol=1e-3 * float(np.abs(H_j).max()))
+    np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_f).T,
+                               atol=1e-5 * float(np.abs(H_j).max()))
+
+
+def test_dense_flavor_bblite_vmap_and_multi():
+    """Dense lite flavor under vmap (non-multiple-of-block batch) plus the
+    dense multi-candidate value kernel."""
+    K, S = 2, 3
+    (anchor, nme_tot, anchor_grid, nme_grid, strides, grid_shape,
+     obs) = _setup(K=K)
+    rng = np.random.default_rng(3)
+    B = 5
+    idxs = jnp.asarray(
+        np.stack([rng.integers(0, g - 1, B) for g in grid_shape], axis=1),
+        jnp.int32)
+    ts = jnp.asarray(rng.uniform(0, 1, (B, K)))
+    ms = jnp.asarray(rng.uniform(1, 10, (B, S)))
+    obs_b = jnp.asarray(rng.poisson(3.0, (B,) + obs.shape).astype(float))
+    obs_b = obs_b * (jnp.asarray(np.asarray(anchor).sum((0, 1)))[None] > 0)
+
+    ll_b, g_b, H_b = jax.vmap(
+        lambda i, t, m, o: binned_bblite_vgh_fused(
+            anchor, nme_tot, strides, [i[d] for d in range(K)], t, m, o,
+            interpret=True, dense=True))(idxs, ts, ms, obs_b)
+
+    for b in range(B):
+        idx = [idxs[b, d] for d in range(K)]
+        cps = gather_corners(anchor_grid, idx, K)
+        cnme = gather_corners(nme_grid, idx, K)
+        ll_j, g_j, H_j = binned_bblite_vgh(cps, cnme, ms[b], ts[b],
+                                           obs_b[b])
+        np.testing.assert_allclose(float(ll_b[b]), float(ll_j), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_b[b]), np.asarray(g_j),
+                                   rtol=1e-4,
+                                   atol=1e-3 * float(np.abs(g_j).max()))
+        np.testing.assert_allclose(np.asarray(H_b[b]), np.asarray(H_j),
+                                   rtol=1e-3,
+                                   atol=1e-3 * float(np.abs(H_j).max()))
+
+    A = 4
+    idx_c = jnp.asarray(
+        np.stack([rng.integers(0, g - 1, (B, A)) for g in grid_shape],
+                 axis=2), jnp.int32)
+    t_c = jnp.asarray(rng.uniform(0, 1, (B, A, K)))
+    m_c = jnp.asarray(rng.uniform(1, 10, (B, A, S)))
+    lls = jax.vmap(lambda i, t, m, o: binned_bblite_ll_fused_multi(
+        anchor, nme_tot, strides, i, t, m, o, interpret=True,
+        dense=True))(idx_c, t_c, m_c, obs_b)
+    assert lls.shape == (B, A)
+    for b in range(B):
+        for a in range(A):
+            idx = [idx_c[b, a, d] for d in range(K)]
+            cps = gather_corners(anchor_grid, idx, K)
+            cnme = gather_corners(nme_grid, idx, K)
+            ll_j = binned_bblite_ll(cps, cnme, m_c[b, a], t_c[b, a],
+                                    obs_b[b])
+            np.testing.assert_allclose(float(lls[b, a]), float(ll_j),
+                                       rtol=1e-5)
+
+
 def test_fused_bblite_support_check():
     assert fused_bblite_supported((16, 6, 3100))
     assert not fused_bblite_supported((500, 20, 10000))

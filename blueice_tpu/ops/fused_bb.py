@@ -32,7 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binned_vgh import corner_weight_tables
-from .fused import VMEM_LIMIT, corner_ids, corner_ids_batched
+from . import fused
+from .fused import (VMEM_LIMIT, corner_ids, corner_ids_batched,
+                    _dense_combine_rows)
 from .bb_vgh import bb_lam_parts, bb_lambda
 
 __all__ = ['binned_bb_vgh_fused', 'binned_bb_ll_fused_multi',
@@ -443,8 +445,402 @@ def _get_bb_ll_op(bb_i, interpret):
     return op
 
 
+# ---------------------------------------------------------------------------
+# Dense (toy-vectorized, MXU-combine) kernel flavor — same design as
+# ops/fused.py's dense kernels: the corner combines of all components x toys
+# of a grid step run as matmuls of dense (J, G) weight rows against the two
+# resident tensors, and all per-bin math (including the closed-form BB root
+# and its implicit derivatives, which are elementwise and broadcast-safe)
+# runs on (blk, N) blocks instead of per toy. The per-toy scalars M (bb
+# rate) and T (total MC counts) ride along as (blk, 1) columns.
+# ---------------------------------------------------------------------------
+
+def _bb_vgh_kernel_dense(w_ref, m_ref, obs_ref, anchor_hbm, nme_hbm,
+                         ll_ref, g_ref, h_ref, scr_ps, scr_nme,
+                         sem_ps, sem_nme, *, S, K, pairs, blk, bb_i, N):
+    """Toy-vectorized BB kernel: w (J*blk, G) dense combine rows,
+    component-major (row j*blk + t); m (blk, S); obs (blk, N)."""
+    dtype = scr_ps.dtype
+    P_dim = S + K
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_anchor():
+        dma = pltpu.make_async_copy(anchor_hbm, scr_ps, sem_ps)
+        dma.start()
+        dma2 = pltpu.make_async_copy(nme_hbm, scr_nme, sem_nme)
+        dma2.start()
+        dma.wait()
+        dma2.wait()
+
+    W = w_ref[:]
+    res_ps = jax.lax.dot_general(W, scr_ps[:], (((1,), (0,)), ((), ())),
+                                 precision=fused.DENSE_PRECISION,
+                                 preferred_element_type=dtype)  # (J*blk,S*N)
+    res_nme = jax.lax.dot_general(W, scr_nme[:], (((1,), (0,)), ((), ())),
+                                  precision=fused.DENSE_PRECISION,
+                                  preferred_element_type=dtype)  # (J*blk,N)
+
+    def comp(j):
+        return res_ps[j * blk:(j + 1) * blk, :]                # (blk, S*N)
+
+    def compn(j):
+        return res_nme[j * blk:(j + 1) * blk, :]               # (blk, N)
+
+    def src(block, s):
+        return block[:, s * N:(s + 1) * N]                     # (blk, N)
+
+    def osum(block):
+        """Other-source (s != bb_i) m-weighted sum: -> (blk, N)."""
+        acc = None
+        for s in range(S):
+            if s == bb_i:
+                continue
+            term = src(block, s) * m[:, s:s + 1]
+            acc = term if acc is None else acc + term
+        return acc if acc is not None else jnp.zeros_like(obs)
+
+    def rsum(x):
+        return jnp.sum(x, axis=1, keepdims=True)               # (blk, 1)
+
+    m = m_ref[:]                                               # (blk, S)
+    obs = obs_ref[:]                                           # (blk, N)
+
+    Pm = comp(0)
+    Nb = compn(0)                                              # (blk, N)
+    U = osum(Pm)
+    Pb = src(Pm, bb_i)
+    T = rsum(Nb)                                               # (blk, 1)
+    Mcol = m[:, bb_i:bb_i + 1]                                 # (blk, 1)
+
+    lam, gam, om = bb_lam_parts(Pb, Nb, U, Mcol, T, obs)
+    tiny = jnp.finfo(dtype).tiny
+    lam_safe = jnp.maximum(lam, tiny)
+    k_safe = jnp.where(obs > 0, obs, 1.0)
+    ll_ref[:] = rsum(obs * jnp.log(lam_safe / k_safe) - (lam - obs))
+
+    inv_lam = 1.0 / lam_safe
+    r = obs * inv_lam - 1.0
+    q = (obs * inv_lam) * inv_lam
+
+    # Per-parameter input-space derivative components: comps[p] maps input
+    # index v (0 bb pmf, 1 bb counts, 2 other-source U, 3 bb rate M,
+    # 4 total MC T) to d(input_v)/d(param p) — (blk, N), (blk, 1), or the
+    # literal 1.0. Parameter order [m_1..S, t_1..K].
+    # None marks an identically-1 component (the bb rate row)
+    comps = [dict() for _ in range(P_dim)]
+    for s in range(S):
+        if s == bb_i:
+            comps[s][3] = None
+        else:
+            comps[s][2] = src(Pm, s)
+    if K:
+        D = [comp(1 + k) for k in range(K)]
+        DN = [compn(1 + k) for k in range(K)]
+        for k in range(K):
+            comps[S + k][0] = src(D[k], bb_i)                  # Dpb
+            comps[S + k][1] = DN[k]
+            comps[S + k][2] = osum(D[k])                       # DU
+            comps[S + k][4] = rsum(DN[k])                      # SN (blk, 1)
+
+    def dlam_of(p):
+        acc = None
+        for v, a in comps[p].items():
+            term = gam[v] if a is None else gam[v] * a
+            acc = term if acc is None else acc + term
+        return acc
+
+    dlam = [dlam_of(p) for p in range(P_dim)]
+    g_ref[:] = jnp.concatenate([rsum(dlam[p] * r) for p in range(P_dim)],
+                               axis=1)
+
+    # Hessian: H[p,p'] = sum_n [ -q dlam_p dlam_p'
+    #   + r * sum_{(v,w)} om_vw (Gv_p Gw_p' + (v != w) Gw_p Gv_p') ]
+    #   + second-derivative (T2) terms
+    ro = {vw: r * o for vw, o in om.items()}
+    dq = [dlam[p] * q for p in range(P_dim)]
+
+    def _mul(a, b):
+        """Product of two components, None meaning identically 1."""
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a * b
+
+    ent = {}
+    for p in range(P_dim):
+        for p2 in range(p, P_dim):
+            expr = -dq[p] * dlam[p2]
+            for (v, w), c in ro.items():
+                for vv, ww in (((v, w),) if v == w else ((v, w), (w, v))):
+                    if vv in comps[p] and ww in comps[p2]:
+                        ab = _mul(comps[p][vv], comps[p2][ww])
+                        expr = expr + (c if ab is None else c * ab)
+            ent[(p, p2)] = rsum(expr)
+
+    # T2 terms (second derivatives of the inputs w.r.t. parameters)
+    if K:
+        rg0, rg1, rg2 = r * gam[0], r * gam[1], r * gam[2]
+        s_rg4 = rsum(r * gam[4])                               # (blk, 1)
+        for s in range(S):
+            if s == bb_i:
+                continue
+            for k in range(K):
+                ent[(s, S + k)] = ent[(s, S + k)] \
+                    + rsum(src(D[k], s) * rg2)
+        for pi, (d_, e_) in enumerate(pairs):
+            X = comp(1 + K + pi)
+            XN = compn(1 + K + pi)
+            xr = (rsum(rg0 * src(X, bb_i) + rg1 * XN + rg2 * osum(X))
+                  + s_rg4 * rsum(XN))
+            ent[(S + d_, S + e_)] = ent[(S + d_, S + e_)] + xr
+
+    rows = []
+    for i in range(P_dim):
+        cols = [ent[(min(i, j), max(i, j))] for j in range(P_dim)]
+        rows.append(jnp.concatenate(cols, axis=1)[:, None, :])
+    h_ref[:] = jnp.concatenate(rows, axis=1)                   # (blk, P, P)
+
+
+def _bb_ll_kernel_dense(w_ref, m_ref, obs_ref, anchor_hbm, nme_hbm,
+                        ll_ref, scr_ps, scr_nme, sem_ps, sem_nme,
+                        *, S, A, blk, bb_i, N):
+    """Toy-vectorized BB value kernel: w (A*blk, G) dense value rows,
+    candidate-major (row a*blk + t); m (A*blk, S) in the SAME row order;
+    obs (blk, N); out ll (blk, A)."""
+    dtype = scr_ps.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_anchor():
+        dma = pltpu.make_async_copy(anchor_hbm, scr_ps, sem_ps)
+        dma.start()
+        dma2 = pltpu.make_async_copy(nme_hbm, scr_nme, sem_nme)
+        dma2.start()
+        dma.wait()
+        dma2.wait()
+
+    W = w_ref[:]
+    m = m_ref[:]                                               # (A*blk, S)
+    U = None
+    Pb = None
+    for s in range(S):
+        res_s = jax.lax.dot_general(
+            W, scr_ps[:, s * N:(s + 1) * N], (((1,), (0,)), ((), ())),
+            precision=fused.DENSE_PRECISION,
+            preferred_element_type=dtype)                      # (A*blk, N)
+        if s == bb_i:
+            Pb = res_s
+        else:
+            term = res_s * m[:, s:s + 1]
+            U = term if U is None else U + term
+    if U is None:
+        U = jnp.zeros_like(Pb)
+    Nb = jax.lax.dot_general(W, scr_nme[:], (((1,), (0,)), ((), ())),
+                             precision=fused.DENSE_PRECISION,
+                             preferred_element_type=dtype)     # (A*blk, N)
+    T = jnp.sum(Nb, axis=1, keepdims=True)                     # (A*blk, 1)
+    Mcol = m[:, bb_i:bb_i + 1]                                 # (A*blk, 1)
+
+    obs = obs_ref[:]                                           # (blk, N)
+    tiny = jnp.finfo(dtype).tiny
+    k_safe = jnp.where(obs > 0, obs, 1.0)
+    for a in range(A):
+        rows = slice(a * blk, (a + 1) * blk)
+        lam = bb_lambda(Pb[rows, :], Nb[rows, :], U[rows, :],
+                        Mcol[rows, :], T[rows, :], obs)
+        lam_safe = jnp.maximum(lam, tiny)
+        ll_ref[:, a:a + 1] = jnp.sum(
+            obs * jnp.log(lam_safe / k_safe) - (lam - obs),
+            axis=1, keepdims=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bb_vgh_call_dense(dtype_name, G, S, N, J, B, blk, K, bb_i,
+                             interpret):
+    pairs = tuple((d, e) for d in range(K) for e in range(d + 1, K))
+    P_dim = S + K
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_bb_vgh_kernel_dense, S=S, K=K, pairs=pairs,
+                             blk=blk, bb_i=bb_i, N=N)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=(jax.ShapeDtypeStruct((B, 1), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim), dtype),
+                   jax.ShapeDtypeStruct((B, P_dim, P_dim), dtype)),
+        in_specs=[
+            pl.BlockSpec((J * blk, G), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # dense rows
+            pl.BlockSpec((blk, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # m
+            pl.BlockSpec((blk, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # obs
+            pl.BlockSpec(memory_space=pl.ANY),                 # pmf anchors
+            pl.BlockSpec(memory_space=pl.ANY),                 # count rows
+        ],
+        out_specs=(pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((blk, P_dim), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((blk, P_dim, P_dim), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((G, S * N), dtype),
+                        pltpu.VMEM((G, N), dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bb_ll_call_dense(dtype_name, G, S, N, A, B, blk, bb_i,
+                            interpret):
+    dtype = jnp.dtype(dtype_name)
+    kern = functools.partial(_bb_ll_kernel_dense, S=S, A=A, blk=blk,
+                             bb_i=bb_i, N=N)
+    return pl.pallas_call(
+        kern,
+        grid=(B // blk,),
+        out_shape=jax.ShapeDtypeStruct((B, A), dtype),
+        in_specs=[
+            pl.BlockSpec((A * blk, G), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # dense rows
+            pl.BlockSpec((A * blk, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # m (row order)
+            pl.BlockSpec((blk, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # obs
+            pl.BlockSpec(memory_space=pl.ANY),                 # pmf anchors
+            pl.BlockSpec(memory_space=pl.ANY),                 # count rows
+        ],
+        out_specs=pl.BlockSpec((blk, A), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((G, S * N), dtype),
+                        pltpu.VMEM((G, N), dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=bool(interpret),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+    )
+
+
+def _bb_vgh_batched_impl_dense(anchor2d, nme_flat, W_b, m_b, obs_b, K,
+                               bb_i, interpret):
+    G, SN = anchor2d.shape
+    B, J, _ = W_b.shape
+    S = m_b.shape[1]
+    N = SN // S
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    if B_pad != B:
+        padn = B_pad - B
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((padn,) + x.shape[1:], x.dtype)])
+        W_b, m_b, obs_b = map(pad, (W_b, m_b, obs_b))
+    nb = B_pad // blk
+    W_rows = W_b.reshape(nb, blk, J, G).transpose(0, 2, 1, 3) \
+        .reshape(nb * J * blk, G)
+    call = _build_bb_vgh_call_dense(str(anchor2d.dtype), G, S, N, J, B_pad,
+                                    blk, K, bb_i, interpret)
+    ll, g, H = call(W_rows, m_b, obs_b, anchor2d, nme_flat)
+    return ll[:B, 0], g[:B], H[:B]
+
+
+def _bb_ll_batched_impl_dense(anchor2d, nme_flat, W_b, m_b, obs_b, bb_i,
+                              interpret):
+    G, SN = anchor2d.shape
+    B, A, _ = W_b.shape
+    S = m_b.shape[2]
+    N = SN // S
+    blk = min(TOY_BLOCK, B)
+    B_pad = _round_up(B, blk)
+    if B_pad != B:
+        padn = B_pad - B
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((padn,) + x.shape[1:], x.dtype)])
+        W_b, m_b, obs_b = map(pad, (W_b, m_b, obs_b))
+    nb = B_pad // blk
+    W_rows = W_b.reshape(nb, blk, A, G).transpose(0, 2, 1, 3) \
+        .reshape(nb * A * blk, G)
+    m_rows = m_b.reshape(nb, blk, A, S).transpose(0, 2, 1, 3) \
+        .reshape(nb * A * blk, S)
+    call = _build_bb_ll_call_dense(str(anchor2d.dtype), G, S, N, A, B_pad,
+                                   blk, bb_i, interpret)
+    return call(W_rows, m_rows, obs_b, anchor2d, nme_flat)[:B]
+
+
+def _get_bb_dense_op(bb_i, interpret):
+    from jax.custom_batching import custom_vmap
+
+    key = ('vgh_dense', bb_i, bool(interpret))
+    if key in _OP_CACHE:
+        return _OP_CACHE[key]
+
+    @custom_vmap
+    def op(anchor2d, nme_flat, W, m, obs):
+        K = fused._k_of_j(W.shape[0])
+        ll, g, H = _bb_vgh_batched_impl_dense(
+            anchor2d, nme_flat, W[None], m[None], obs[None], K, bb_i,
+            interpret)
+        return ll[0], g[0], H[0]
+
+    @op.def_vmap
+    def _op_vmap(axis_size, in_batched, anchor2d, nme_flat, W, m, obs):
+        if in_batched[0]:
+            anchor2d = anchor2d[0]
+        if in_batched[1]:
+            nme_flat = nme_flat[0]
+        per_toy = []
+        for arg, batched in zip((W, m, obs), in_batched[2:]):
+            if not batched:
+                arg = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+            per_toy.append(arg)
+        K = fused._k_of_j(per_toy[0].shape[1])
+        out = _bb_vgh_batched_impl_dense(anchor2d, nme_flat, *per_toy,
+                                         K=K, bb_i=bb_i,
+                                         interpret=interpret)
+        return out, (True, True, True)
+
+    _OP_CACHE[key] = op
+    return op
+
+
+def _get_bb_ll_dense_op(bb_i, interpret):
+    from jax.custom_batching import custom_vmap
+
+    key = ('ll_dense', bb_i, bool(interpret))
+    if key in _OP_CACHE:
+        return _OP_CACHE[key]
+
+    @custom_vmap
+    def op(anchor2d, nme_flat, W, m, obs):
+        return _bb_ll_batched_impl_dense(
+            anchor2d, nme_flat, W[None], m[None], obs[None], bb_i,
+            interpret)[0]
+
+    @op.def_vmap
+    def _op_vmap(axis_size, in_batched, anchor2d, nme_flat, W, m, obs):
+        if in_batched[0]:
+            anchor2d = anchor2d[0]
+        if in_batched[1]:
+            nme_flat = nme_flat[0]
+        per_toy = []
+        for arg, batched in zip((W, m, obs), in_batched[2:]):
+            if not batched:
+                arg = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+            per_toy.append(arg)
+        out = _bb_ll_batched_impl_dense(anchor2d, nme_flat, *per_toy,
+                                        bb_i=bb_i, interpret=interpret)
+        return out, True
+
+    _OP_CACHE[key] = op
+    return op
+
+
 def binned_bb_vgh_fused(anchor_flat, nme_flat, strides, idx, t, m, observed,
-                        bb_i, interpret=False):
+                        bb_i, interpret=False, dense=None):
     """Fused BB (ll, g, H) via the Pallas kernel. Same contract as
     :func:`blueice_tpu.ops.bb_vgh.binned_bb_vgh`, but gathers the corner
     templates itself from the flattened-grid anchor tensors.
@@ -474,13 +870,19 @@ def binned_bb_vgh_fused(anchor_flat, nme_flat, strides, idx, t, m, observed,
     wx_in = (jnp.stack([wx[d, e] for d, e in pairs]).astype(dt)
              if pairs else jnp.zeros((1, C), dt))
 
+    if fused.resolve_dense(dense):
+        W = _dense_combine_rows(ids, w.astype(dt), wd, wx, pairs, K, G, dt)
+        op = _get_bb_dense_op(bb_i, bool(interpret))
+        return op(anchor_flat.reshape(G, S * N), nme_flat, W,
+                  jnp.asarray(m, dt), jnp.asarray(observed, dt))
+
     op = _get_bb_op(bb_i, bool(interpret))
     return op(anchor_flat, nme_flat, ids, w.astype(dt), wd_in, wx_in,
               jnp.asarray(m, dt), jnp.asarray(observed, dt))
 
 
 def binned_bb_ll_fused_multi(anchor_flat, nme_flat, strides, idx, t, m,
-                             observed, bb_i, interpret=False):
+                             observed, bb_i, interpret=False, dense=None):
     """BB deviance-form LL at A parameter candidates sharing one dataset.
 
     :param idx: (A, K) int32 lower corners; t: (A, K) lerp weights;
@@ -500,6 +902,19 @@ def binned_bb_ll_fused_multi(anchor_flat, nme_flat, strides, idx, t, m,
     w = (jax.vmap(lambda tv: corner_weight_tables(tv)[0])(
         jnp.asarray(t, dt)) if K
         else jnp.ones((A, 1), dtype=dt))                       # (A, C)
+
+    if fused.resolve_dense(dense):
+        ids_c = jnp.clip(ids, 0, G - 1)
+        onehot = (ids_c[:, :, None]
+                  == jnp.arange(G, dtype=jnp.int32)[None, None, :]) \
+            .astype(dt)                                        # (A, C, G)
+        W = jax.lax.dot_general(w.astype(dt), onehot,
+                                (((1,), (1,)), ((0,), (0,))),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=dt)     # (A, G)
+        op = _get_bb_ll_dense_op(bb_i, bool(interpret))
+        return op(anchor_flat.reshape(G, S * N), nme_flat, W,
+                  jnp.asarray(m, dt), jnp.asarray(observed, dt))
 
     op = _get_bb_ll_op(bb_i, bool(interpret))
     return op(anchor_flat, nme_flat, ids, w, jnp.asarray(m, dt),

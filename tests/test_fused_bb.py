@@ -164,6 +164,98 @@ def test_fused_bb_ll_multi_matches_jnp(K):
         np.testing.assert_allclose(float(lls[a]), float(ll_j), rtol=1e-10)
 
 
+@pytest.mark.parametrize("K", [0, 1, 2, 3])
+def test_dense_flavor_bb_vgh_matches_jnp(K):
+    """The dense (toy-vectorized, MXU-combine) BB flavor agrees with the
+    jnp analytic engine. The combine is a real weighted matmul, so
+    tolerances are f32-roundoff-scaled rather than exact (see the binned
+    dense tests in test_fused_kernel.py)."""
+    S, bb_i = 3, 1
+    (anchor, nme, anchor_grid, nme_grid, strides, grid_shape,
+     obs) = _setup(K=K)
+    rng = np.random.default_rng(11)
+    idx = [jnp.asarray(rng.integers(0, g - 1), jnp.int32)
+           for g in grid_shape]
+    t = jnp.asarray(rng.uniform(0, 1, K))
+    m = jnp.asarray(rng.uniform(1, 10, S))
+
+    ll_f, g_f, H_f = binned_bb_vgh_fused(
+        anchor, nme, strides, idx, t, m, obs, bb_i, interpret=True,
+        dense=True)
+
+    cps = gather_corners(anchor_grid, idx, K) if K else anchor
+    cnme = (gather_corners(nme_grid, idx, K) if K
+            else nme_grid.reshape(1, S, -1))
+    ll_j, g_j, H_j = binned_bb_vgh(cps, cnme, m, t, obs, bb_i)
+
+    np.testing.assert_allclose(float(ll_f), float(ll_j), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_j), rtol=1e-3,
+                               atol=1e-3 * float(np.abs(g_j).max()))
+    np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_j), rtol=1e-3,
+                               atol=1e-3 * float(np.abs(H_j).max()))
+    np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_f).T,
+                               atol=1e-5 * float(np.abs(H_j).max()))
+
+
+def test_dense_flavor_bb_vmap_and_multi():
+    """Dense BB flavor under vmap (non-multiple-of-block batch) plus the
+    dense multi-candidate value kernel."""
+    K, S, bb_i = 2, 3, 1
+    (anchor, nme, anchor_grid, nme_grid, strides, grid_shape,
+     obs0) = _setup(K=K)
+    rng = np.random.default_rng(3)
+    n_toys = 5
+    obs_b = np.zeros((n_toys, 128))
+    obs_b[:, :100] = rng.poisson(3.0, (n_toys, 100)).astype(float)
+    obs_b = jnp.asarray(obs_b)
+    t_b = jnp.asarray(rng.uniform(0, 1, (n_toys, K)))
+    idx_b = jnp.asarray(
+        np.stack([rng.integers(0, g - 1, n_toys) for g in grid_shape],
+                 axis=1), jnp.int32)
+    m_b = jnp.asarray(rng.uniform(1, 10, (n_toys, S)))
+
+    def one(idx, t, m, obs):
+        return binned_bb_vgh_fused(anchor, nme, strides,
+                                   [idx[d] for d in range(K)], t, m, obs,
+                                   bb_i, interpret=True, dense=True)
+
+    ll_b, g_b, H_b = jax.vmap(one)(idx_b, t_b, m_b, obs_b)
+    assert ll_b.shape == (n_toys,)
+    for i in range(n_toys):
+        ii = [idx_b[i, d] for d in range(K)]
+        cps = gather_corners(anchor_grid, ii, K)
+        cnme = gather_corners(nme_grid, ii, K)
+        ll_j, g_j, H_j = binned_bb_vgh(cps, cnme, m_b[i], t_b[i], obs_b[i],
+                                       bb_i)
+        np.testing.assert_allclose(float(ll_b[i]), float(ll_j), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_b[i]), np.asarray(g_j),
+                                   rtol=1e-3,
+                                   atol=1e-3 * float(np.abs(g_j).max()))
+        np.testing.assert_allclose(np.asarray(H_b[i]), np.asarray(H_j),
+                                   rtol=1e-3,
+                                   atol=1e-3 * float(np.abs(H_j).max()))
+
+    A = 4
+    idx_c = jnp.asarray(
+        np.stack([rng.integers(0, g - 1, (n_toys, A))
+                  for g in grid_shape], axis=2), jnp.int32)
+    t_c = jnp.asarray(rng.uniform(0, 1, (n_toys, A, K)))
+    m_c = jnp.asarray(rng.uniform(1, 10, (n_toys, A, S)))
+    lls = jax.vmap(lambda i, t, m, o: binned_bb_ll_fused_multi(
+        anchor, nme, strides, i, t, m, o, bb_i, interpret=True,
+        dense=True))(idx_c, t_c, m_c, obs_b)
+    assert lls.shape == (n_toys, A)
+    for b in range(n_toys):
+        for a in range(A):
+            ii = [idx_c[b, a, d] for d in range(K)]
+            cps = gather_corners(anchor_grid, ii, K)
+            cnme = gather_corners(nme_grid, ii, K)
+            ll_j = binned_bb_ll(cps, cnme, m_c[b, a], t_c[b, a], obs_b[b],
+                                bb_i)
+            np.testing.assert_allclose(float(lls[b, a]), float(ll_j),
+                                       rtol=1e-5)
+
+
 def test_fused_bb_support_check():
     # 50x62-bin XENON-scale space: 3100 bins pad to 3200, x (S+1) x G anchors
     assert fused_bb_supported((16, 6, 3100))

@@ -294,14 +294,16 @@ METRICS = {
                "profiling, 50x62 bins)"),
 }
 
-# Throughput floors: ~80% of the round-4 canonical numbers (BENCH.md r4).
-# A scenario below its floor lands in the compact record's floors_failed
-# list (VERDICT r4 #6) — visible, not fatal, since the tunnel adds real
-# run-to-run variance. interval is seconds (lower better), so no floor;
-# mcmc is a median of 3 warm chains.
+# Throughput floors: ~80% of the best canonical numbers (BENCH.md) — the
+# binned-kernel scenarios were re-based after the round-5 dense MXU-combine
+# kernels landed (xenon 484 / bb 389 / bblite 434 fits/s measured
+# 2026-08-21). A scenario below its floor lands in the compact record's
+# floors_failed list (VERDICT r4 #6) — visible, not fatal, since the tunnel
+# adds real run-to-run variance. interval is seconds (lower better), so no
+# floor; mcmc is a median of 3 warm chains.
 FLOORS = {
-    'gauss': 6700.0, 'unbinned': 2000.0, 'xenon': 240.0,
-    'unbinned_xenon': 100.0, 'bb': 145.0, 'bblite': 220.0, 'band': 27.0,
+    'gauss': 6700.0, 'unbinned': 2000.0, 'xenon': 380.0,
+    'unbinned_xenon': 100.0, 'bb': 310.0, 'bblite': 340.0, 'band': 27.0,
     'mcmc': 580000.0,
 }
 

@@ -412,8 +412,19 @@ def measure_binned_kernel(G=81, S=6, N=3200, K=3, B=1024, chip='tpu-v5e',
         lambda m: fn(idx_b, t_b, m, obs_b), m_b, n_inner)
     v = roofline_verdict(binned_vgh_cost(G, S, N, K), elapsed, B, chip)
     v.update(dispatch_s=dispatch_s, n_inner=n_inner)
-    v['kernel'] = 'binned_vgh_fused(G=%d,S=%d,N=%d,K=%d%s)' % (
-        G, S, N, K, ',dense' if dense else '')
+    from ..ops.fused import resolve_dense
+    if resolve_dense(dense):
+        # The cost model counts the gather flavor's USEFUL (2^K-corner)
+        # census; the dense flavor computes the same quantities through a
+        # G-row MXU matmul, so its useful-flop rate can exceed the VPU f32
+        # roof — the roof the fraction is quoted against no longer binds it.
+        v['note'] = ('dense flavor: combine rides the MXU; gflops/fracs '
+                     'are gather-census-equivalent useful work, so '
+                     'frac_of_compute_roof may exceed 1')
+        v['kernel'] = 'binned_vgh_fused(G=%d,S=%d,N=%d,K=%d,dense)' % (
+            G, S, N, K)
+    else:
+        v['kernel'] = 'binned_vgh_fused(G=%d,S=%d,N=%d,K=%d)' % (G, S, N, K)
     return v
 
 
@@ -440,7 +451,13 @@ def measure_bb_kernel(G=81, S=6, N=3200, K=3, B=256, bb_i=0, chip='tpu-v5e',
         lambda m: fn(idx_b, t_b, m, obs_b), m_b, n_inner)
     v = roofline_verdict(bb_vgh_cost(G, S, N, K), elapsed, B, chip)
     v.update(dispatch_s=dispatch_s, n_inner=n_inner)
-    v['kernel'] = 'binned_bb_vgh_fused(G=%d,S=%d,N=%d,K=%d)' % (G, S, N, K)
+    from ..ops.fused import resolve_dense
+    dense = resolve_dense(None)
+    if dense:
+        v['note'] = ('dense flavor: combine rides the MXU; gflops/fracs '
+                     'are gather-census-equivalent useful work')
+    v['kernel'] = 'binned_bb_vgh_fused(G=%d,S=%d,N=%d,K=%d%s)' % (
+        G, S, N, K, ',dense' if dense else '')
     return v
 
 
@@ -467,8 +484,13 @@ def measure_bblite_kernel(G=81, S=6, N=3200, K=3, B=256, chip='tpu-v5e',
         lambda m: fn(idx_b, t_b, m, obs_b), m_b, n_inner)
     v = roofline_verdict(bblite_vgh_cost(G, S, N, K), elapsed, B, chip)
     v.update(dispatch_s=dispatch_s, n_inner=n_inner)
-    v['kernel'] = 'binned_bblite_vgh_fused(G=%d,S=%d,N=%d,K=%d)' % (G, S, N,
-                                                                    K)
+    from ..ops.fused import resolve_dense
+    dense = resolve_dense(None)
+    if dense:
+        v['note'] = ('dense flavor: combine rides the MXU; gflops/fracs '
+                     'are gather-census-equivalent useful work')
+    v['kernel'] = 'binned_bblite_vgh_fused(G=%d,S=%d,N=%d,K=%d%s)' % (
+        G, S, N, K, ',dense' if dense else '')
     return v
 
 

@@ -42,10 +42,10 @@ def _r4_results():
              'gflops_achieved': 3000.0, 'frac_of_binding_roof': 0.359}
             for _ in range(6)]),
         'unbinned': dict(fits_per_sec=2479.34, vs_baseline=41.1),
-        'xenon': dict(fits_per_sec=303.87, vs_baseline=640.57),
+        'xenon': dict(fits_per_sec=484.23, vs_baseline=2790.6),
         'unbinned_xenon': dict(fits_per_sec=150.6, vs_baseline=190.0),
-        'bb': dict(fits_per_sec=181.05, vs_baseline=986.84),
-        'bblite': dict(fits_per_sec=274.29, vs_baseline=1209.1),
+        'bb': dict(fits_per_sec=388.95, vs_baseline=2275.0),
+        'bblite': dict(fits_per_sec=433.82, vs_baseline=4178.7),
         'band': dict(limits_per_sec=34.24, median_ul=0.0808,
                      host_median_ul=0.0505, vs_baseline=340.7),
         'interval': dict(ul=0.04908, seconds_warm=0.512, host_ul=0.05424,
@@ -69,7 +69,7 @@ def test_compact_line_survives_driver_tail(bench):
     assert rec['sanity_ok'] is True
     assert rec['complete'] is True
     assert rec['floors_failed'] == []
-    assert rec['scenarios']['xenon'] == pytest.approx(303.9)
+    assert rec['scenarios']['xenon'] == pytest.approx(484.2)
 
 
 def test_north_star_on_scoreboard(bench):
@@ -77,7 +77,7 @@ def test_north_star_on_scoreboard(bench):
     ns = json.loads(line)['north_star']
     assert ns['met'] is True
     assert ns['gauss_10k_s_1chip'] == pytest.approx(1e4 / 8423.11, abs=0.06)
-    assert ns['xenon_10k_s_1chip'] == pytest.approx(1e4 / 303.87, abs=0.06)
+    assert ns['xenon_10k_s_1chip'] == pytest.approx(1e4 / 484.23, abs=0.06)
     # The single-chip flagship time must beat the v5e-8 minute outright
     assert ns['gauss_10k_s_1chip'] < 60.0
 

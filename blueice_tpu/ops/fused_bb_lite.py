@@ -624,7 +624,11 @@ def _bblite_vgh_batched_impl_dense(anchor2d, nme_flat, W_b, m_b, obs_b, K,
     B, J, _ = W_b.shape
     S = m_b.shape[1]
     N = SN // S
-    blk = min(TOY_BLOCK, B)
+    # Always a full toy block: Mosaic cannot lower the dense kernels'
+    # column-concat stores at blk < 8 ("result/input offset mismatch on
+    # non-concat dimension" on (1, 1)-piece tpu.concatenate) — single
+    # unbatched fits (observed-data intervals) pad up to one block
+    blk = TOY_BLOCK
     B_pad = _round_up(B, blk)
     if B_pad != B:
         padn = B_pad - B
@@ -647,7 +651,11 @@ def _bblite_ll_batched_impl_dense(anchor2d, nme_flat, W_b, m_b, obs_b,
     B, A, _ = W_b.shape
     S = m_b.shape[2]
     N = SN // S
-    blk = min(TOY_BLOCK, B)
+    # Always a full toy block: Mosaic cannot lower the dense kernels'
+    # column-concat stores at blk < 8 ("result/input offset mismatch on
+    # non-concat dimension" on (1, 1)-piece tpu.concatenate) — single
+    # unbatched fits (observed-data intervals) pad up to one block
+    blk = TOY_BLOCK
     B_pad = _round_up(B, blk)
     if B_pad != B:
         padn = B_pad - B

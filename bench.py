@@ -483,16 +483,26 @@ def bench_band(n_toys=256, n_hyp=17, time_cap=60.0):
         # acceptable when the host optimizer owns it. Median must stay
         # tight regardless.
         n_refereed = 0
+        referee_errors = []
         for d, u_h, u_d in pairs:
             if not 0.8 < u_d / u_h < 1.25 and n_refereed < 2:
                 lf.set_data(d)
-                _interval_referee(lf, study, target, u_d, u_h)
+                try:
+                    _interval_referee(lf, study, target, u_d, u_h)
+                except AssertionError:
+                    raise          # a real device/referee gap must fail loud
+                except Exception as e:
+                    # host-side optimizer pathologies on adversarial toys
+                    # must not kill the scenario — record and move on
+                    log("band referee errored (host-side): %r" % (e,))
+                    referee_errors.append(repr(e)[:200])
                 n_refereed += 1
         assert 0.85 < med_ratio < 1.15, ratios
         paired = dict(n=n_paired, median_ratio=round(med_ratio, 4),
                       min_ratio=round(min(ratios), 4),
                       max_ratio=round(max(ratios), 4),
-                      n_refereed=n_refereed)
+                      n_refereed=n_refereed,
+                      referee_errors=referee_errors)
     return dict(limits_per_sec=round(rate, 2),
                 compile_first_run_s=round(compile_s, 1),
                 median_ul=round(band[0.5], 4),
@@ -573,12 +583,28 @@ def _interval_referee(lf, study, target, ul_dev, ul_host, cl=0.9):
 
     with warnings.catch_warnings():
         warnings.simplefilter('ignore', RuntimeWarning)
-        _, ll_h_free = lf.bestfit_scipy()
+        from blueice_tpu.exceptions import OptimizationFailed
+
+        def _host_fit(**fix):
+            # The host scipy optimizer can fail outright on adversarial
+            # toys (observed: Nelder-Mead stuck at -inf on one paired-band
+            # dataset). The referee's job is the best-available crossing,
+            # so a failed host chain contributes -inf and the device chain
+            # carries that hypothesis; the failure count is recorded.
+            try:
+                return float(lf.bestfit_scipy(**fix)[1]), 0
+            except OptimizationFailed:
+                return -np.inf, 1
+
+        n_host_failed = 0
+        ll_h_free, nf = _host_fit()
+        n_host_failed += nf
         ll_d_free = host_ll(free_dev.names, free_dev.x[0])
         adv_free = ll_d_free - ll_h_free
         adv_cond, t_ref = [], []
         for j, h in enumerate(hyps):
-            _, ll_h_c = lf.bestfit_scipy(**{target: float(h)})
+            ll_h_c, nf = _host_fit(**{target: float(h)})
+            n_host_failed += nf
             ll_d_c = host_ll(cond_dev.names, cond_dev.x[j],
                              {target: float(h)})
             adv_cond.append(ll_d_c - ll_h_c)
@@ -592,12 +618,18 @@ def _interval_referee(lf, study, target, ul_dev, ul_host, cl=0.9):
               if t2 != t1 else h1)
     rel_dev = abs(ul_dev / ul_ref - 1.0)
     rel_host = abs(ul_host / ul_ref - 1.0)
-    out = dict(adv_free=round(adv_free, 4),
-               adv_cond=[round(a, 4) for a in adv_cond],
+    def _fin(x):
+        # a failed host chain makes the advantage +inf — not valid JSON;
+        # None marks "host had no finite fit to compare against"
+        return round(x, 4) if np.isfinite(x) else None
+
+    out = dict(adv_free=_fin(adv_free),
+               adv_cond=[_fin(a) for a in adv_cond],
                t_referee=[round(t, 4) for t in t_ref],
                ul_referee=round(float(ul_ref), 5),
                rel_gap_dev=round(rel_dev, 4),
-               rel_gap_host=round(rel_host, 4))
+               rel_gap_host=round(rel_host, 4),
+               n_host_fits_failed=n_host_failed)
     log("interval referee (f64): %s" % out)
     # Device fits must not be materially worse than the host optimizer's
     # under the f64 referee, and the device limit must track the referee
